@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship DeepEx-style triple-extraction pipeline
+over the sf0.001 documents table; ``queries()`` exposes every implemented
+operator from SURVEY.md §2 (plus training-data-pipeline ops); ``oracle_sql()``
+gives the DuckDB-checkable ANSI SQL for each SQL-expressible query. The
+beam-search kernel queries are registered without an oracle (rows-only
+check) and are pinned by pytest goldens + a single-node local oracle
+instead (tests/test_parity.py).
 """
 
 from __future__ import annotations
@@ -15,24 +17,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: documents -> ranked
+    (subj, rel, obj) triples via the full pipeline (normalize -> sentencize
+    -> fused beam-search kernel -> distill -> contrastive rerank)."""
+    from deepex_spark.queries import pipeline_triples
+
+    return pipeline_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from deepex_spark.queries import queries as _queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from deepex_spark.queries import oracle_sql as _oracle_sql
+
+    return _oracle_sql()

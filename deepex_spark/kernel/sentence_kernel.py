@@ -1,0 +1,446 @@
+"""Per-sentence extraction kernel (the algorithmic heart).
+
+A from-scratch re-implementation of the reference's stage-0 dataflow for one
+sentence: wordpiece features -> NP mentions -> token<->mention interval
+alignment -> attention matrix -> bidirectional beam search over attention
+scores -> triple assembly -> per-sentence dedup + ranking. Everything is a
+pure function of (docid, offset, text, config), so the Spark ``mapInPandas``
+stage and the single-node "local oracle" used by parity tests share this
+exact code path.
+
+Faithfully preserved reference semantics (cited against /root/reference):
+
+* interval alignment predicate ``span1[1] > span0[0] and span1[0] < span0[1]``
+  and doc-level span shift (``src/deepex/data/re_data.py:130-131,235-236``);
+* entity-position extraction incl. the ``'' in '!=?'`` substring exclusion,
+  the add-extra-entity first/last-minus-one quirk, and per-segment
+  boundary-token extras (``src/deepex/model/kgm.py:297-350``);
+* beam expansion rules: direction constraint only after the first hop,
+  bound hops always allowed, no revisits, cross-segment check, beam pruned
+  by score/len with Python-stable ordering (``kgm.py:358-391``);
+* pair enumeration within dist_const per direction (``kgm.py:393-421``);
+* filter/sort: min/max len, threshold, 'sum'/'mean' ranking, per-sentence
+  top-n (``kgm.py:274-294``);
+* canonical direction flip; the ``seq[1:-1] = sorted(seq[1:-1])`` quirk at
+  ``kgm.py:234`` which effectively clamps a sequence score at 1.0 before
+  accumulation (bool True sorts between floats);
+* triple assembly: Python ``str.title()`` casing, same-span rejection,
+  relation = detokenized tokens strictly between head/tail span runs with
+  ``##`` partial-wordpiece edge pruning (``kgm.py:58-144``);
+* per-sentence dedup accumulating [freq, cum_score, first spans, cum
+  attended_len, offset] and dedup ranking types with the cand_min_len
+  filter (``kgm.py:171-203,252-257``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from deepex_spark.nlp.chunker import np_chunks
+from deepex_spark.nlp.tokenizer import basic_tokens, detok_single, detokenize, encode
+
+NIL = "$NIL$"
+NIL_SPAN = (-1, -1)
+
+
+@dataclass
+class SentenceFeatures:
+    docid: str
+    offset: int
+    text: str
+    tokens: list[str]
+    special: list[int]
+    ent_names: list[str]
+    ent_spans: list[tuple[int, int]]
+
+
+def featurize(docid: str, offset: int, text: str, cfg) -> SentenceFeatures:
+    """Tokenize + detect mentions + align tokens to mentions (O5/O6/O8)."""
+    enc = encode(
+        text,
+        max_length=cfg.max_length,
+        wordpiece_max_chars=cfg.wordpiece_max_chars,
+        wordpiece_piece_chars=cfg.wordpiece_piece_chars,
+    )
+    mentions = np_chunks(basic_tokens(text), text, cfg.max_mentions_np_len)
+    names: list[str] = []
+    spans: list[tuple[int, int]] = []
+    for (ts, te), is_special in zip(enc.offsets, enc.special_mask):
+        if is_special or (ts == 0 and te == 0):
+            names.append(NIL)
+            spans.append(NIL_SPAN)
+            continue
+        hit = False
+        for name, ms, me in mentions:
+            # first overlapping mention wins (re_data.py:229-243)
+            if me > ts and ms < te:
+                names.append(name)
+                spans.append((ms + offset, me + offset))
+                hit = True
+                break
+        if not hit:
+            names.append(NIL)
+            spans.append(NIL_SPAN)
+    return SentenceFeatures(
+        docid=docid,
+        offset=offset,
+        text=text,
+        tokens=enc.tokens,
+        special=enc.special_mask,
+        ent_names=names,
+        ent_spans=spans,
+    )
+
+
+def entity_segments(feat: SentenceFeatures, cfg):
+    """Entity token positions + per-segment groups (kgm.py:297-350)."""
+    S = len(feat.tokens)
+    detoks = [detok_single(t) for t in feat.tokens]
+    eid = [
+        i
+        for i in range(S)
+        if feat.ent_names[i] != NIL and feat.special[i] == 0 and detoks[i] not in "!=?"
+    ]
+    if cfg.add_extra_entity:
+        non_special = [i for i in range(S) if feat.special[i] == 0]
+        if len(non_special) > 0 and non_special[0] not in eid:
+            eid.append(non_special[0])
+        if len(non_special) > 1:
+            last_id = non_special[-1] - 1  # faithful minus-one quirk (kgm.py:311)
+            if last_id not in eid:
+                eid.append(last_id)
+    if len(eid) < 1:
+        return None, None
+    eid = sorted(eid)
+    if not cfg.sentence:
+        return eid, [list(eid)]
+    split_indices = [i for i in range(S) if detoks[i] in "!=?" and detoks[i] != ""]
+    sent_eid_sids: list[list[int]] = []
+    for i in range(-1, len(split_indices)):
+        seg: list[int] = []
+        if cfg.add_extra_entity and 0 <= i < len(split_indices) - 1:
+            seg.extend([split_indices[i] + 1, split_indices[i + 1] - 1])
+        for e in list(eid):
+            if i == -1:
+                if (len(split_indices) == 0 or e < split_indices[0]) and e not in seg:
+                    seg.append(e)
+            elif i == len(split_indices) - 1:
+                if e > split_indices[i] and e not in seg:
+                    seg.append(e)
+            else:
+                if split_indices[i] < e < split_indices[i + 1] and e not in seg:
+                    seg.append(e)
+        sent_eid_sids.append(sorted(seg))
+        if len(seg) >= 1:
+            eid.append(sorted(seg)[-1])  # faithful duplicate append (kgm.py:345)
+    return sorted(eid), sent_eid_sids
+
+
+def _segment_location(a: int, u: int, v: int) -> int:
+    return (a < u) + (a < v)
+
+
+def _cross_segment(a: int, last: int, node: int, bound: int) -> bool:
+    return (
+        last != node
+        and last != bound
+        and _segment_location(a, node, bound) != _segment_location(last, node, bound)
+    )
+
+
+def _mean_score(c):
+    return c[1] / len(c[0])
+
+
+def uni_beam(node, offset, svals, sidx, topk, direction, bound):
+    """One (start, bound) directed beam walk (kgm.py:358-391).
+
+    Acceptance rules, identical to the reference's scan of the pre-sorted
+    attention row: take targets in descending attention order until ``topk``
+    accepted; skip revisits always; after the first hop skip direction
+    violations and cross-segment hops unless the target is the bound (bound
+    hops are always allowed); beam pruned to topk by score/len with
+    Python-stable ordering. ``svals``/``sidx`` are per-row pre-sorted
+    values/indices as plain Python lists (fastest scalar access).
+    """
+    bl = bound - offset
+    is_left = direction == "left"
+    beam: list[tuple[tuple[int, ...], float, bool]] = [((node,), 0.0, False)]
+    while True:
+        all_visited = True
+        for c in beam:
+            if not c[2]:
+                all_visited = False
+                break
+        if all_visited:
+            break
+        new: list[tuple[tuple[int, ...], float, bool]] = []
+        for path, score, visited in beam:
+            v = path[-1] - offset
+            if v != bl:
+                row_i = sidx[v]
+                row_v = svals[v]
+                plen = len(path)
+                last = v + offset
+                check_cross = plen > 1 and last != node and last != bound
+                if check_cross:
+                    loc_last = (last < node) + (last < bound)
+                tempk = 0
+                for k in range(len(row_i)):
+                    if tempk == topk:
+                        break
+                    tgt = row_i[k]
+                    tga = tgt + offset
+                    if tga in path:
+                        continue
+                    if tgt != bl and plen > 1:
+                        if is_left:
+                            if tgt >= v:
+                                continue
+                        elif tgt <= v:
+                            continue
+                        if check_cross and ((tga < node) + (tga < bound)) != loc_last:
+                            continue
+                    new.append((path + (tga,), score + row_v[k], False))
+                    tempk += 1
+            else:
+                new.append((path, score, True))
+        new.sort(key=_mean_score, reverse=True)
+        beam = new[:topk]
+    return beam
+
+
+def beam_search_ie(att: np.ndarray, feat: SentenceFeatures, cfg):
+    """IE-mode pair enumeration + beam walks (kgm.py:393-421). Returns raw
+    sequences [(path_tuple, score)] after filter/sort (kgm.py:274-294)."""
+    eid, segs = entity_segments(feat, cfg)
+    if eid is None:
+        return []
+    offset0 = eid[0]
+    end = eid[-1]
+    pruned = att[offset0 : end + 1, offset0 : end + 1]
+    order_np = np.argsort(-pruned, axis=1, kind="stable")
+    vals_np = np.take_along_axis(pruned, order_np, axis=1)
+    order = order_np.tolist()
+    vals = vals_np.tolist()
+    res: list[tuple[tuple[int, ...], float, bool]] = []
+    for seg in segs:
+        for i in range(len(seg)):
+            u = seg[i]
+            for j in range(i - 1, i - 1 - cfg.dist_const, -1):
+                if j < 0:
+                    break
+                res.extend(uni_beam(u, offset0, vals, order, cfg.beam_size, "left", seg[j]))
+            for j in range(i + 1, i + 1 + cfg.dist_const, 1):
+                if j > len(seg) - 1:
+                    break
+                res.extend(uni_beam(u, offset0, vals, order, cfg.beam_size, "right", seg[j]))
+    out: list[tuple[tuple[int, ...], float]] = []
+    for path, score, _visited in res:
+        L = len(path)
+        if cfg.search_min_len <= L <= cfg.search_max_len:
+            s = score / L if cfg.search_ranking_type == "mean" else score
+            if s > cfg.search_score_threshold:
+                out.append((path, s))
+    out.sort(key=lambda t: t[1], reverse=True)
+    if cfg.search_n is not None and cfg.search_n != "None":
+        out = out[: cfg.search_n]
+    return out
+
+
+def _seq_offsets(tokens: list[str], rid: int, begin: int, end: int) -> tuple[int, int]:
+    """Backward/forward contiguous '##' piece counts (kgm.py:58-76)."""
+    pre = 0
+    if tokens[rid].startswith("##"):
+        pre = 1
+        for p in range(rid - 1, begin - 1, -1):
+            if not tokens[p].startswith("##"):
+                break
+            pre += 1
+    nxt = 0
+    for q in range(rid + 1, end + 1, 1):
+        if not tokens[q].startswith("##"):
+            break
+        nxt += 1
+    return pre, nxt
+
+
+def relation_text(path: list[int], feat: SentenceFeatures) -> str | None:
+    """Relation = detokenized tokens strictly between the head-span run and
+    tail-span run, with partial-wordpiece edge pruning (kgm.py:83-121)."""
+    hid, tid = path[0], path[-1]
+    h_span = feat.ent_spans[path[0]]
+    t_span = feat.ent_spans[path[-1]]
+    first_rid = path[1]
+    last_rid = path[-2]
+    for i in range(1, len(path) - 2, 1):
+        if feat.ent_spans[path[i]] == h_span:
+            first_rid = path[i + 1]
+        else:
+            break
+    for i in range(len(path) - 2, 1, -1):
+        if feat.ent_spans[path[i]] == t_span:
+            last_rid = path[i - 1]
+        else:
+            break
+    if first_rid > last_rid:
+        return None
+    fp, fn = _seq_offsets(feat.tokens, first_rid, hid, tid)
+    lp, ln = _seq_offsets(feat.tokens, last_rid, hid, tid)
+    first_pruned = first_rid
+    last_pruned = last_rid
+    if first_rid - fp <= hid:
+        first_pruned = first_rid + fn + 1
+    if last_rid + ln >= tid:
+        last_pruned = last_rid - lp - 1
+    if first_pruned > last_pruned:
+        return None
+    return detokenize(feat.tokens[first_pruned : last_pruned + 1])
+
+
+def convert_to_triplet(path: list[int], feat: SentenceFeatures):
+    """'H [SEP] R [SEP] T' assembly (kgm.py:124-144)."""
+    if len(path) < 3:
+        return None, None
+    h = feat.ent_names[path[0]].title()
+    t = feat.ent_names[path[-1]].title()
+    h_span = feat.ent_spans[path[0]]
+    t_span = feat.ent_spans[path[-1]]
+    if h_span[0] == t_span[0] and h_span[1] == t_span[1]:
+        return None, None
+    r = relation_text(path, feat)
+    if r is None:
+        return None, None
+    return h + " [SEP] " + r + " [SEP] " + t, [list(h_span), list(t_span)]
+
+
+def _rank_key(dedup_ranking_type: str):
+    if dedup_ranking_type == "freq":
+        return lambda kv: kv[1][0]
+    if dedup_ranking_type == "score":
+        return lambda kv: kv[1][1]
+    if dedup_ranking_type == "score_freq":
+        return lambda kv: kv[1][1] / kv[1][0]
+    if dedup_ranking_type == "score_freq_len":
+        return lambda kv: kv[1][1] / (kv[1][0] * len(kv[0].strip().split(" ")))
+    if dedup_ranking_type == "score_len":
+        return lambda kv: kv[1][1] / kv[1][3]
+    raise ValueError("support (freq, score, score_freq, score_freq_len, score_len)")
+
+
+def accumulate_candidates(dedup: dict, seqs, feat: SentenceFeatures, cfg) -> None:
+    """Canonical flip + score clamp + assembly + per-sentence dedup
+    accumulation (kgm.py:221-265). Mutates ``dedup`` in place so windowed
+    over-long sentences accumulate into one per-sentence dict."""
+    for path, score in seqs:
+        p = list(path)
+        if cfg.beam_mode != "RC":
+            if not (p[0] < p[-1]):
+                p = list(reversed(p))
+        # seq[1:-1] = sorted([score, visited=True]) quirk (kgm.py:234):
+        # scores above 1.0 become bool True (=1.0) in the score slot.
+        s = score if score <= 1.0 else 1.0
+        trip, spans = convert_to_triplet(p, feat)
+        if (
+            trip is None
+            or spans is None
+            or spans[0] == [-1, -1]
+            or spans[1] == [-1, -1]
+        ):
+            continue
+        key = trip.strip()
+        attended = len(p)
+        if key not in dedup:
+            dedup[key] = [1, s, spans, attended]
+        else:
+            e = dedup[key]
+            e[0] += 1
+            e[1] += s
+            e[3] += attended
+
+
+def rank_candidates(dedup: dict, cfg):
+    """Per-sentence dedup ranking + cand_min_len filter (kgm.py:171-203).
+    Returns ranked [(triple_key, freq, cum_score, h_span, t_span,
+    attended_len)]."""
+    items = sorted(dedup.items(), key=_rank_key(cfg.dedup_ranking_type), reverse=True)
+    items = [
+        (k, v) for k, v in items if len(k.strip().split(" ")) >= cfg.cand_min_len
+    ]
+    return [(k, v[0], v[1], v[2][0], v[2][1], v[3]) for k, v in items]
+
+
+def assemble_and_dedup(seqs, feat: SentenceFeatures, cfg):
+    dedup: dict[str, list] = {}
+    accumulate_candidates(dedup, seqs, feat, cfg)
+    return rank_candidates(dedup, cfg)
+
+
+def _window_features(feat: SentenceFeatures, cfg) -> list[SentenceFeatures]:
+    """Scale guard for pathologically long unpunctuated sentences: when
+    ``cfg.max_kernel_tokens`` is set and a sentence exceeds it, process the
+    token stream in windows (boundaries snapped to whole wordpieces). The
+    default (None) is the faithful reference behaviour — one search over
+    the whole (truncated-at-max_length) sentence."""
+    limit = getattr(cfg, "max_kernel_tokens", None)
+    n = len(feat.tokens)
+    if not limit or n - 2 <= limit:
+        return [feat]
+    from deepex_spark.nlp.tokenizer import CLS, SEP
+
+    out = []
+    s = 1
+    while s < n - 1:
+        e = min(s + limit, n - 1)
+        while e < n - 1 and feat.tokens[e].startswith("##"):
+            e += 1
+        out.append(
+            SentenceFeatures(
+                docid=feat.docid,
+                offset=feat.offset,
+                text=feat.text,
+                tokens=[CLS] + feat.tokens[s:e] + [SEP],
+                special=[1] + feat.special[s:e] + [1],
+                ent_names=[NIL] + feat.ent_names[s:e] + [NIL],
+                ent_spans=[NIL_SPAN] + feat.ent_spans[s:e] + [NIL_SPAN],
+            )
+        )
+        s = e
+    return out
+
+
+def process_sentence(docid: str, offset: int, text: str, cfg, att_provider):
+    """Full kernel for one sentence. Returns candidate dict rows."""
+    feat = featurize(docid, offset, text, cfg)
+    dedup: dict[str, list] = {}
+    for win in _window_features(feat, cfg):
+        att = att_provider.attention(win.tokens)
+        seqs = beam_search_ie(att, win, cfg)
+        if seqs:
+            accumulate_candidates(dedup, seqs, win, cfg)
+    if not dedup:
+        return []
+    ranked = rank_candidates(dedup, cfg)
+    rows = []
+    for rank, (key, freq, score, h_span, t_span, attended) in enumerate(ranked):
+        h, r, t = (part.strip() for part in key.split("[SEP]"))
+        rows.append(
+            {
+                "docid": docid,
+                "sent_offset": offset,
+                "sent_text": text,
+                "triple_key": key,
+                "subj": h,
+                "rel": r,
+                "obj": t,
+                "subj_span": list(h_span),
+                "obj_span": list(t_span),
+                "freq": freq,
+                "score": float(score),
+                "attended_len": attended,
+                "cand_rank": rank,
+            }
+        )
+    return rows

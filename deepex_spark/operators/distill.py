@@ -1,0 +1,98 @@
+"""Distillation stage (O19-O23): candidates -> doc-sorted triples.
+
+Pure DataFrame ops re-expressing reference ``src/deepex/model/distillation.py
+deduplicate_for_eval_fast`` (lines 119-196):
+
+* ranking score attach per dedup_ranking_type (``distillation.py:55-78``;
+  the task default 'score_len' = cum_score / cum_attended_len);
+* split of the '[SEP]'-joined key (already exploded into subj/rel/obj
+  columns by the kernel, same strings as ``distillation.py:104-109``);
+* relation non-ASCII scrub + drop-if-empty (``distillation.py:100-113``);
+* forward AND reversed triple emission — the reverse is a column-swapped
+  projection, faithful to ``distillation.py:113-117``;
+* '$input_txt:$ ' sentence prefix (``kgm.py:210``);
+* per-doc sort by score desc (``distillation.py:188-189``) — the
+  reference's Python stable sort tie-order (sentence order, candidate rank,
+  forward-before-reverse) is made explicit so results are invariant to
+  partitioning;
+* the ``existstriplet`` doc-level dedup is DEAD CODE in the reference
+  (defined at ``distillation.py:122-136`` but never invoked by the merge
+  loop at ``:190-195``) — faithfully NOT applied: all fwd+rev triples
+  survive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from deepex_spark.config import DeepExConfig
+
+SENT_PREFIX = "$input_txt:$ "
+
+
+def rank_score_col(dedup_ranking_type: str) -> Column:
+    f, s, a = F.col("freq"), F.col("score"), F.col("attended_len")
+    if dedup_ranking_type == "freq":
+        return f.cast("double")
+    if dedup_ranking_type == "score":
+        return s
+    if dedup_ranking_type == "score_freq":
+        return s / f
+    if dedup_ranking_type == "score_freq_len":
+        return s / (f * F.size(F.split(F.trim(F.col("triple_key")), " ")))
+    if dedup_ranking_type == "score_len":
+        return s / a
+    raise ValueError("support (freq, score, score_freq, score_freq_len, score_len)")
+
+
+def distill_triples(candidates: DataFrame, cfg: DeepExConfig) -> DataFrame:
+    """candidates -> triples with both directions and a per-doc rank."""
+    base = (
+        candidates.withColumn("rank_score", rank_score_col(cfg.dedup_ranking_type))
+        .withColumn("rel_scrub", F.trim(F.regexp_replace("rel", r"[^\x00-\x7F]+", " ")))
+        .filter(F.length("rel_scrub") > 0)
+        .withColumn("sentence", F.concat(F.lit(SENT_PREFIX), F.col("sent_text")))
+    )
+    # Forward + reverse emitted in ONE pass: a union of two projections
+    # would duplicate the (expensive) kernel subtree in the physical plan,
+    # running extraction twice; explode(array(fwd, rev)) keeps it a single
+    # narrow map stage.
+    directions = F.explode(
+        F.array(
+            F.struct(
+                F.col("subj").alias("subj"),
+                F.col("subj_span").alias("subj_span"),
+                F.col("obj").alias("obj"),
+                F.col("obj_span").alias("obj_span"),
+                F.lit(0).alias("is_rev"),
+            ),
+            F.struct(
+                F.col("obj").alias("subj"),
+                F.col("obj_span").alias("subj_span"),
+                F.col("subj").alias("obj"),
+                F.col("subj_span").alias("obj_span"),
+                F.lit(1).alias("is_rev"),
+            ),
+        )
+    )
+    tri = base.select(
+        F.col("docid"),
+        F.col("rel_scrub").alias("rel"),
+        F.col("sentence"),
+        F.col("rank_score").alias("score"),
+        F.col("sent_offset").alias("offset"),
+        F.col("sent_pos"),
+        F.col("cand_rank"),
+        directions.alias("d"),
+    ).select("docid", "d.subj", "d.subj_span", "rel", "d.obj", "d.obj_span",
+             "sentence", "score", "offset", "sent_pos", "cand_rank", "d.is_rev")
+    w = Window.partitionBy("docid").orderBy(
+        F.desc("score"), F.asc("sent_pos"), F.asc("cand_rank"), F.asc("is_rev")
+    )
+    return tri.withColumn("doc_rank", F.row_number().over(w))
+
+
+def count_triples(triples: DataFrame) -> int:
+    """O23 sanity metric (scripts/post_processing.py:35-37)."""
+    return triples.count()

@@ -1,0 +1,84 @@
+"""Fused extraction stage: sentences -> candidate triples.
+
+One ``mapInPandas`` over the sentences DataFrame runs the whole per-sentence
+kernel (tokenize -> mentions -> align -> attention -> beam search -> triple
+assembly -> per-sentence dedup; reference stage-0, ``scripts/generator.py`` +
+``src/deepex/model/kgm.py``). The stage is embarrassingly parallel — zero
+shuffles; the attention matrix never leaves the executor; Arrow batches
+replace the reference's 2048-example model batches.
+
+Output ``candidates`` schema mirrors SURVEY.md D9: one row per deduplicated
+per-sentence triple with [freq, cum_score, spans, cum_attended_len, offset]
+plus ``cand_rank`` (the position the reference's OrderedDict ranking gave
+it — needed for faithful tie-breaking downstream).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from deepex_spark.config import DeepExConfig
+
+CANDIDATE_SCHEMA = StructType(
+    [
+        StructField("docid", StringType()),
+        StructField("sent_pos", IntegerType()),
+        StructField("sent_offset", IntegerType()),
+        StructField("sent_text", StringType()),
+        StructField("triple_key", StringType()),
+        StructField("subj", StringType()),
+        StructField("rel", StringType()),
+        StructField("obj", StringType()),
+        StructField("subj_span", ArrayType(IntegerType())),
+        StructField("obj_span", ArrayType(IntegerType())),
+        StructField("freq", LongType()),
+        StructField("score", DoubleType()),
+        StructField("attended_len", LongType()),
+        StructField("cand_rank", IntegerType()),
+    ]
+)
+
+_COLUMNS = [f.name for f in CANDIDATE_SCHEMA.fields]
+
+
+def extract_candidates(sentences: DataFrame, cfg: DeepExConfig) -> DataFrame:
+    """sentences(docid, sent_pos, sent_offset, sent_text) -> candidates.
+
+    The input is rebalanced across the cluster before the kernel: a small
+    file count (or skewed upstream layout) must not serialize the CPU-bound
+    stage. Round-robin repartition also spreads long-document hot spots.
+    """
+    n_parts = cfg.repartition_by_url or (
+        sentences.sparkSession.sparkContext.defaultParallelism * 2
+    )
+    sentences = sentences.repartition(n_parts)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # imports inside the task so executors resolve them locally
+        from deepex_spark.kernel.sentence_kernel import process_sentence
+        from deepex_spark.nlp.attention import get_attention_provider
+
+        provider = get_attention_provider(cfg)
+        for pdf in batches:
+            rows: list[dict] = []
+            for docid, pos, off, text in zip(
+                pdf["docid"], pdf["sent_pos"], pdf["sent_offset"], pdf["sent_text"]
+            ):
+                for r in process_sentence(docid, int(off), text, cfg, provider):
+                    r["sent_pos"] = int(pos)
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=_COLUMNS)
+
+    return sentences.mapInPandas(run, schema=CANDIDATE_SCHEMA)

@@ -1,0 +1,55 @@
+"""End-to-end composable pipeline API.
+
+Mirrors the reference's library entry point ``predict_and_save_results``
+(``src/deepex/model/kgm.py:535-647``) + the stage chain of
+``scripts/manager.py`` as ONE declarative DataFrame program:
+
+    pages -> normalize (O2) -> sentences (O3) -> extract (O5-O19, fused
+    Arrow kernel) -> distill (O20-O23) -> rerank (O25) -> top-k (O26)
+
+Each stage returns a DataFrame; ``extract_triples`` is the one-call API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deepex_spark.config import DeepExConfig
+from deepex_spark.functions.sentencize import sentencize
+from deepex_spark.functions.text import blank_parens, html_to_text
+from deepex_spark.operators.distill import distill_triples
+from deepex_spark.operators.extract import extract_candidates
+from deepex_spark.operators.rerank import rerank_triples
+
+
+def normalize_pages(pages: DataFrame, cfg: DeepExConfig) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> (docid, text) with the
+    byte-identical reference normalization chain applied. The docid is the
+    url (web path) — callers with numeric ids zero-pad upstream."""
+    df = pages
+    if "text" in df.columns and "html" in df.columns:
+        df = df.withColumn(
+            "text", F.coalesce(F.col("text"), html_to_text(F.col("html")))
+        )
+    elif "html" in df.columns:
+        df = df.withColumn("text", html_to_text(F.col("html")))
+    docid = "url" if "url" in df.columns else "docid"
+    out = df.select(F.col(docid).alias("docid"), blank_parens(F.col("text")).alias("text"))
+    if cfg.repartition_by_url:
+        out = out.repartition(cfg.repartition_by_url, F.xxhash64("docid"))
+    return out
+
+
+def extract_triples(pages: DataFrame, cfg: DeepExConfig, rerank: bool | None = None) -> DataFrame:
+    """Full pipeline: normalized pages/documents -> ranked triples."""
+    normalized = normalize_pages(pages, cfg)
+    sentences = sentencize(normalized)
+    candidates = extract_candidates(sentences, cfg)
+    triples = distill_triples(candidates, cfg)
+    do_rerank = cfg.rerank_sorted if rerank is None else rerank
+    if do_rerank:
+        triples = rerank_triples(triples, cfg)
+    else:
+        triples = triples.withColumn("rank", F.col("doc_rank"))
+    return triples

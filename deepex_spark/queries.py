@@ -1,0 +1,596 @@
+"""Query registry: every implemented operator exposed as a (Spark builder,
+DuckDB oracle SQL) pair for the driver's correctness gate.
+
+Keys map to SURVEY.md §2 operator ids. Each Spark builder takes
+``(spark, sf_dir)`` and returns a DataFrame; the oracle is equivalent ANSI
+SQL DuckDB runs over the same parquet tables (pre-registered views). Every
+computed column is aliased identically on both sides; doubles are rounded
+so engine-order-dependent float summation can't flip the value hash.
+
+Pipeline stages whose semantics are not SQL-expressible (the beam-search
+kernel, surrogate attention/encoder) are registered without an oracle —
+the driver records a rows-only check and pytest pins them against goldens
+and a single-node local oracle instead (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deepex_spark.config import DeepExConfig
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # DuckDB SQL or None (rows-only check)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str] = None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name=name, spark_fn=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# O1/O2 — scan, projection, normalization chain
+# ---------------------------------------------------------------------------
+
+@register(
+    "o1_scan_project",
+    oracle="""
+    SELECT lpad(CAST(doc_id AS VARCHAR), 40, '0') AS docid,
+           n_chars, lang
+    FROM documents
+    """,
+)
+def o1_scan_project(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        F.lpad(F.col("doc_id").cast("string"), 40, "0").alias("docid"),
+        "n_chars",
+        "lang",
+    )
+
+
+@register(
+    "o2_normalize_charswap",
+    oracle="""
+    SELECT doc_id,
+           replace(replace(text, '(', ' '), ')', ' ') AS norm_text,
+           length(text) AS n_len
+    FROM documents
+    """,
+)
+def o2_normalize_charswap(spark, sf_dir):
+    # ingest char swap (manager.py:26) — JVM-side, no UDF
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.translate("text", "()", "  ").alias("norm_text"),
+        F.length("text").alias("n_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O3 — sentence segmentation (built-in regexp/split/posexplode chain)
+# ---------------------------------------------------------------------------
+
+_O3_ORACLE = """
+    WITH docs AS (
+      SELECT lpad(CAST(doc_id AS VARCHAR), 40, '0') AS docid, text
+      FROM documents
+    ),
+    exploded AS (
+      SELECT docid, text,
+             unnest(string_split(regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1))) AS raw_sent
+      FROM docs
+    )
+    SELECT docid,
+           strpos(text, trim(raw_sent)) - 1 AS sent_offset,
+           trim(raw_sent) AS sent_text
+    FROM exploded
+    WHERE length(trim(raw_sent)) > 0
+"""
+
+
+@register("o3_sentences", oracle=_O3_ORACLE)
+def o3_sentences(spark, sf_dir):
+    from deepex_spark.functions.sentencize import sentencize
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.lpad(F.col("doc_id").cast("string"), 40, "0").alias("docid"), "text"
+    )
+    return sentencize(docs).select("docid", "sent_offset", "sent_text")
+
+
+@register(
+    "o23_sentence_counts",
+    oracle=f"""
+    SELECT docid, count(*) AS n_sent
+    FROM ({_O3_ORACLE})
+    GROUP BY docid
+    """,
+)
+def o23_sentence_counts(spark, sf_dir):
+    return o3_sentences(spark, sf_dir).groupBy("docid").agg(F.count("*").alias("n_sent"))
+
+
+# ---------------------------------------------------------------------------
+# O17/O22/O26 — ranking windows, top-k
+# ---------------------------------------------------------------------------
+
+@register(
+    "o17_window_topn",
+    oracle="""
+    SELECT user_id, event_id, value, rn FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def o17_window_topn(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "o26_topk_per_group",
+    oracle="""
+    SELECT user_id, event_id, ts FROM (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ) WHERE rn <= 2
+    """,
+)
+def o26_topk_per_group(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 2)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O19 — hash aggregate with dedup-ranking expression (partial+final agg)
+# ---------------------------------------------------------------------------
+
+@register(
+    "o19_dedup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS freq,
+           round(sum(l_extendedprice), 2) AS score,
+           round(sum(l_quantity), 2) AS attended_len,
+           round(sum(l_extendedprice) / sum(l_quantity), 4) AS rank_score
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def o19_dedup_agg(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("freq"),
+            F.round(F.sum("l_extendedprice"), 2).alias("score"),
+            F.round(F.sum("l_quantity"), 2).alias("attended_len"),
+            F.round(F.sum("l_extendedprice") / F.sum("l_quantity"), 4).alias("rank_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O21 — forward + reversed emission with non-ASCII scrub
+# ---------------------------------------------------------------------------
+
+@register(
+    "o21_reverse_union",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS src, o_orderkey AS dst,
+             trim(regexp_replace(o_orderpriority, '[^\\x00-\\x7F]+', ' ', 'g')) AS rel
+      FROM orders
+    )
+    SELECT src, dst, rel, 0 AS is_rev FROM base WHERE length(rel) > 0
+    UNION ALL
+    SELECT dst AS src, src AS dst, rel, 1 AS is_rev FROM base WHERE length(rel) > 0
+    """,
+)
+def o21_reverse_union(spark, sf_dir):
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("src"),
+        F.col("o_orderkey").alias("dst"),
+        F.trim(F.regexp_replace("o_orderpriority", r"[^\x00-\x7F]+", " ")).alias("rel"),
+    ).filter(F.length("rel") > 0)
+    fwd = base.withColumn("is_rev", F.lit(0))
+    rev = base.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "rel"
+    ).withColumn("is_rev", F.lit(1))
+    return fwd.unionByName(rev)
+
+
+# ---------------------------------------------------------------------------
+# O9 — resume anti-join (pending = all minus completed)
+# ---------------------------------------------------------------------------
+
+@register(
+    "o9_resume_antijoin",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def o9_resume_antijoin(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# O27 — broadcast alias-dictionary join (entity-linking pattern)
+# ---------------------------------------------------------------------------
+
+@register(
+    "o27_alias_broadcast_join",
+    oracle="""
+    WITH words AS (
+      SELECT lpad(CAST(doc_id AS VARCHAR), 40, '0') AS docid,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    aliases AS (
+      SELECT w AS alias, count(*) AS cnt FROM words
+      GROUP BY w ORDER BY cnt DESC, alias ASC LIMIT 20
+    )
+    SELECT d.docid, a.alias, count(*) AS matches
+    FROM words d JOIN aliases a ON d.w = a.alias
+    GROUP BY d.docid, a.alias
+    """,
+)
+def o27_alias_broadcast_join(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        F.lpad(F.col("doc_id").cast("string"), 40, "0").alias("docid"), "text"
+    )
+    words = docs.select("docid", F.explode(F.split("text", " ")).alias("w"))
+    aliases = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(20)
+        .select(F.col("w").alias("alias"))
+    )
+    return (
+        words.join(F.broadcast(aliases), words["w"] == aliases["alias"])
+        .groupBy("docid", "alias")
+        .agg(F.count("*").alias("matches"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O28 — full-outer merge of two match sets
+# ---------------------------------------------------------------------------
+
+@register(
+    "o28_full_outer_merge",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, count(*) AS n_click FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ),
+    views AS (
+      SELECT user_id, count(*) AS n_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    )
+    SELECT coalesce(c.user_id, v.user_id) AS user_id,
+           coalesce(n_click, 0) AS n_click,
+           coalesce(n_view, 0) AS n_view
+    FROM clicks c FULL OUTER JOIN views v ON c.user_id = v.user_id
+    """,
+)
+def o28_full_outer_merge(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.count("*").alias("n_click")
+    )
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.count("*").alias("n_view")
+    )
+    j = clicks.join(views, "user_id", "full_outer")
+    return j.select(
+        "user_id",
+        F.coalesce("n_click", F.lit(0)).alias("n_click"),
+        F.coalesce("n_view", F.lit(0)).alias("n_view"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O8 — interval/range join (token-mention overlap pattern, on events/time)
+# ---------------------------------------------------------------------------
+
+@register(
+    "o8_interval_join",
+    oracle="""
+    SELECT e1.user_id AS user_id, e1.event_id AS base_id, count(*) AS n_following
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    WHERE e1.event_type = 'signup'
+    GROUP BY e1.user_id, e1.event_id
+    """,
+)
+def o8_interval_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    e1 = ev.filter(F.col("event_type") == "signup").alias("e1")
+    e2 = ev.alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        e1.join(e2, cond)
+        .groupBy(F.col("e1.user_id").alias("user_id"), F.col("e1.event_id").alias("base_id"))
+        .agg(F.count("*").alias("n_following"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O30 — PR-curve analytics: cumulative sums over score-ordered predictions
+# ---------------------------------------------------------------------------
+
+@register(
+    "o30_pr_curve",
+    oracle="""
+    SELECT event_id, value,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             OVER (ORDER BY value DESC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tp,
+           row_number() OVER (ORDER BY value DESC, event_id ASC) AS n_pred
+    FROM events
+    """,
+)
+def o30_pr_curve(spark, sf_dir):
+    w = Window.orderBy(F.desc("value"), F.asc("event_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wr = Window.orderBy(F.desc("value"), F.asc("event_id"))
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).over(w).alias("cum_tp"),
+        F.row_number().over(wr).alias("n_pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           count(*) AS n_dup,
+           min(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.count("*").alias("n_dup"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(replace(replace(text, '(', ' '), ')', ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.translate("text", "()", "  ").cast("binary")).alias("fingerprint"),
+    )
+
+
+@register(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars2
+    FROM documents
+    """,
+)
+def token_count(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.length("text").alias("n_chars2"),
+    )
+
+
+_STOPWORDS = "('the','a','an','and','or','of','to','in','is','was')"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, count(*) AS n_words,
+             CAST(sum(CASE WHEN w IN {_STOPWORDS} THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+      FROM words GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_stop,
+           round(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio
+    FROM stats
+    """,
+)
+def text_quality(spark, sf_dir):
+    words = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    stop_list = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "was"]
+    stats = words.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.when(F.col("w").isin(stop_list), 1).otherwise(0)).alias("n_stop"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "n_stop",
+        F.round(F.col("n_stop").cast("double") / F.col("n_words"), 4).alias("stop_ratio"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, any_value(lang) AS lang,
+             round(CAST(sum(CASE WHEN w IN {_STOPWORDS} THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*), 4) AS en_signal
+      FROM words GROUP BY doc_id
+    )
+    SELECT doc_id, lang,
+           CASE WHEN en_signal >= 0.05 THEN 'en' ELSE 'other' END AS lang_guess
+    FROM stats
+    """,
+)
+def lang_id_heuristic(spark, sf_dir):
+    words = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    stop_list = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "was"]
+    stats = words.groupBy("doc_id").agg(
+        F.first("lang").alias("lang"),
+        F.round(
+            F.sum(F.when(F.col("w").isin(stop_list), 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("en_signal"),
+    )
+    return stats.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("en_signal") >= 0.05, "en").otherwise("other").alias("lang_guess"),
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))) AS cos_sim
+      FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
+      WHERE q.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim_r, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM pairs
+    ) WHERE rnk <= 3
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    dot = "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    qq = "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    nn = "aggregate(zip_with(nv, nv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    pairs = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.expr(f"{dot} / (sqrt({qq}) * sqrt({nn}))"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim_r"), "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline queries (beam-search kernel — not SQL-expressible; rows-only)
+# ---------------------------------------------------------------------------
+
+def _pipeline_cfg() -> DeepExConfig:
+    return DeepExConfig.small()
+
+
+@register("pipeline_candidates", oracle=None)
+def pipeline_candidates(spark, sf_dir):
+    from deepex_spark.functions.sentencize import sentencize
+    from deepex_spark.operators.extract import extract_candidates
+    from deepex_spark.sources.pages import read_documents
+
+    docs = read_documents(spark, sf_dir)
+    return extract_candidates(sentencize(docs), _pipeline_cfg())
+
+
+@register("pipeline_triples", oracle=None)
+def pipeline_triples(spark, sf_dir):
+    from deepex_spark.pipeline import extract_triples
+    from deepex_spark.sources.pages import read_documents
+
+    docs = read_documents(spark, sf_dir).withColumnRenamed("docid", "url")
+    return extract_triples(docs, _pipeline_cfg()).select(
+        "docid", "subj", "rel", "obj", "subj_span", "obj_span",
+        "score", "offset", "contrastive_dis", "rank",
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.spark_fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}

@@ -1,0 +1,120 @@
+"""Sources: web-page table (input_hint shape) and driver test tables.
+
+The canonical at-scale input is an Iceberg table
+``(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING)``
+(BASELINE.json input_hint). In this sandbox Iceberg jars are absent, so
+``read_pages`` falls back to parquet transparently; at cluster scale pass
+``fmt='iceberg'`` and a table identifier.
+
+``synth_pages`` generates a deterministic Common-Crawl-style corpus (seeded,
+reproducible byte-for-byte) used by tests and the scaling benchmark — real
+English-ish sentences with known NP patterns, parenthesized asides to
+exercise the length-preserving blanking (O2), duplicate sentences to
+exercise the first-occurrence-offset quirk, non-ASCII chars in relation
+positions to exercise the O21 scrub, and an optional skew knob (1% of urls
+carry ~50x average length) for the AQE skew path (FIXTURES.md F1/F10).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+_SUBJECTS = [
+    "Barack Obama", "Marie Curie", "the company", "Alan Turing", "the river",
+    "Ada Lovelace", "the museum", "Albert Einstein", "the university",
+    "Grace Hopper", "the committee", "Isaac Newton", "the parliament",
+    "Nikola Tesla", "the orchestra",
+]
+_RELS = [
+    "was born in", "works at", "moved to", "is the capital of",
+    "wrote a letter to", "served as the director of", "founded",
+    "was elected president of", "lives near", "studied at",
+]
+_OBJECTS = [
+    "Hawaii", "Warsaw", "the laboratory", "London", "the valley",
+    "the academy", "Princeton", "the institute", "Paris", "the harbor",
+    "Vienna", "the riverbank",
+]
+_ASIDES = ["(a small town)", "((disputed))", "(b. 1867)", "(see notes)"]
+_NOISE = ["Metadaten über café naïveté.", "The committee agreed.", "It rained."]
+
+
+def synth_doc(rng: random.Random, n_sent: int, skew_mult: int = 1) -> str:
+    sents = []
+    for _ in range(n_sent * skew_mult):
+        s = rng.choice(_SUBJECTS)
+        r = rng.choice(_RELS)
+        o = rng.choice(_OBJECTS)
+        aside = (" " + rng.choice(_ASIDES)) if rng.random() < 0.25 else ""
+        sent = f"{s}{aside} {r} {o}."
+        sents.append(sent)
+        if rng.random() < 0.15:
+            sents.append(rng.choice(_NOISE))
+        if rng.random() < 0.08:
+            sents.append(sent)  # duplicate sentence: first-occurrence quirk
+    return " ".join(sents)
+
+
+def synth_page_rows(n_docs: int = 500, seed: int = 42, skew: bool = False):
+    rng = random.Random(seed)
+    base_ts = _dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(n_docs):
+        mult = 50 if (skew and i % 100 == 0) else 1
+        text = synth_doc(rng, rng.randint(2, 6), mult)
+        url = f"https://example.org/crawl/{seed}/{i}"
+        html = ("<html><body>" + text + "</body></html>").encode("utf-8")
+        rows.append((url, base_ts + _dt.timedelta(seconds=i), html, text, "en"))
+    return rows
+
+
+def synth_pages(
+    spark: SparkSession,
+    n_docs: int = 500,
+    seed: int = 42,
+    skew: bool = False,
+    partitions: int | None = None,
+) -> DataFrame:
+    df = spark.createDataFrame(synth_page_rows(n_docs, seed, skew), PAGES_SCHEMA)
+    if partitions:
+        # explicit repartition by url-hash — the north_rule ingest layout
+        df = df.repartition(partitions, F.xxhash64("url"))
+    return df
+
+
+def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(path)
+    return spark.read.format(fmt).load(path)
+
+
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-provided documents table -> page-like frame with a 40-char
+    zero-padded docid (text_handler.py:59)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.select(
+        F.lpad(F.col("doc_id").cast("string"), 40, "0").alias("docid"),
+        F.col("text"),
+        F.col("lang"),
+    )
