@@ -53,3 +53,41 @@ def extract_triples(pages: DataFrame, cfg: DeepExConfig, rerank: bool | None = N
     else:
         triples = triples.withColumn("rank", F.col("doc_rank"))
     return triples
+
+
+def build_knowledge_graph(
+    pages: DataFrame,
+    cfg: DeepExConfig,
+    alias_df: DataFrame | None = None,
+    catalog=None,
+    link_strategy: str = "broadcast",
+):
+    """North-rule end-to-end: pages -> triples -> entity linking ->
+    canonicalization -> deduplicated edge/vertex tables (checkpointed via
+    the catalog when given). Returns (triples, vertices, edges)."""
+    import time as _time
+
+    from deepex_spark.operators.canonicalize import canonicalize_triples
+    from deepex_spark.operators.graph import build_edges, build_vertices
+    from deepex_spark.operators.linking import link_triples
+
+    spark = pages.sparkSession
+    t0 = _time.time()
+    triples = extract_triples(pages, cfg)
+    if catalog is not None:
+        catalog.checkpoint(triples, "triples", bucket_col="docid", run_id=cfg.run_id)
+        triples = catalog.read(spark, "triples")
+        catalog.log_metric(spark, "triples", triples.count(), _time.time() - t0, cfg.run_id)
+    if alias_df is not None:
+        triples = link_triples(
+            triples, alias_df, strategy=link_strategy, salt_buckets=cfg.salt_buckets
+        )
+    canon = canonicalize_triples(triples)
+    vertices = build_vertices(canon, cfg.run_id)
+    edges = build_edges(canon, cfg.run_id)
+    if catalog is not None:
+        catalog.write(vertices, "vertices")
+        catalog.write(edges, "edges")
+        vertices = catalog.read(spark, "vertices")
+        edges = catalog.read(spark, "edges")
+    return triples, vertices, edges

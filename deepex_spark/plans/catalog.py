@@ -1,0 +1,119 @@
+"""Lakehouse catalog shim + checkpoint/resume (O9 at scale).
+
+The at-scale deployment writes every stage checkpoint to Iceberg
+(``writeTo(...).append()``); this sandbox has no Iceberg jars, so the shim
+falls back to a parquet layout with a JSON manifest per table that records
+completed partition buckets — the same contract the reference implements
+with per-batch ``search_res.json`` existence checks + FileLock
+(``src/deepex/data/re_data.py:166-201``, ``scripts/generator.py:164-166``).
+
+Resume = ``left_anti`` join of the input's bucket ids against the
+manifest's completed buckets: only pending buckets are recomputed, with
+per-partition lineage (run_id, bucket, written_at) carried in both the
+manifest and the rows.
+
+A ``_metrics`` table accumulates per-stage row counts and wall times
+(SURVEY.md §7.0 lineage/metrics requirement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Catalog:
+    def __init__(self, base_dir: str, fmt: str = "parquet", spark: SparkSession | None = None):
+        self.base_dir = base_dir
+        self.fmt = fmt
+        os.makedirs(base_dir, exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+    def path(self, table: str) -> str:
+        return os.path.join(self.base_dir, table)
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self.base_dir, f"_{table}_manifest.json")
+
+    # -- IO ---------------------------------------------------------------
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite", partition_by=None):
+        if self.fmt == "iceberg":  # pragma: no cover - jars absent in sandbox
+            w = df.writeTo(table)
+            (w.createOrReplace() if mode == "overwrite" else w.append())
+            return
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        if self.fmt == "iceberg":  # pragma: no cover
+            return spark.read.format("iceberg").load(table)
+        return spark.read.parquet(self.path(table))
+
+    def exists(self, table: str) -> bool:
+        return os.path.exists(self.path(table)) or os.path.exists(self._manifest_path(table))
+
+    # -- checkpoint / resume ----------------------------------------------
+    def completed_buckets(self, table: str) -> list[int]:
+        mp = self._manifest_path(table)
+        if not os.path.exists(mp):
+            return []
+        with open(mp) as f:
+            manifest = json.load(f)
+        return sorted(int(b) for b in manifest.get("buckets", {}))
+
+    def checkpoint(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_col: str = "docid",
+        n_buckets: int = 32,
+        run_id: str = "run0",
+    ) -> None:
+        """Write df partitioned by pmod(xxhash64(bucket_col), n_buckets),
+        skipping buckets already in the manifest (resume)."""
+        done = set(self.completed_buckets(table))
+        bucketed = df.withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int")
+        ).withColumn("run_id", F.lit(run_id))
+        if done:
+            bucketed = bucketed.filter(~F.col("bucket").isin(sorted(done)))
+        bucketed.write.mode("append").partitionBy("bucket").parquet(self.path(table))
+        now = time.time()
+        mp = self._manifest_path(table)
+        manifest = {"table": table, "n_buckets": n_buckets, "buckets": {}}
+        if os.path.exists(mp):
+            with open(mp) as f:
+                manifest = json.load(f)
+        for b in range(n_buckets):
+            if b not in done:
+                manifest["buckets"][str(b)] = {"run_id": run_id, "written_at": now}
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mp)
+
+    def pending(self, df: DataFrame, table: str, bucket_col: str = "docid", n_buckets: int = 32) -> DataFrame:
+        """Rows of df whose bucket is NOT yet completed (anti-join resume)."""
+        done = self.completed_buckets(table)
+        bucketed = df.withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int")
+        )
+        if not done:
+            return bucketed
+        spark = df.sparkSession
+        done_df = spark.createDataFrame([(b,) for b in done], "bucket int")
+        return bucketed.join(F.broadcast(done_df), "bucket", "left_anti")
+
+    # -- metrics ----------------------------------------------------------
+    def log_metric(self, spark: SparkSession, stage: str, rows: int, wall_s: float, run_id: str = "run0"):
+        df = spark.createDataFrame(
+            [(run_id, stage, rows, float(wall_s), time.time())],
+            "run_id string, stage string, rows long, wall_s double, ts double",
+        )
+        df.coalesce(1).write.mode("append").parquet(self.path("_metrics"))

@@ -390,6 +390,92 @@ def o30_pr_curve(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Graph materialization patterns (vertices/edges over the O21 edge set)
+# ---------------------------------------------------------------------------
+
+_O21_BASE = """
+    WITH base AS (
+      SELECT o_custkey AS src, o_orderkey AS dst,
+             trim(regexp_replace(o_orderpriority, '[^\\x00-\\x7F]+', ' ', 'g')) AS rel
+      FROM orders
+    ),
+    edges AS (
+      SELECT src, dst, rel, 0 AS is_rev FROM base WHERE length(rel) > 0
+      UNION ALL
+      SELECT dst AS src, src AS dst, rel, 1 AS is_rev FROM base WHERE length(rel) > 0
+    )
+"""
+
+
+@register(
+    "kg_vertices",
+    oracle=_O21_BASE
+    + """
+    SELECT src AS entity_id, count(*) AS n_mentions,
+           CAST(count(DISTINCT dst) AS BIGINT) AS degree
+    FROM edges GROUP BY src
+    """,
+)
+def kg_vertices(spark, sf_dir):
+    edges = o21_reverse_union(spark, sf_dir)
+    return edges.groupBy(F.col("src").alias("entity_id")).agg(
+        F.count("*").alias("n_mentions"),
+        F.countDistinct("dst").alias("degree"),
+    )
+
+
+@register(
+    "kg_edges",
+    oracle=_O21_BASE
+    + """
+    SELECT src, dst, rel, count(*) AS n_evidence
+    FROM edges GROUP BY src, dst, rel
+    """,
+)
+def kg_edges(spark, sf_dir):
+    edges = o21_reverse_union(spark, sf_dir)
+    return edges.groupBy("src", "dst", "rel").agg(F.count("*").alias("n_evidence"))
+
+
+@register(
+    "canonicalize_entities",
+    oracle="""
+    SELECT trim(regexp_replace(regexp_replace(lower(c_mktsegment || ' ' || c_name),
+                                              '\\s+', ' ', 'g'),
+                               '^(the|a|an|this|that|these|those) ', '')) AS canon,
+           count(*) AS n
+    FROM customer GROUP BY 1
+    """,
+)
+def canonicalize_entities(spark, sf_dir):
+    from deepex_spark.operators.canonicalize import norm_entity_col
+
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy(
+        norm_entity_col(F.concat_ws(" ", "c_mktsegment", "c_name")).alias("canon")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "linking_salted_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_partkey, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def linking_salted_join(spark, sf_dir):
+    # salted skew join must be value-identical to the plain equi-join
+    from deepex_spark.operators.joins import salted_equi_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_partkey").alias("p_partkey")
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    out = salted_equi_join(li, part, "p_partkey", buckets=8)
+    return out.select("l_orderkey", F.col("p_partkey").alias("l_partkey"), "p_brand")
+
+
+# ---------------------------------------------------------------------------
 # Training-data ops: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
 
