@@ -602,6 +602,144 @@ def lang_id_heuristic(spark, sf_dir):
     )
 
 
+# -- MinHash / SimHash / n-gram Jaccard dedup (oracle SQL is generated with
+#    the same seeded hash constants the Spark operators use) ----------------
+
+def _duck_code(col_sql: str) -> str:
+    return f"CAST(('0x' || substr(md5({col_sql}), 1, 15)) AS BIGINT)"
+
+
+_DUCK_SHINGLES = """
+    WITH toks AS (
+      SELECT doc_id AS id, text, string_split(text, ' ') AS t FROM documents
+    ),
+    sh_arr AS (
+      SELECT id,
+             CASE WHEN len(t) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             END AS arr
+      FROM toks
+    ),
+    shingles AS (
+      SELECT DISTINCT id, unnest(arr) AS shingle FROM sh_arr
+    )
+"""
+
+
+def _minhash_oracle(k: int, seed: int) -> str:
+    from deepex_spark.operators.dedup import PRIME, hash_params
+
+    aggs = ", ".join(
+        f"min(((code % {PRIME}) * {a} + {b}) % {PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(hash_params(k, seed))
+    )
+    return (
+        _DUCK_SHINGLES
+        + f""",
+    coded AS (
+      SELECT id, {_duck_code('shingle')} AS code FROM shingles
+    )
+    SELECT id, {aggs} FROM coded GROUP BY id
+    """
+    )
+
+
+@register("dedup_minhash_sig", oracle=_minhash_oracle(8, 1266))
+def dedup_minhash_sig(spark, sf_dir):
+    from deepex_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(load(spark, sf_dir, "documents"), "text", "doc_id", n=3, k=8)
+
+
+def _minhash_pairs_oracle(k: int, bands: int, seed: int, min_est: float) -> str:
+    rows = k // bands
+    sig = _minhash_oracle(k, seed)
+    band_structs = []
+    for b in range(bands):
+        key = " || ':' || ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        band_structs.append(f"SELECT id, {b} AS band_id, {key} AS band_key FROM sig")
+    bands_sql = " UNION ALL ".join(band_structs)
+    agree = " + ".join(f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(k))
+    return f"""
+    WITH sig AS ({sig}),
+    bk AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bk a JOIN bk b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.id < b.id
+    )
+    SELECT id_a, id_b, round(({agree}) / {float(k)}, 6) AS est_sim
+    FROM cand JOIN sig sa ON sa.id = cand.id_a JOIN sig sb ON sb.id = cand.id_b
+    WHERE round(({agree}) / {float(k)}, 6) >= {min_est}
+    """
+
+
+@register("dedup_minhash_pairs", oracle=_minhash_pairs_oracle(8, 4, 1266, 0.5))
+def dedup_minhash_pairs(spark, sf_dir):
+    from deepex_spark.operators.dedup import minhash_dup_pairs
+
+    return minhash_dup_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id", n=3, k=8, bands=4, min_est_sim=0.5
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_DUCK_SHINGLES
+    + """,
+    sizes AS (SELECT id, count(*) AS n_sh FROM shingles GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = inter.id_a JOIN sizes sb ON sb.id = inter.id_b
+    WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from deepex_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.05)
+
+
+def _simhash_oracle(bits: int) -> str:
+    sums = ", ".join(
+        f"CAST(sum(CASE WHEN (code >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s{b}"
+        for b in range(bits)
+    )
+    val = " + ".join(f"(CASE WHEN s{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)" for b in range(bits))
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    coded AS (
+      SELECT id, {_duck_code('w')} AS code FROM toks WHERE length(w) > 0
+    ),
+    agg AS (SELECT id, {sums} FROM coded GROUP BY id)
+    SELECT id, {val} AS simhash FROM agg
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle(32))
+def dedup_simhash(spark, sf_dir):
+    from deepex_spark.operators.dedup import simhash
+
+    return simhash(load(spark, sf_dir, "documents"), "text", "doc_id", bits=32)
+
+
+@register("dedup_embedding_lsh", oracle=None)  # plane literals impractical as SQL
+def dedup_embedding_lsh(spark, sf_dir):
+    from deepex_spark.operators.dedup import embedding_near_dups
+
+    return embedding_near_dups(
+        load(spark, sf_dir, "embeddings"), threshold=0.2, n_planes=6
+    )
+
+
 @register(
     "ann_cosine_topk",
     oracle="""
@@ -642,6 +780,34 @@ def ann_cosine_topk(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim_r"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (codec stubbed — deterministic fake container; the
+# Spark-side schema/batching/explosion is the real, tested part)
+# ---------------------------------------------------------------------------
+
+@register("multimodal_decode", oracle=None)
+def multimodal_decode(spark, sf_dir):
+    from deepex_spark.operators.multimodal import decode_media, synth_media
+
+    return decode_media(synth_media(spark, n=60))
+
+
+@register("multimodal_frames", oracle=None)
+def multimodal_frames(spark, sf_dir):
+    from deepex_spark.operators.multimodal import sample_frames, synth_media
+
+    return sample_frames(synth_media(spark, n=60), every=2)
+
+
+@register("multimodal_feature_ann", oracle=None)
+def multimodal_feature_ann(spark, sf_dir):
+    from deepex_spark.operators.dedup import embedding_near_dups
+    from deepex_spark.operators.multimodal import media_features, synth_media
+
+    feats = media_features(synth_media(spark, n=60)).withColumnRenamed("media_id", "vec_id")
+    return embedding_near_dups(feats, threshold=0.5, n_planes=4)
 
 
 # ---------------------------------------------------------------------------
