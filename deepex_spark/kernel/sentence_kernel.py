@@ -94,16 +94,24 @@ def featurize(docid: str, offset: int, text: str, cfg) -> SentenceFeatures:
     )
 
 
-def entity_segments(feat: SentenceFeatures, cfg):
-    """Entity token positions + per-segment groups (kgm.py:297-350)."""
+def entity_segments(feat: SentenceFeatures, cfg, names=None, add_extra=None):
+    """Entity token positions + per-segment groups (kgm.py:297-350).
+
+    ``names`` overrides the entity-name array (RC mode passes the head_/
+    tail_/relation_ arrays); ``add_extra`` overrides cfg.add_extra_entity
+    (forced False in RC mode, kgm.py:423)."""
     S = len(feat.tokens)
+    if names is None:
+        names = feat.ent_names
+    if add_extra is None:
+        add_extra = cfg.add_extra_entity
     detoks = [detok_single(t) for t in feat.tokens]
     eid = [
         i
         for i in range(S)
-        if feat.ent_names[i] != NIL and feat.special[i] == 0 and detoks[i] not in "!=?"
+        if names[i] != NIL and feat.special[i] == 0 and detoks[i] not in "!=?"
     ]
-    if cfg.add_extra_entity:
+    if add_extra:
         non_special = [i for i in range(S) if feat.special[i] == 0]
         if len(non_special) > 0 and non_special[0] not in eid:
             eid.append(non_special[0])
@@ -120,7 +128,7 @@ def entity_segments(feat: SentenceFeatures, cfg):
     sent_eid_sids: list[list[int]] = []
     for i in range(-1, len(split_indices)):
         seg: list[int] = []
-        if cfg.add_extra_entity and 0 <= i < len(split_indices) - 1:
+        if add_extra and 0 <= i < len(split_indices) - 1:
             seg.extend([split_indices[i] + 1, split_indices[i + 1] - 1])
         for e in list(eid):
             if i == -1:

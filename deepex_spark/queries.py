@@ -818,6 +818,32 @@ def _pipeline_cfg() -> DeepExConfig:
     return DeepExConfig.small()
 
 
+@register("pipeline_rc_triples", oracle=None)
+def pipeline_rc_triples(spark, sf_dir):
+    """RC mode over RC-style records derived deterministically from the
+    documents table (first 12 tokens; subject = token 0, object = last)."""
+    from deepex_spark.operators.rc import RC_INPUT_DDL, prepare_rc_dataset, rc_pipeline
+
+    docs = load(spark, sf_dir, "documents").limit(100)
+    raw = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.slice(F.split("text", " "), 1, 12).alias("tokens"),
+    ).select(
+        "id",
+        "tokens",
+        F.array(F.array(F.lit(0))).alias("subject_spans"),
+        F.array(F.array(F.size("tokens") - 1)).alias("object_spans"),
+        F.lit("R1").alias("true_relation"),
+    )
+    lem = {"join": ["R1"], "merge": ["R2"], "sort": ["R3"], "filter": ["R4"], "scan": ["R5"]}
+    unlem = {"join": ["R1"], "merge": ["R2"], "sort": ["R3"], "filter": ["R4"], "scan": ["R5"]}
+    rc_df = prepare_rc_dataset(raw, lem, unlem)
+    cfg = DeepExConfig.task(dist_const=2, beam_mode="RC", max_kernel_tokens=48)
+    return rc_pipeline(rc_df, cfg).select(
+        "docid", "subj", "rel", "obj", "score", "contrastive_dis", "rank"
+    )
+
+
 @register("pipeline_candidates", oracle=None)
 def pipeline_candidates(spark, sf_dir):
     from deepex_spark.functions.sentencize import sentencize
