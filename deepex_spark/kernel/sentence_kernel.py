@@ -419,8 +419,11 @@ def _window_features(feat: SentenceFeatures, cfg) -> list[SentenceFeatures]:
     return out
 
 
-def process_sentence(docid: str, offset: int, text: str, cfg, att_provider):
-    """Full kernel for one sentence. Returns candidate dict rows."""
+def process_sentence_tuples(docid: str, offset: int, text: str, cfg, att_provider):
+    """Full kernel for one sentence -> candidate tuples in column order
+    (docid, sent_offset, sent_text, triple_key, subj, rel, obj, subj_span,
+    obj_span, freq, score, attended_len, cand_rank). Tuple form keeps the
+    Arrow-batch assembly in the Spark stage columnar-cheap."""
     feat = featurize(docid, offset, text, cfg)
     dedup: dict[str, list] = {}
     for win in _window_features(feat, cfg):
@@ -430,25 +433,27 @@ def process_sentence(docid: str, offset: int, text: str, cfg, att_provider):
             accumulate_candidates(dedup, seqs, win, cfg)
     if not dedup:
         return []
-    ranked = rank_candidates(dedup, cfg)
     rows = []
-    for rank, (key, freq, score, h_span, t_span, attended) in enumerate(ranked):
+    for rank, (key, freq, score, h_span, t_span, attended) in enumerate(
+        rank_candidates(dedup, cfg)
+    ):
         h, r, t = (part.strip() for part in key.split("[SEP]"))
         rows.append(
-            {
-                "docid": docid,
-                "sent_offset": offset,
-                "sent_text": text,
-                "triple_key": key,
-                "subj": h,
-                "rel": r,
-                "obj": t,
-                "subj_span": list(h_span),
-                "obj_span": list(t_span),
-                "freq": freq,
-                "score": float(score),
-                "attended_len": attended,
-                "cand_rank": rank,
-            }
+            (docid, offset, text, key, h, r, t, list(h_span), list(t_span),
+             freq, float(score), attended, rank)
         )
     return rows
+
+
+_TUPLE_FIELDS = (
+    "docid", "sent_offset", "sent_text", "triple_key", "subj", "rel", "obj",
+    "subj_span", "obj_span", "freq", "score", "attended_len", "cand_rank",
+)
+
+
+def process_sentence(docid: str, offset: int, text: str, cfg, att_provider):
+    """Dict-row variant (local oracle / tests)."""
+    return [
+        dict(zip(_TUPLE_FIELDS, row))
+        for row in process_sentence_tuples(docid, offset, text, cfg, att_provider)
+    ]

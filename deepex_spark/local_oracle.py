@@ -16,7 +16,7 @@ from deepex_spark.functions.text import blank_parens_py
 from deepex_spark.kernel.sentence_kernel import process_sentence
 from deepex_spark.nlp.attention import get_attention_provider
 from deepex_spark.operators.distill import SENT_PREFIX
-from deepex_spark.operators.rerank import contrastive_distance_py
+from deepex_spark.operators.rerank import candidate_distances
 
 _BOUNDARY = re.compile(r"([.!?])\s+")
 _NON_ASCII = re.compile(r"[^\x00-\x7F]+")
@@ -36,11 +36,17 @@ def local_sentencize(text: str) -> list[tuple[int, int, str]]:
 def local_candidates(pages: list[tuple[str, str]], cfg: DeepExConfig) -> list[dict]:
     provider = get_attention_provider(cfg)
     rows = []
+    sent_cache: dict = {}
     for docid, text in pages:
         norm = blank_parens_py(text)
         for pos, off, sent in local_sentencize(norm):
             for r in process_sentence(docid, off, sent, cfg, provider):
                 r["sent_pos"] = pos
+                if cfg.rerank_sorted:
+                    r["dis_fwd"], r["dis_rev"] = candidate_distances(
+                        r["sent_text"], r["subj"], r["rel"], r["obj"],
+                        cfg.encoder_dim, sent_cache,
+                    )
                 rows.append(r)
     return rows
 
@@ -78,11 +84,13 @@ def local_distill(cands: list[dict], cfg: DeepExConfig) -> list[dict]:
         }
         tri.append(
             {**base, "subj": c["subj"], "subj_span": c["subj_span"],
-             "obj": c["obj"], "obj_span": c["obj_span"], "is_rev": 0}
+             "obj": c["obj"], "obj_span": c["obj_span"], "is_rev": 0,
+             **({"contrastive_dis": c["dis_fwd"]} if "dis_fwd" in c else {})}
         )
         tri.append(
             {**base, "subj": c["obj"], "subj_span": c["obj_span"],
-             "obj": c["subj"], "obj_span": c["subj_span"], "is_rev": 1}
+             "obj": c["subj"], "obj_span": c["subj_span"], "is_rev": 1,
+             **({"contrastive_dis": c["dis_rev"]} if "dis_rev" in c else {})}
         )
     # per-doc sort identical to the distill window
     tri.sort(key=lambda r: (r["docid"], -r["score"], r["sent_pos"], r["cand_rank"], r["is_rev"]))
@@ -99,11 +107,6 @@ def local_distill(cands: list[dict], cfg: DeepExConfig) -> list[dict]:
 
 
 def local_rerank(triples: list[dict], cfg: DeepExConfig) -> list[dict]:
-    cache: dict = {}
-    for r in triples:
-        r["contrastive_dis"] = contrastive_distance_py(
-            r["sentence"], r["subj"], r["rel"], r["obj"], cfg.encoder_dim, cache
-        )
     triples.sort(
         key=lambda r: (r["docid"], r["contrastive_dis"], r["sent_pos"], r["cand_rank"], r["is_rev"])
     )
@@ -120,6 +123,9 @@ def local_rerank(triples: list[dict], cfg: DeepExConfig) -> list[dict]:
 
 
 def local_pipeline(pages: list[tuple[str, str]], cfg: DeepExConfig, rerank: bool = True):
+    from dataclasses import replace
+
+    cfg = replace(cfg, rerank_sorted=rerank)
     tri = local_distill(local_candidates(pages, cfg), cfg)
     if rerank:
         return local_rerank(tri, cfg)

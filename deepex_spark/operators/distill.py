@@ -46,8 +46,10 @@ def rank_score_col(dedup_ranking_type: str) -> Column:
     raise ValueError("support (freq, score, score_freq, score_freq_len, score_len)")
 
 
-def distill_triples(candidates: DataFrame, cfg: DeepExConfig) -> DataFrame:
-    """candidates -> triples with both directions and a per-doc rank."""
+def distill_project(candidates: DataFrame, cfg: DeepExConfig) -> DataFrame:
+    """Narrow part of distillation: rank-score attach, scrub, fwd+rev
+    emission — NO window. Kept separate so the rerank UDF can run before
+    any exchange (one docid shuffle then serves both window sorts)."""
     base = (
         candidates.withColumn("rank_score", rank_score_col(cfg.dedup_ranking_type))
         .withColumn("rel_scrub", F.trim(F.regexp_replace("rel", r"[^\x00-\x7F]+", " ")))
@@ -58,6 +60,11 @@ def distill_triples(candidates: DataFrame, cfg: DeepExConfig) -> DataFrame:
     # would duplicate the (expensive) kernel subtree in the physical plan,
     # running extraction twice; explode(array(fwd, rev)) keeps it a single
     # narrow map stage.
+    # contrastive distances ride along from the kernel stage when computed
+    # there (one fused Python stage; see extract.py CANDIDATE_SCHEMA)
+    has_dis = "dis_fwd" in candidates.columns
+    dis_fwd = F.col("dis_fwd") if has_dis else F.lit(None).cast("double")
+    dis_rev = F.col("dis_rev") if has_dis else F.lit(None).cast("double")
     directions = F.explode(
         F.array(
             F.struct(
@@ -66,6 +73,7 @@ def distill_triples(candidates: DataFrame, cfg: DeepExConfig) -> DataFrame:
                 F.col("obj").alias("obj"),
                 F.col("obj_span").alias("obj_span"),
                 F.lit(0).alias("is_rev"),
+                dis_fwd.alias("contrastive_dis"),
             ),
             F.struct(
                 F.col("obj").alias("subj"),
@@ -73,10 +81,11 @@ def distill_triples(candidates: DataFrame, cfg: DeepExConfig) -> DataFrame:
                 F.col("subj").alias("obj"),
                 F.col("subj_span").alias("obj_span"),
                 F.lit(1).alias("is_rev"),
+                dis_rev.alias("contrastive_dis"),
             ),
         )
     )
-    tri = base.select(
+    out = base.select(
         F.col("docid"),
         F.col("rel_scrub").alias("rel"),
         F.col("sentence"),
@@ -86,11 +95,22 @@ def distill_triples(candidates: DataFrame, cfg: DeepExConfig) -> DataFrame:
         F.col("cand_rank"),
         directions.alias("d"),
     ).select("docid", "d.subj", "d.subj_span", "rel", "d.obj", "d.obj_span",
-             "sentence", "score", "offset", "sent_pos", "cand_rank", "d.is_rev")
+             "sentence", "score", "offset", "sent_pos", "cand_rank", "d.is_rev",
+             "d.contrastive_dis")
+    return out if has_dis else out.drop("contrastive_dis")
+
+
+def with_doc_rank(tri: DataFrame) -> DataFrame:
+    """Per-doc sort (distillation.py:188-189) with the explicit tie order."""
     w = Window.partitionBy("docid").orderBy(
         F.desc("score"), F.asc("sent_pos"), F.asc("cand_rank"), F.asc("is_rev")
     )
     return tri.withColumn("doc_rank", F.row_number().over(w))
+
+
+def distill_triples(candidates: DataFrame, cfg: DeepExConfig) -> DataFrame:
+    """candidates -> triples with both directions and a per-doc rank."""
+    return with_doc_rank(distill_project(candidates, cfg))
 
 
 def count_triples(triples: DataFrame) -> int:

@@ -47,6 +47,13 @@ CANDIDATE_SCHEMA = StructType(
         StructField("score", DoubleType()),
         StructField("attended_len", LongType()),
         StructField("cand_rank", IntegerType()),
+        # contrastive distances for the forward and reversed emission,
+        # computed HERE (same Python stage as the kernel) so the pipeline
+        # has exactly ONE Python stage — chaining a second mapInPandas
+        # doubles the python-worker count per core and thrashes at full
+        # saturation. Null when rerank is off.
+        StructField("dis_fwd", DoubleType()),
+        StructField("dis_rev", DoubleType()),
     ]
 )
 
@@ -65,20 +72,31 @@ def extract_candidates(sentences: DataFrame, cfg: DeepExConfig) -> DataFrame:
     )
     sentences = sentences.repartition(n_parts)
 
+    compute_dis = cfg.rerank_sorted
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # imports inside the task so executors resolve them locally
-        from deepex_spark.kernel.sentence_kernel import process_sentence
+        from deepex_spark.kernel.sentence_kernel import process_sentence_tuples
         from deepex_spark.nlp.attention import get_attention_provider
+        from deepex_spark.operators.rerank import candidate_distances
 
         provider = get_attention_provider(cfg)
+        sent_cache: dict = {}
         for pdf in batches:
-            rows: list[dict] = []
+            rows: list[tuple] = []
             for docid, pos, off, text in zip(
                 pdf["docid"], pdf["sent_pos"], pdf["sent_offset"], pdf["sent_text"]
             ):
-                for r in process_sentence(docid, int(off), text, cfg, provider):
-                    r["sent_pos"] = int(pos)
-                    rows.append(r)
+                pos = int(pos)
+                for t in process_sentence_tuples(docid, int(off), text, cfg, provider):
+                    # tuple order: docid, sent_offset, sent_text, ... ->
+                    # splice sent_pos in at position 1 (schema order)
+                    if compute_dis:
+                        # t = (docid, off, text, key, subj, rel, obj, ...)
+                        dis = candidate_distances(t[2], t[4], t[5], t[6], cfg.encoder_dim, sent_cache)
+                    else:
+                        dis = (None, None)
+                    rows.append((t[0], pos) + t[1:] + dis)
             yield pd.DataFrame(rows, columns=_COLUMNS)
 
     return sentences.mapInPandas(run, schema=CANDIDATE_SCHEMA)

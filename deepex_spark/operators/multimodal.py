@@ -76,11 +76,6 @@ def _decode_payload(payload: bytes) -> dict:
 def decode_media(df: DataFrame) -> DataFrame:
     """Adds decoded struct via Arrow-batched mapInPandas (no per-row Python
     at the Spark boundary; the loop is over an Arrow batch)."""
-    schema = (
-        df.schema.simpleString()
-        .replace("struct<", "", 1)
-        .rstrip(">")
-    )
     out_ddl = (
         MEDIA_DDL
         + ", decoded struct<width:int, height:int, n_frames:int, n_bytes:long, mean_byte:double>"
@@ -125,7 +120,7 @@ def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
 def media_features(df: DataFrame, dim: int = 64) -> DataFrame:
     """Deterministic feature vector from payload bytes (stand-in for a real
     vision/audio encoder) -> feeds the ANN/similarity operators."""
-    out_ddl = f"media_id long, kind string, embedding array<float>"
+    out_ddl = "media_id long, kind string, embedding array<float>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -38,14 +38,23 @@ from deepex_spark.config import DeepExConfig
 _PREFIX_LEN = 13  # len('$input_txt:$ ') — reference slices [13:]
 
 
-def _hash_embed(tokens: list[str], dim: int) -> np.ndarray:
+import re as _re
+
+_TOKEN_RE = _re.compile(r"\w+|[^\w\s]")
+
+
+def _hash_embed(s: str, dim: int) -> np.ndarray:
+    """Signed feature-hash bag of word/punct tokens, L2-normalized — the
+    surrogate for the dual-encoder's pooled segment embedding. Tokenization
+    here is the fast regex split (not the kernel's wordpiece): the encoder
+    is a pluggable provider and this runs on every emitted triple, so it is
+    kept deliberately cheap."""
     from zlib import crc32
 
     v = np.zeros(dim, dtype=np.float64)
-    for t in tokens:
+    for t in _TOKEN_RE.findall(s):
         h = crc32(t.encode("utf-8"))
-        sign = 1.0 if (h >> 31) & 1 else -1.0
-        v[h % dim] += sign
+        v[h % dim] += 1.0 if (h >> 31) & 1 else -1.0
     n = np.linalg.norm(v)
     return v / n if n > 0 else v
 
@@ -53,18 +62,33 @@ def _hash_embed(tokens: list[str], dim: int) -> np.ndarray:
 def contrastive_distance_py(
     sentence: str, subj: str, rel: str, obj: str, dim: int, _sent_cache: dict | None = None
 ) -> float:
-    from deepex_spark.nlp.tokenizer import encode
-
     if _sent_cache is not None and sentence in _sent_cache:
         text_vec = _sent_cache[sentence]
     else:
         sent = " ".join(sentence[_PREFIX_LEN:].split(" ")[:100])
-        text_vec = _hash_embed(encode(sent).tokens[1:-1], dim)
+        text_vec = _hash_embed(sent, dim)
         if _sent_cache is not None:
             _sent_cache[sentence] = text_vec
-    triple_str = str((subj, rel, obj))
-    trip_vec = _hash_embed(encode(triple_str).tokens[1:-1], dim)
+    trip_vec = _hash_embed(str((subj, rel, obj)), dim)
     return float(np.linalg.norm(text_vec - trip_vec))
+
+
+_NON_ASCII = _re.compile(r"[^\x00-\x7F]+")
+
+
+def candidate_distances(
+    sent_text: str, subj: str, rel: str, obj: str, dim: int, sent_cache: dict
+) -> tuple[float, float]:
+    """Distances for the forward and reversed emission of one candidate —
+    exactly what the reference's reranker would compute for each of the two
+    distilled triples (relation scrubbed first, as distillation emits it,
+    distillation.py:100-113; sentence gets the '$input_txt:$ ' prefix)."""
+    rel_s = _NON_ASCII.sub(" ", rel).strip()
+    sentence = "$input_txt:$ " + sent_text
+    return (
+        contrastive_distance_py(sentence, subj, rel_s, obj, dim, sent_cache),
+        contrastive_distance_py(sentence, obj, rel_s, subj, dim, sent_cache),
+    )
 
 
 def add_contrastive_distance(triples: DataFrame, cfg: DeepExConfig) -> DataFrame:
@@ -89,8 +113,17 @@ def add_contrastive_distance(triples: DataFrame, cfg: DeepExConfig) -> DataFrame
 
 def rerank_triples(triples: DataFrame, cfg: DeepExConfig) -> DataFrame:
     """'.sorted' mode: contrastive distance + per-doc ascending re-sort
-    (bert_contrastive.py:151). Deterministic tie-breaks."""
-    scored = add_contrastive_distance(triples, cfg)
+    (bert_contrastive.py:151). Deterministic tie-breaks.
+
+    If the distance column is already present (the pipeline computes it in
+    the narrow map stage, before any exchange, so one docid shuffle serves
+    both the doc_rank and rank window sorts), only the window is applied.
+    """
+    scored = (
+        triples
+        if "contrastive_dis" in triples.columns
+        else add_contrastive_distance(triples, cfg)
+    )
     w = Window.partitionBy("docid").orderBy(
         F.asc("contrastive_dis"),
         F.asc("sent_pos"),

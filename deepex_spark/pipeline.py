@@ -43,15 +43,23 @@ def normalize_pages(pages: DataFrame, cfg: DeepExConfig) -> DataFrame:
 
 def extract_triples(pages: DataFrame, cfg: DeepExConfig, rerank: bool | None = None) -> DataFrame:
     """Full pipeline: normalized pages/documents -> ranked triples."""
+    from dataclasses import replace as _replace
+
+    from deepex_spark.operators.distill import distill_project, with_doc_rank
+
+    do_rerank = cfg.rerank_sorted if rerank is None else rerank
+    cfg = _replace(cfg, rerank_sorted=do_rerank)
     normalized = normalize_pages(pages, cfg)
     sentences = sentencize(normalized)
+    # ONE Python stage: the kernel also computes the contrastive distances
+    # (when reranking), so the docid exchange after distill_project is the
+    # only shuffle and both window sorts reuse it
     candidates = extract_candidates(sentences, cfg)
-    triples = distill_triples(candidates, cfg)
-    do_rerank = cfg.rerank_sorted if rerank is None else rerank
+    projected = distill_project(candidates, cfg)
     if do_rerank:
-        triples = rerank_triples(triples, cfg)
+        triples = rerank_triples(with_doc_rank(projected), cfg)
     else:
-        triples = triples.withColumn("rank", F.col("doc_rank"))
+        triples = with_doc_rank(projected).withColumn("rank", F.col("doc_rank"))
     return triples
 
 

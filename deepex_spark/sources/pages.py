@@ -60,6 +60,14 @@ _ASIDES = ["(a small town)", "((disputed))", "(b. 1867)", "(see notes)"]
 _NOISE = ["Metadaten über café naïveté.", "The committee agreed.", "It rained."]
 
 
+def synth_doc_for(i: int, seed: int = 42, skew: bool = False) -> str:
+    """Per-doc seeded text — identical whether generated on the driver or
+    inside an executor partition (distributed generation at scale)."""
+    rng = random.Random(seed * 1_000_003 + i)
+    mult = 50 if (skew and i % 100 == 0) else 1
+    return synth_doc(rng, rng.randint(2, 6), mult)
+
+
 def synth_doc(rng: random.Random, n_sent: int, skew_mult: int = 1) -> str:
     sents = []
     for _ in range(n_sent * skew_mult):
@@ -76,17 +84,16 @@ def synth_doc(rng: random.Random, n_sent: int, skew_mult: int = 1) -> str:
     return " ".join(sents)
 
 
-def synth_page_rows(n_docs: int = 500, seed: int = 42, skew: bool = False):
-    rng = random.Random(seed)
+def _page_row(i: int, seed: int, skew: bool):
     base_ts = _dt.datetime(2024, 1, 1)
-    rows = []
-    for i in range(n_docs):
-        mult = 50 if (skew and i % 100 == 0) else 1
-        text = synth_doc(rng, rng.randint(2, 6), mult)
-        url = f"https://example.org/crawl/{seed}/{i}"
-        html = ("<html><body>" + text + "</body></html>").encode("utf-8")
-        rows.append((url, base_ts + _dt.timedelta(seconds=i), html, text, "en"))
-    return rows
+    text = synth_doc_for(i, seed, skew)
+    url = f"https://example.org/crawl/{seed}/{i}"
+    html = ("<html><body>" + text + "</body></html>").encode("utf-8")
+    return (url, base_ts + _dt.timedelta(seconds=i), html, text, "en")
+
+
+def synth_page_rows(n_docs: int = 500, seed: int = 42, skew: bool = False):
+    return [_page_row(i, seed, skew) for i in range(n_docs)]
 
 
 def synth_pages(
@@ -96,7 +103,21 @@ def synth_pages(
     skew: bool = False,
     partitions: int | None = None,
 ) -> DataFrame:
-    df = spark.createDataFrame(synth_page_rows(n_docs, seed, skew), PAGES_SCHEMA)
+    """Distributed deterministic corpus: generation happens inside executor
+    partitions (per-doc seeds), never shipped from the driver — a 40k-row
+    driver-side createDataFrame serializes single-threaded and dominates
+    any scaling measurement."""
+    import pandas as pd
+
+    n_parts = partitions or spark.sparkContext.defaultParallelism * 2
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [_page_row(int(i), seed, skew) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    base = spark.range(n_docs).repartition(n_parts)
+    df = base.mapInPandas(gen, schema=PAGES_SCHEMA)
     if partitions:
         # explicit repartition by url-hash — the north_rule ingest layout
         df = df.repartition(partitions, F.xxhash64("url"))
