@@ -390,6 +390,176 @@ def o30_pr_curve(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Remaining relational-checklist operators (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "o_rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def o_rollup_agg(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+
+
+@register(
+    "o_json_extract",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def o_json_extract(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k_bucket", F.get_json_object("props", "$.k").cast("int") % 10)
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@register(
+    "o_datetime_bucket",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, extract(hour FROM ts) AS hr,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def o_datetime_bucket(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "o_asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id FROM events
+      WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    signups AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup')
+    SELECT s.event_id AS signup_id, c.click_id AS last_click_id
+    FROM signups s ASOF JOIN clicks c
+      ON s.user_id = c.user_id AND s.ts > c.ts
+    """,
+)
+def o_asof_join(spark, sf_dir):
+    # as-of join: latest prior click per signup. Spark has no ASOF
+    # primitive; the standard formulation is a range join + per-left-row
+    # top-1 window (AQE handles the skew).
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
+    )
+    j = signups.join(
+        clicks,
+        (signups.user_id == clicks.user_id) & (signups.s_ts > clicks.ts),
+    )
+    w = Window.partitionBy("signup_id").orderBy(F.desc("ts"))
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("signup_id", F.col("click_id").alias("last_click_id"))
+    )
+
+
+@register(
+    "o_set_ops",
+    oracle="""
+    SELECT user_id, 'click_not_error' AS tag FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    )
+    UNION ALL
+    SELECT user_id, 'click_and_purchase' AS tag FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+)
+def o_set_ops(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    users = lambda t: ev.filter(F.col("event_type") == t).select("user_id").distinct()  # noqa: E731
+    a = users("click").subtract(users("error")).withColumn("tag", F.lit("click_not_error"))
+    b = users("click").intersect(users("purchase")).withColumn("tag", F.lit("click_and_purchase"))
+    return a.unionByName(b)
+
+
+@register(
+    "o_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+           upper(c_mktsegment) AS seg_upper,
+           replace(replace(c_name, '#', ' '), '_', ' ') AS name_swapped,
+           length(c_name) AS name_len,
+           substring(c_name, 1, 8) AS name_prefix,
+           len(string_split(c_name, '#')) AS n_parts
+    FROM customer
+    """,
+)
+def o_string_funcs(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.translate("c_name", "#_", "  ").alias("name_swapped"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.size(F.split("c_name", "#")).alias("n_parts"),
+    )
+
+
+@register(
+    "o_distinct_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def o_distinct_agg(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.concat_ws(",", F.array_sort(F.collect_set("c_nationkey"))).alias("nations"),
+    )
+
+
+@register("o_approx_distinct", oracle=None)  # sketch values are engine-specific
+def o_approx_distinct(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Graph materialization patterns (vertices/edges over the O21 edge set)
 # ---------------------------------------------------------------------------
 
