@@ -158,8 +158,9 @@ def _cross_segment(a: int, last: int, node: int, bound: int) -> bool:
     )
 
 
-def _mean_score(c):
-    return c[1] / len(c[0])
+from operator import itemgetter as _itemgetter
+
+_MEAN_KEY = _itemgetter(3)
 
 
 def uni_beam(node, offset, svals, sidx, topk, direction, bound):
@@ -172,10 +173,17 @@ def uni_beam(node, offset, svals, sidx, topk, direction, bound):
     hops are always allowed); beam pruned to topk by score/len with
     Python-stable ordering. ``svals``/``sidx`` are per-row pre-sorted
     values/indices as plain Python lists (fastest scalar access).
+
+    Beam entries are (path, score, visited, score/len): the ranking mean is
+    maintained incrementally at append so the per-round prune is a plain
+    stable sort on a stored field — same ordering as the reference's
+    ``key=lambda tup: tup[1]/len(tup[0])``.
     """
     bl = bound - offset
     is_left = direction == "left"
-    beam: list[tuple[tuple[int, ...], float, bool]] = [((node,), 0.0, False)]
+    # 5th field: visited-set bitmask over global positions — O(1) revisit
+    # check (paths grow long on unpunctuated text)
+    beam = [((node,), 0.0, False, 0.0, 1 << node)]
     while True:
         all_visited = True
         for c in beam:
@@ -184,15 +192,17 @@ def uni_beam(node, offset, svals, sidx, topk, direction, bound):
                 break
         if all_visited:
             break
-        new: list[tuple[tuple[int, ...], float, bool]] = []
-        for path, score, visited in beam:
+        new = []
+        append = new.append
+        for path, score, visited, mean, mask in beam:
             v = path[-1] - offset
             if v != bl:
                 row_i = sidx[v]
                 row_v = svals[v]
-                plen = len(path)
+                plen1 = len(path) + 1
                 last = v + offset
-                check_cross = plen > 1 and last != node and last != bound
+                multi = plen1 > 2
+                check_cross = multi and last != node and last != bound
                 if check_cross:
                     loc_last = (last < node) + (last < bound)
                 tempk = 0
@@ -201,9 +211,9 @@ def uni_beam(node, offset, svals, sidx, topk, direction, bound):
                         break
                     tgt = row_i[k]
                     tga = tgt + offset
-                    if tga in path:
+                    if (mask >> tga) & 1:
                         continue
-                    if tgt != bl and plen > 1:
+                    if multi and tgt != bl:
                         if is_left:
                             if tgt >= v:
                                 continue
@@ -211,11 +221,12 @@ def uni_beam(node, offset, svals, sidx, topk, direction, bound):
                             continue
                         if check_cross and ((tga < node) + (tga < bound)) != loc_last:
                             continue
-                    new.append((path + (tga,), score + row_v[k], False))
+                    ns = score + row_v[k]
+                    append((path + (tga,), ns, False, ns / plen1, mask | (1 << tga)))
                     tempk += 1
             else:
-                new.append((path, score, True))
-        new.sort(key=_mean_score, reverse=True)
+                append((path, score, True, mean, mask))
+        new.sort(key=_MEAN_KEY, reverse=True)
         beam = new[:topk]
     return beam
 
@@ -246,7 +257,7 @@ def beam_search_ie(att: np.ndarray, feat: SentenceFeatures, cfg):
                     break
                 res.extend(uni_beam(u, offset0, vals, order, cfg.beam_size, "right", seg[j]))
     out: list[tuple[tuple[int, ...], float]] = []
-    for path, score, _visited in res:
+    for path, score, *_rest in res:
         L = len(path)
         if cfg.search_min_len <= L <= cfg.search_max_len:
             s = score / L if cfg.search_ranking_type == "mean" else score

@@ -80,7 +80,7 @@ def test_beam_no_revisit_and_direction():
     order = np.argsort(-m, axis=1, kind="stable").tolist()
     vals = np.take_along_axis(m, np.argsort(-m, axis=1, kind="stable"), 1).tolist()
     beams = uni_beam(0, 0, vals, order, 6, "right", 3)
-    for path, score, visited in beams:
+    for path, score, visited, *_rest in beams:
         assert visited
         assert len(set(path)) == len(path)  # no revisit
         assert path[0] == 0 and path[-1] == 3
