@@ -116,4 +116,4 @@ class Catalog:
             [(run_id, stage, rows, float(wall_s), time.time())],
             "run_id string, stage string, rows long, wall_s double, ts double",
         )
-        df.coalesce(1).write.mode("append").parquet(self.path("_metrics"))
+        df.coalesce(1).write.mode("append").parquet(self.path("metrics"))

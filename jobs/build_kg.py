@@ -1,0 +1,96 @@
+"""spark-submit entry point: end-to-end KG construction over a pages table.
+
+The north_rule deployment shape:
+
+    zip -r deepex_spark.zip deepex_spark
+    spark-submit --py-files deepex_spark.zip jobs/build_kg.py \\
+        --input s3://bucket/crawl --input-format iceberg \\
+        --output /warehouse/kg --run-id run42 --repartition 4096 \\
+        --alias-json aliases.json --resume
+
+On N vs 4N executors the job is identical; only --repartition (and the
+cluster) changes. --resume skips docid buckets already present in the
+triples checkpoint manifest (per-partition lineage lives in the manifest
+and in run_id/bucket columns).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="pages path/table (url, warc_ts, html, text, lang)")
+    p.add_argument("--input-format", default="parquet", choices=["parquet", "iceberg", "json"])
+    p.add_argument("--output", required=True, help="catalog base dir (or Iceberg namespace)")
+    p.add_argument("--output-format", default="parquet", choices=["parquet", "iceberg"])
+    p.add_argument("--run-id", default="run0")
+    p.add_argument("--repartition", type=int, default=None, help="repartition(n, xxhash64(url)) after ingest")
+    p.add_argument("--alias-json", default=None, help="JSON {alias: canonical} for entity linking")
+    p.add_argument("--link-strategy", default="broadcast", choices=["broadcast", "salted"])
+    p.add_argument("--dist-const", type=int, default=2048)
+    p.add_argument("--beam-size", type=int, default=6)
+    p.add_argument("--max-kernel-tokens", type=int, default=None)
+    p.add_argument("--no-rerank", action="store_true")
+    p.add_argument("--resume", action="store_true", help="skip completed checkpoint buckets")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from deepex_spark.config import DeepExConfig
+    from deepex_spark.operators.linking import alias_entity_table
+    from deepex_spark.pipeline import build_knowledge_graph
+    from deepex_spark.plans.catalog import Catalog
+    from deepex_spark.session import build_session
+    from deepex_spark.sources.pages import read_pages
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = build_session(app_name=f"deepex-kg-{args.run_id}")
+    cfg = DeepExConfig.task(
+        dist_const=args.dist_const,
+        beam_size=args.beam_size,
+        max_kernel_tokens=args.max_kernel_tokens,
+        repartition_by_url=args.repartition,
+        rerank_sorted=not args.no_rerank,
+        run_id=args.run_id,
+    )
+    catalog = Catalog(args.output, fmt=args.output_format)
+    pages = read_pages(spark, args.input, fmt=args.input_format)
+    if args.resume and catalog.exists("triples"):
+        pages = catalog.pending(pages.withColumnRenamed("url", "docid"), "triples").withColumnRenamed(
+            "docid", "url"
+        ).drop("bucket")
+
+    alias_df = None
+    if args.alias_json:
+        with open(args.alias_json) as f:
+            alias_df = alias_entity_table(spark, json.load(f))
+
+    t0 = time.time()
+    triples, vertices, edges = build_knowledge_graph(
+        pages, cfg, alias_df=alias_df, catalog=catalog, link_strategy=args.link_strategy
+    )
+    n_t, n_v, n_e = triples.count(), vertices.count(), edges.count()
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "run_id": args.run_id,
+                "triples": n_t,
+                "vertices": n_v,
+                "edges": n_e,
+                "wall_sec": round(wall, 2),
+                "triples_per_sec": round(n_t / wall, 1),
+            }
+        )
+    )
+    if not preexisting:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

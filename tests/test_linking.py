@@ -127,4 +127,4 @@ def test_catalog_checkpoint_resume(spark, tmp_path):
     assert cat.read(spark, "stage1").count() == before
     # metrics table appends
     cat.log_metric(spark, "stage1", before, 1.23, "r1")
-    assert cat.read(spark, "_metrics").count() == 1
+    assert cat.read(spark, "metrics").count() == 1
