@@ -116,3 +116,35 @@ def distill_triples(candidates: DataFrame, cfg: DeepExConfig) -> DataFrame:
 def count_triples(triples: DataFrame) -> int:
     """O23 sanity metric (scripts/post_processing.py:35-37)."""
     return triples.count()
+
+
+def corpus_dedup(candidates: DataFrame, cfg: DeepExConfig, topk_per_sentence: int | None = 100) -> DataFrame:
+    """Corpus-level triple aggregation (``Distillation.deduplicate``,
+    distillation.py:80-98): per-sentence top-k candidates merged across the
+    whole corpus by triple key, accumulating [freq, score], ranked by the
+    dedup ranking type. The canonical Spark hash aggregate."""
+    c = candidates
+    if topk_per_sentence is not None:
+        w = Window.partitionBy("docid", "sent_offset").orderBy(F.asc("cand_rank"))
+        c = c.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= topk_per_sentence
+        ).drop("_rn")
+    agg = c.groupBy(F.trim(F.col("triple_key")).alias("triple_key")).agg(
+        F.sum("freq").alias("freq"),
+        F.sum("score").alias("score"),
+        F.sum("attended_len").alias("attended_len"),
+    )
+    return agg.withColumn("rank_score", rank_score_col(cfg.dedup_ranking_type)).orderBy(
+        F.desc("rank_score"), F.asc("triple_key")
+    )
+
+
+def threshold_filter(triples: DataFrame, score_thres: float = 0.005, len_thres: int = 2048) -> DataFrame:
+    """O24 — ``Thresholding`` (scripts/ranking.py:12-24). NOTE: defined but
+    NEVER INVOKED by the reference's ranking main (ranking.py:26-56, dead
+    code); provided for API completeness and NOT applied by the pipeline —
+    applying it would change the P/R-matched output."""
+    return triples.filter(
+        (F.col("score") >= score_thres)
+        & (F.size(F.split(F.col("rel"), " ")) <= len_thres)
+    )

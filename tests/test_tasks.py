@@ -69,3 +69,31 @@ def test_rc_task_end_to_end(spark):
     )
     assert metrics["n_gold"] == 2
     assert metrics["recall"] >= 0.5
+
+
+def test_corpus_dedup_and_threshold_filter(spark):
+    from deepex_spark.functions.sentencize import sentencize
+    from deepex_spark.operators.distill import (
+        corpus_dedup,
+        distill_triples,
+        threshold_filter,
+    )
+    from deepex_spark.operators.extract import extract_candidates
+    from deepex_spark.pipeline import normalize_pages
+    from deepex_spark.sources.pages import synth_pages
+
+    cfg = DeepExConfig.task(dist_const=2)
+    pages = synth_pages(spark, n_docs=6, seed=13)
+    cands = extract_candidates(sentencize(normalize_pages(pages, cfg)), cfg)
+    agg = corpus_dedup(cands, cfg).collect()
+    assert agg
+    # aggregated freq >= any single sentence's freq; ranked descending
+    scores = [r["rank_score"] for r in agg]
+    assert scores == sorted(scores, reverse=True)
+    total_freq = sum(r["freq"] for r in agg)
+    assert total_freq == cands.groupBy().sum("freq").collect()[0][0]
+
+    tri = distill_triples(cands, cfg)
+    kept = threshold_filter(tri, score_thres=0.005, len_thres=2)
+    assert kept.count() < tri.count()  # relations longer than 2 words dropped
+    assert kept.filter("size(split(rel, ' ')) > 2").count() == 0
