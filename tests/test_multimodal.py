@@ -89,3 +89,29 @@ def test_windowed_event_counts_batch_semantics(spark):
     # watermark is a no-op in batch; windows still computed
     out = {(r["window_start"].minute, r["n"]) for r in windowed_event_counts(df).collect()}
     assert (0, 10) in out and (10, 10) in out and (20, 5) in out
+
+
+def test_stream_extract_foreachbatch(spark, tmp_path):
+    """stream_extract: full batch pipeline per micro-batch via foreachBatch
+    with Trigger.AvailableNow; output parquet holds ranked triples."""
+    from deepex_spark.config import DeepExConfig
+    from deepex_spark.sources.pages import PAGES_SCHEMA, synth_page_rows
+    from deepex_spark.streaming.ingest import read_page_stream, stream_extract
+
+    src = tmp_path / "pages_in"
+    out = tmp_path / "triples_out"
+    chk = tmp_path / "chk2"
+    spark.createDataFrame(synth_page_rows(6, seed=17), PAGES_SCHEMA).write.parquet(str(src))
+
+    cfg = DeepExConfig.task(dist_const=2)
+    q = stream_extract(read_page_stream(spark, str(src)), cfg, str(out), str(chk))
+    q.awaitTermination(180)
+    got = spark.read.parquet(str(out))
+    assert got.count() > 0
+    assert {"docid", "subj", "rel", "obj", "rank", "batch_id"} <= set(got.columns)
+    # batch output matches the batch pipeline on the same input (modulo
+    # batch_id): stream == batch, one code path
+    from deepex_spark.pipeline import extract_triples
+
+    batch = extract_triples(spark.read.parquet(str(src)), cfg)
+    assert batch.count() == got.count()
