@@ -64,12 +64,49 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
 
+def hot_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, max_doc_freq: int = 1000
+) -> DataFrame:
+    """-> (shingle, doc_freq) for shingles ABOVE the document-frequency cap
+    — what ``ngram_jaccard_pairs`` drops. Callers log/inspect this (e.g.
+    ``hot.count()``) to see how much boilerplate was excluded."""
+    return (
+        word_shingles(df, text_col, id_col, n)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") > max_doc_freq)
+    )
+
+
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.2
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-gram sets, via inverted-index
-    join (only pairs sharing >=1 shingle are scored)."""
+    join (only pairs sharing >=1 shingle are scored).
+
+    ``max_doc_freq`` caps a shingle's document frequency BEFORE the pair
+    join: a boilerplate n-gram shared by N docs would otherwise create
+    O(N^2) join rows — the scale-killer on web text. Shingles above the cap
+    are dropped from the shingle sets entirely (both intersection counts
+    and set sizes), so the Jaccard is exact over the filtered sets and the
+    candidate count per shingle is bounded by max_doc_freq^2. Use
+    ``hot_shingles`` with the same cap to log what was dropped; pass
+    ``max_doc_freq=None`` for unfiltered exact Jaccard on small corpora.
+    """
     sh = word_shingles(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        dfreq = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("doc_freq"))
+            .filter(F.col("doc_freq") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(dfreq, "shingle")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -229,6 +266,30 @@ def simhash_dup_pairs(
 # Embedding near-dup (random hyperplane LSH + in-bucket cosine)
 # ---------------------------------------------------------------------------
 
+def hyperplanes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    """Seeded Gaussian hyperplanes — deterministic, so the DuckDB oracle can
+    inline the exact same literals."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _lsh_buckets(e: DataFrame, n_planes: int, dim: int, seed: int, n_tables: int) -> DataFrame:
+    """e(id, v) -> (id, table_id, bucket): sign-pattern bucket per table,
+    planes seeded ``seed + table_id``. Ids only — vectors don't travel."""
+    tables = []
+    for t in range(n_tables):
+        bucket = None
+        for i, p in enumerate(hyperplanes(n_planes, dim, seed + t)):
+            lit = "array(" + ",".join(f"{x}D" for x in p) + ")"
+            dot = f"aggregate(zip_with(v, {lit}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+            bit = F.when(F.expr(dot) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else (bucket + bit)
+        tables.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
+    return e.select("id", F.explode(F.array(*tables)).alias("tb")).select(
+        "id", F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket")
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -237,32 +298,83 @@ def embedding_near_dups(
     dim: int = 64,
     threshold: float = 0.8,
     seed: int = 1266,
+    n_tables: int = 4,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
-    """Bucket by sign pattern against ``n_planes`` seeded hyperplanes, then
-    exact cosine within buckets. Brute-force-correct for vectors in the
-    same bucket; recall is the standard LSH tradeoff (raise n_planes /
-    add rotations for more)."""
-    rng = random.Random(seed)
-    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+    """Banded multi-table hyperplane LSH near-dup pairs.
+
+    ``n_tables`` independent hash tables (per-table seeded planes), each
+    bucketing by the sign pattern against ``n_planes`` hyperplanes; a pair
+    is a candidate if it collides in ANY table (recall grows with tables,
+    per-bucket size shrinks with planes — same banding tradeoff as
+    ``minhash_bands``). Exact cosine scores the candidates. Single-table
+    LSH at corpus scale puts ~1/2^n_planes of all docs in one bucket and
+    the in-bucket join goes quadratic; banding keeps buckets tight while
+    recovering recall across tables.
+
+    ``max_bucket`` drops (table, bucket) cells larger than the cap — a
+    degenerate cell (e.g. all-zero embeddings) otherwise creates
+    O(cell^2) pairs. Dropped cells trade recall for a hard bound on join
+    fan-out; callers can inspect sizes via the companion
+    ``lsh_bucket_sizes``.
+
+    Candidate ids travel WITHOUT their vectors through the bucket join;
+    vectors re-attach to the deduplicated pair list only for the final
+    cosine — at scale this keeps the wide rows out of the shuffle.
+    """
     e = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    bucket = None
-    for i, p in enumerate(planes):
-        lit = "array(" + ",".join(f"{x}D" for x in p) + ")"
-        dot = f"aggregate(zip_with(v, {lit}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-        bit = F.when(F.expr(dot) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else (bucket + bit)
-    e = e.withColumn("bucket", bucket)
-    a, b = e.alias("a"), e.alias("b")
-    dot_ab = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    bk = _lsh_buckets(e, n_planes, dim, seed, n_tables)
+    if max_bucket is not None:
+        keep = (
+            bk.groupBy("table_id", "bucket")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") <= max_bucket)
+            .select("table_id", "bucket")
+        )
+        bk = bk.join(keep, ["table_id", "bucket"])
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    dot_ab = "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
     norm = (
-        "sqrt(aggregate(zip_with(a.v, a.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)) * "
-        "sqrt(aggregate(zip_with(b.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
+        "sqrt(aggregate(zip_with(va, va, (x, y) -> x * y), 0D, (acc, x) -> acc + x)) * "
+        "sqrt(aggregate(zip_with(vb, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
     )
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
         .withColumn("cos_sim", F.round(F.expr(f"{dot_ab} / ({norm})"), 6))
         .filter(F.col("cos_sim") >= threshold)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim")
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def lsh_bucket_sizes(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 1266,
+    n_tables: int = 4,
+) -> DataFrame:
+    """-> (table_id, bucket, c): cell occupancy for capacity planning /
+    logging what a ``max_bucket`` cap would drop."""
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    return (
+        _lsh_buckets(e, n_planes, dim, seed, n_tables)
+        .groupBy("table_id", "bucket")
+        .agg(F.count("*").alias("c"))
     )

@@ -24,6 +24,7 @@ grouping key carries the join.
 
 from __future__ import annotations
 
+import re
 import string
 
 # standard English stopword list (NLTK's, public domain) + punctuation —
@@ -45,6 +46,41 @@ won't wouldn wouldn't""".split()
 ) | set(string.punctuation)
 
 LEXICAL_THRESHOLD = 0.5  # matcher.py:108
+
+# PTB bracket escapes (benchmark.py:162-167). Gold files from the
+# supervised-oie corpus carry these; without unescaping, gold and predicted
+# sentence keys never join and recall collapses.
+PTB_ESCAPES = [
+    ("(", "-LRB-"),
+    (")", "-RRB-"),
+    ("[", "-LSB-"),
+    ("]", "-RSB-"),
+    ("{", "-LCB-"),
+    ("}", "-RCB-"),
+]
+_PUNCT_RE = re.compile("[%s]" % re.escape(string.punctuation))
+
+
+def normalize_key(k: str) -> str:
+    """benchmark.py:141-142 normalizeKey: strip spaces, PTB-unescape,
+    strip punctuation — applied to BOTH gold and predicted sentence keys
+    before matching (benchmark.py:58-59 normalizeDict)."""
+    s = k.replace(" ", "")
+    for u, e in PTB_ESCAPES:
+        s = s.replace(e, u)
+    return _PUNCT_RE.sub("", s)
+
+
+def normalize_sent_col(col):
+    """JVM-side normalize_key: same three steps as the Python version so the
+    distributed matcher groups on identical keys (Java ``\\p{Punct}`` is
+    exactly ``string.punctuation``)."""
+    from pyspark.sql import functions as F
+
+    c = F.replace(col, F.lit(" "), F.lit(""))
+    for u, e in PTB_ESCAPES:
+        c = F.replace(c, F.lit(e), F.lit(u))
+    return F.regexp_replace(c, r"\p{Punct}", "")
 
 
 def bow(rel: str, args: list[str]) -> str:
@@ -83,10 +119,10 @@ def match_counts(
 
     gold_by_sent = defaultdict(list)
     for s, r, a in gold:
-        gold_by_sent[s].append((r, a))
+        gold_by_sent[normalize_key(s)].append((r, a))
     pred_by_sent = defaultdict(list)
     for s, r, a, sc in pred:
-        pred_by_sent[s].append([r, a, sc, False])  # matched flag
+        pred_by_sent[normalize_key(s)].append([r, a, sc, False])  # matched flag
 
     y_true: list[int] = []
     y_scores: list[float] = []
@@ -153,10 +189,17 @@ def precision_recall(gold, pred):
     return precision, recall
 
 
+def _normalize_sent(df):
+    from pyspark.sql import functions as F
+
+    return df.withColumn("sent", normalize_sent_col(F.col("sent")))
+
+
 def match_counts_spark(gold_df, pred_df):
-    """Distributed matcher: co-group by sentence, run the greedy matcher per
-    group. gold_df: (sent, rel, args); pred_df: (sent, rel, args, score).
-    Returns DataFrame (sent, n_gold, n_pred, n_matched)."""
+    """Distributed matcher: co-group by normalized sentence key, run the
+    greedy matcher per group. gold_df: (sent, rel, args); pred_df:
+    (sent, rel, args, score). Returns DataFrame (sent, n_gold, n_pred,
+    n_matched); ``sent`` is the normalized key."""
     import pandas as pd
 
     def fn(key, gold_pdf: pd.DataFrame, pred_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -177,6 +220,128 @@ def match_counts_spark(gold_df, pred_df):
             ]
         )
 
+    gold_df, pred_df = _normalize_sent(gold_df), _normalize_sent(pred_df)
     return gold_df.groupBy("sent").cogroup(pred_df.groupBy("sent")).applyInPandas(
         fn, schema="sent string, n_gold long, n_pred long, n_matched long"
     )
+
+
+def match_rows_spark(gold_df, pred_df):
+    """Distributed matcher that keeps per-prediction (label, score) rows —
+    everything the PR curve needs — plus one summary row per sentence group
+    carrying the reference's quirky counters (correct_total includes the
+    len(goldExtractions)-per-gold inflation for pred-less sentences,
+    benchmark.py:63-66). Prediction rows have label/score set and zero
+    counters; summary rows have null label/score.
+
+    One cogroup shuffle on the normalized sentence key; nothing collects.
+    """
+    import pandas as pd
+
+    def fn(key, gold_pdf: pd.DataFrame, pred_pdf: pd.DataFrame) -> pd.DataFrame:
+        g = [(key[0], r, list(a)) for r, a in zip(gold_pdf["rel"], gold_pdf["args"])]
+        p = [
+            (key[0], r, list(a), float(s))
+            for r, a, s in zip(pred_pdf["rel"], pred_pdf["args"], pred_pdf["score"])
+        ]
+        y_true, y_scores, correct, unmatched = match_counts(g, p)
+        rows = [
+            {"sent": key[0], "label": int(t), "score": float(s),
+             "correct_total": 0, "unmatched": 0, "n_pred": 0}
+            for t, s in zip(y_true, y_scores)
+        ]
+        rows.append(
+            {"sent": key[0], "label": None, "score": None,
+             "correct_total": correct, "unmatched": unmatched, "n_pred": len(p)}
+        )
+        return pd.DataFrame(rows)
+
+    gold_df, pred_df = _normalize_sent(gold_df), _normalize_sent(pred_df)
+    return gold_df.groupBy("sent").cogroup(pred_df.groupBy("sent")).applyInPandas(
+        fn,
+        schema=(
+            "sent string, label int, score double, "
+            "correct_total long, unmatched long, n_pred long"
+        ),
+    )
+
+
+def evaluate_oie_spark(pred_df, gold_df) -> dict:
+    """Distributed O30 evaluation: same numbers as the driver-side
+    match_counts + pr_curve path, but nothing larger than a handful of
+    scalars ever reaches the driver.
+
+    The optimal F1 uses the positives-first intra-tie order: within a run of
+    equal scores, F1 as a function of the prefix length j rises until all m
+    positives are taken (precision and recall both increase while tp tracks
+    j) and falls after (tp flat, precision falls), so the run's maximum is
+    exactly at j = m — one point per DISTINCT score suffices. The curve scan
+    is a window over distinct scores (small), not over predictions, so no
+    single-reducer pass over the full prediction set.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    score_col = "contrastive_dis" if "contrastive_dis" in pred_df.columns else "score"
+    sign = -1.0 if score_col == "contrastive_dis" else 1.0
+    p = pred_df.select(
+        F.col("sentence").alias("sent"),
+        "rel",
+        F.array("subj", "obj").alias("args"),
+        (F.lit(sign) * F.col(score_col).cast("double")).alias("score"),
+    )
+    g = gold_df.select("sent", "rel", "args")
+    rows = match_rows_spark(g, p).cache()
+    try:
+        agg = rows.agg(
+            F.sum("correct_total").alias("total"),
+            F.sum("unmatched").alias("unmatched"),
+            F.sum("n_pred").alias("n_pred"),
+            F.coalesce(F.sum("label"), F.lit(0)).alias("matched"),
+            F.count("label").alias("n_scored"),
+        ).collect()[0]
+        total = int(agg["total"] or 0)
+        unmatched = int(agg["unmatched"] or 0)
+        matched = int(agg["matched"])
+        n_scored = int(agg["n_scored"])
+        precision = matched / n_scored if n_scored else 0.0
+        mult = (total - unmatched) / total if total else 0.0
+        recall = mult
+
+        best_f1 = 0.0
+        if matched > 0:
+            by_score = (
+                rows.filter(F.col("label").isNotNull())
+                .groupBy("score")
+                .agg(F.count("*").alias("c"), F.sum("label").alias("m"))
+            )
+            w = Window.orderBy(F.desc("score")).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            pts = (
+                by_score.select(
+                    "score", "c", "m",
+                    F.coalesce(F.sum("c").over(w), F.lit(0)).alias("n0"),
+                    F.coalesce(F.sum("m").over(w), F.lit(0)).alias("tp0"),
+                )
+                .filter(F.col("m") > 0)
+                .select(
+                    ((F.col("tp0") + F.col("m")) / (F.col("n0") + F.col("m"))).alias("prec"),
+                    (((F.col("tp0") + F.col("m")) / F.lit(float(matched))) * mult).alias("rec"),
+                )
+                .select(
+                    (2 * F.col("prec") * F.col("rec") / (F.col("prec") + F.col("rec"))).alias("f1")
+                )
+            )
+            row = pts.agg(F.max("f1")).collect()[0]
+            best_f1 = float(row[0] or 0.0)
+        return {
+            "precision": precision,
+            "recall": recall,
+            "optimal_f1": best_f1,
+            "auc_points": n_scored if matched > 0 else 0,
+            "n_gold": total,
+            "n_pred": int(agg["n_pred"] or 0),
+        }
+    finally:
+        rows.unpersist()

@@ -856,12 +856,20 @@ def dedup_minhash_pairs(spark, sf_dir):
 
 @register(
     "dedup_ngram_jaccard",
+    # hot-shingle document-frequency cutoff (<= 50) encoded in BOTH sides:
+    # boilerplate shingles shared by many docs are dropped before the pair
+    # join, bounding the inverted-index fan-out at web scale
     oracle=_DUCK_SHINGLES
     + """,
-    sizes AS (SELECT id, count(*) AS n_sh FROM shingles GROUP BY id),
+    kept AS (
+      SELECT s.id, s.shingle FROM shingles s
+      JOIN (SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 50) k
+        ON s.shingle = k.shingle
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM kept GROUP BY id),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
-      FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id
       GROUP BY a.id, b.id
     )
     SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
@@ -873,7 +881,10 @@ def dedup_minhash_pairs(spark, sf_dir):
 def dedup_ngram_jaccard(spark, sf_dir):
     from deepex_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.05)
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, threshold=0.05, max_doc_freq=50,
+    )
 
 
 def _simhash_oracle(bits: int) -> str:
@@ -901,12 +912,65 @@ def dedup_simhash(spark, sf_dir):
     return simhash(load(spark, sf_dir, "documents"), "text", "doc_id", bits=32)
 
 
-@register("dedup_embedding_lsh", oracle=None)  # plane literals impractical as SQL
+def _embedding_lsh_oracle(
+    n_planes: int, dim: int, threshold: float, seed: int, n_tables: int, max_bucket: int
+) -> str:
+    """DuckDB mirror of the banded hyperplane LSH: the same seeded plane
+    literals inlined, per-table sign-pattern buckets, bucket-size cap,
+    distinct cross-table candidate pairs, exact cosine."""
+    from deepex_spark.operators.dedup import hyperplanes
+
+    table_selects = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(x) for x in p)
+            + f"]) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(hyperplanes(n_planes, dim, seed + t))
+        )
+        table_selects.append(f"SELECT id, {t} AS table_id, {bits} AS bucket FROM e")
+    buckets = "\n      UNION ALL\n      ".join(table_selects)
+    return f"""
+    WITH e AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    bk AS (
+      {buckets}
+    ),
+    kept AS (
+      SELECT bk.id, bk.table_id, bk.bucket FROM bk
+      JOIN (SELECT table_id, bucket FROM bk GROUP BY table_id, bucket
+            HAVING count(*) <= {max_bucket}) cap
+        ON bk.table_id = cap.table_id AND bk.bucket = cap.bucket
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM kept a JOIN kept b
+        ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           round(list_dot_product(ea.v, eb.v)
+                 / (sqrt(list_dot_product(ea.v, ea.v))
+                    * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim
+    FROM cand JOIN e ea ON ea.id = cand.id_a JOIN e eb ON eb.id = cand.id_b
+    WHERE round(list_dot_product(ea.v, eb.v)
+                / (sqrt(list_dot_product(ea.v, ea.v))
+                   * sqrt(list_dot_product(eb.v, eb.v))), 6) >= {threshold}
+    """
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=_embedding_lsh_oracle(
+        n_planes=6, dim=64, threshold=0.2, seed=1266, n_tables=2, max_bucket=1000
+    ),
+)
 def dedup_embedding_lsh(spark, sf_dir):
     from deepex_spark.operators.dedup import embedding_near_dups
 
     return embedding_near_dups(
-        load(spark, sf_dir, "embeddings"), threshold=0.2, n_planes=6
+        load(spark, sf_dir, "embeddings"),
+        threshold=0.2, n_planes=6, n_tables=2, max_bucket=1000,
     )
 
 
@@ -1016,22 +1080,41 @@ def pipeline_rc_triples(spark, sf_dir):
 
 @register("pipeline_candidates", oracle=None)
 def pipeline_candidates(spark, sf_dir):
+    """Registered form projects the 2-element span arrays as four INT
+    columns (subj_s/subj_e/obj_s/obj_e): the driver's correctness harness
+    canonicalizes via a pandas sort, which cannot hash ARRAY columns
+    (round-1 CORRECTNESS err). Arrays stay array-typed internally."""
     from deepex_spark.functions.sentencize import sentencize
     from deepex_spark.operators.extract import extract_candidates
     from deepex_spark.sources.pages import read_documents
 
     docs = read_documents(spark, sf_dir)
-    return extract_candidates(sentencize(docs), _pipeline_cfg())
+    cand = extract_candidates(sentencize(docs), _pipeline_cfg())
+    return cand.select(
+        "docid", "sent_pos", "sent_offset", "sent_text", "triple_key",
+        "subj", "rel", "obj",
+        F.col("subj_span")[0].alias("subj_s"),
+        F.col("subj_span")[1].alias("subj_e"),
+        F.col("obj_span")[0].alias("obj_s"),
+        F.col("obj_span")[1].alias("obj_e"),
+        "freq", "score", "attended_len", "cand_rank",
+    )
 
 
 @register("pipeline_triples", oracle=None)
 def pipeline_triples(spark, sf_dir):
+    """Flagship query. Spans projected as four INT columns for the driver
+    harness (see pipeline_candidates docstring)."""
     from deepex_spark.pipeline import extract_triples
     from deepex_spark.sources.pages import read_documents
 
     docs = read_documents(spark, sf_dir).withColumnRenamed("docid", "url")
     return extract_triples(docs, _pipeline_cfg()).select(
-        "docid", "subj", "rel", "obj", "subj_span", "obj_span",
+        "docid", "subj", "rel", "obj",
+        F.col("subj_span")[0].alias("subj_s"),
+        F.col("subj_span")[1].alias("subj_e"),
+        F.col("obj_span")[0].alias("obj_s"),
+        F.col("obj_span")[1].alias("obj_e"),
         "score", "offset", "contrastive_dis", "rank",
     )
 

@@ -79,30 +79,15 @@ def to_eval_tsv(triples: DataFrame, docs: DataFrame, sort_mode: str = "sorted") 
 def evaluate_oie_task(pred: DataFrame, gold: DataFrame) -> dict:
     """O30: P/R + optimal F1 against gold extractions. pred: the triples
     frame (sentence, rel, subj, obj, contrastive_dis or score); gold:
-    (sent, rel, args array<string>)."""
-    from deepex_spark.operators.evaluate import match_counts, pr_curve
+    (sent, rel, args array<string>).
 
-    g = [(r["sent"], r["rel"], list(r["args"])) for r in gold.collect()]
-    score_col = "contrastive_dis" if "contrastive_dis" in pred.columns else "score"
-    sign = -1.0 if score_col == "contrastive_dis" else 1.0
-    p = [
-        (r["sentence"], r["rel"], [r["subj"], r["obj"]], sign * float(r[score_col]))
-        for r in pred.collect()
-    ]
-    y_true, y_scores, total, unmatched = match_counts(g, p)
-    matched = sum(y_true)
-    precision = matched / len(y_true) if y_true else 0.0
-    recall = (total - unmatched) / total if total else 0.0
-    mult = (total - unmatched) / total if total else 0.0
-    _curve, best = pr_curve(y_true, y_scores, mult)
-    return {
-        "precision": precision,
-        "recall": recall,
-        "optimal_f1": best[2],
-        "auc_points": len(_curve),
-        "n_gold": total,
-        "n_pred": len(p),
-    }
+    Fully distributed: the greedy matcher runs in a sentence-key cogroup
+    (evaluate.match_rows_spark) and the PR scan over distinct scores; only
+    final scalar counters reach the driver — at 100x data the old
+    gold.collect()+pred.collect() path was THE driver OOM."""
+    from deepex_spark.operators.evaluate import evaluate_oie_spark
+
+    return evaluate_oie_spark(pred, gold)
 
 
 def run_rc_task(

@@ -68,6 +68,79 @@ def test_embedding_lsh_finds_identical(spark):
     assert (1, 3) not in pairs
 
 
+def test_ngram_hot_shingle_cutoff(spark):
+    """A boilerplate shingle present in 50% of docs must not explode the
+    pair join: with the DF cutoff the candidate count stays bounded by the
+    genuinely-similar pairs."""
+    from deepex_spark.operators.dedup import hot_shingles, ngram_jaccard_pairs
+
+    boiler = "all rights reserved worldwide"  # 4 words -> shares 3-grams
+    rows = []
+    for i in range(40):
+        uniq = f"unique page {i} content token{i} extra{i} words{i} here{i}"
+        text = uniq + (" " + boiler if i % 2 == 0 else "")
+        rows.append((i, text))
+    rows.append((100, rows[0][1]))  # one true duplicate of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.0,
+                                 max_doc_freq=5).collect()
+    uncapped = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.0,
+                                   max_doc_freq=None).collect()
+    # without the cap, the 21 boilerplate docs pair all-vs-all (>=210 pairs);
+    # with it, only the true duplicate pair survives
+    assert len(uncapped) >= 210
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(0, 100)}
+    assert [r["jaccard"] for r in capped] == [1.0]
+
+    hot = hot_shingles(docs, "text", "doc_id", n=3, max_doc_freq=5).collect()
+    assert {r["shingle"] for r in hot} == {
+        "all rights reserved", "rights reserved worldwide"
+    }
+    assert all(r["doc_freq"] == 21 for r in hot)
+
+
+def test_embedding_lsh_banding_and_bucket_cap(spark):
+    """Multi-table banding recovers pairs a single table misses, and the
+    bucket cap drops degenerate cells instead of going quadratic."""
+    import math
+    import random
+
+    from deepex_spark.operators.dedup import embedding_near_dups, lsh_bucket_sizes
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [x + rng.gauss(0, 0.01) for x in base]
+    rows = [(1, base), (2, near)]
+    # 20 identical vectors -> one degenerate cell in every table
+    degen = [1.0] * 64
+    rows += [(100 + i, degen) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # cap below the degenerate cell size: the 20-vector cell is dropped,
+    # the near-dup pair (cell size 2) survives
+    pairs = embedding_near_dups(
+        emb, threshold=0.9, n_planes=4, n_tables=4, max_bucket=10
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in ids
+    assert not any(a >= 100 and b >= 100 for a, b in ids)
+
+    # no cap: the degenerate cell pairs all-vs-all (190 pairs at cos 1.0)
+    uncapped = embedding_near_dups(
+        emb, threshold=0.9, n_planes=4, n_tables=4, max_bucket=None
+    ).collect()
+    assert len(uncapped) >= 190 + 1
+
+    sizes = lsh_bucket_sizes(emb, n_planes=4, n_tables=4).collect()
+    assert max(r["c"] for r in sizes) >= 20  # the degenerate cell is visible
+    # recall across tables is a union: every pair found by 1 table is found by 4
+    one_t = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(
+        emb, threshold=0.9, n_planes=4, n_tables=1, max_bucket=None).collect()}
+    four_t = {(r["id_a"], r["id_b"]) for r in uncapped}
+    assert one_t <= four_t
+
+
 def test_signatures_partition_invariant(docs):
     from deepex_spark.operators.dedup import minhash_signatures
 
