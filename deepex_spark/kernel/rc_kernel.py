@@ -206,7 +206,12 @@ def beam_search_rc(att: np.ndarray, feat: RCFeatures, cfg):
         return []
     offset = min(h_eid[0], t_eid[0], r_eid[0])
     bound = max(h_eid[-1], t_eid[-1], r_eid[-1])
-    pruned = att[offset : bound + 1, offset : bound + 1].tolist()
+    win = att[offset : bound + 1, offset : bound + 1]
+    if "gpt2" in cfg.model_name_or_path:
+        # GPT-2 causal attention: fold the transpose's strict upper
+        # triangle back in (kgm.py:432-434)
+        win = win + np.triu(win.T, k=1)
+    pruned = win.tolist()
     res = []
     for h_seg, r_seg, t_seg in zip(h_segs, r_segs, t_segs):
         heads = _group_by_span(h_seg, feat.head_spans)

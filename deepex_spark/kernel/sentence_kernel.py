@@ -240,6 +240,11 @@ def beam_search_ie(att: np.ndarray, feat: SentenceFeatures, cfg):
     offset0 = eid[0]
     end = eid[-1]
     pruned = att[offset0 : end + 1, offset0 : end + 1]
+    if "gpt2" in cfg.model_name_or_path:
+        # GPT-2 attention is causal (lower-triangular): symmetrize by
+        # folding the transpose's strict upper triangle back in
+        # (kgm.py:402-404)
+        pruned = pruned + np.triu(pruned.T, k=1)
     order_np = np.argsort(-pruned, axis=1, kind="stable")
     vals_np = np.take_along_axis(pruned, order_np, axis=1)
     order = order_np.tolist()

@@ -60,17 +60,25 @@ CANDIDATE_SCHEMA = StructType(
 _COLUMNS = [f.name for f in CANDIDATE_SCHEMA.fields]
 
 
-def extract_candidates(sentences: DataFrame, cfg: DeepExConfig) -> DataFrame:
+def extract_candidates(
+    sentences: DataFrame, cfg: DeepExConfig, repartition: bool = True
+) -> DataFrame:
     """sentences(docid, sent_pos, sent_offset, sent_text) -> candidates.
 
     The input is rebalanced across the cluster before the kernel: a small
     file count (or skewed upstream layout) must not serialize the CPU-bound
     stage. Round-robin repartition also spreads long-document hot spots.
+
+    ``repartition=False`` skips the exchange — pass it when the caller
+    already placed one (``normalize_pages`` with ``cfg.repartition_by_url``
+    hashes pages by url upstream; a second round-robin here would double
+    the exchange count and undo the url colocation).
     """
-    n_parts = cfg.repartition_by_url or (
-        sentences.sparkSession.sparkContext.defaultParallelism * 2
-    )
-    sentences = sentences.repartition(n_parts)
+    if repartition:
+        n_parts = cfg.repartition_by_url or (
+            sentences.sparkSession.sparkContext.defaultParallelism * 2
+        )
+        sentences = sentences.repartition(n_parts)
 
     compute_dis = cfg.rerank_sorted
 

@@ -34,15 +34,104 @@ RC_INPUT_DDL = (
     "object_spans array<array<int>>, true_relation string"
 )
 
+# the 16 FewRel dev relations the reference restricts candidates to
+# (dataset_preparation.py:41)
+FEWREL_DEV_RELATIONS = [
+    "crosses", "original language of film or TV show", "competition class",
+    "part of", "sport", "constellation",
+    "position played on team / speciality",
+    "located in or next to body of water", "voice type", "follows", "spouse",
+    "military rank", "mother", "member of", "child", "main subject",
+]
+
+
+def prepare_fewrel_raw(spark, val_wiki_path: str, pid2name_path: str) -> DataFrame:
+    """Flatten the raw FewRel ``val_wiki.json`` + ``pid2name.json`` into RC
+    records (dataset_preparation.py:42-57): one row per instance with
+    sequential string ids, subject/object spans = the FIRST position list of
+    the head/tail entity, true_relation = pid2name[pid][0].
+
+    The two files are small benchmark metadata (a few MB even for full
+    FewRel), and their instance values are heterogeneous JSON arrays
+    (``h = [name, qid, [[positions]]]``) that Spark's schema inference
+    cannot type; they are parsed driver-side — which also preserves the
+    reference's dict-insertion-order sequential ids — and parallelized
+    into a DataFrame for the distributed pipeline stages that follow."""
+    import json
+
+    with open(val_wiki_path) as f:
+        data_dict = json.load(f)
+    with open(pid2name_path) as f:
+        pid2name = json.load(f)
+    rows = []
+    index = 0
+    for k, vs in data_dict.items():
+        for v in vs:
+            rows.append(
+                (
+                    str(index),
+                    [str(t) for t in v["tokens"]],
+                    [[int(i) for i in v["h"][2][0]]],
+                    [[int(i) for i in v["t"][2][0]]],
+                    str(pid2name[k][0]),
+                )
+            )
+            index += 1
+    return spark.createDataFrame(rows, RC_INPUT_DDL)
+
+
+def prepare_tacred_raw(spark, test_json_path: str) -> DataFrame:
+    """Flatten the raw TACRED ``test.json`` (a top-level JSON array) into RC
+    records (dataset_preparation.py:72-86): subject/object spans = the
+    inclusive token ranges [subj_start..subj_end] / [obj_start..obj_end].
+
+    Spark-native: ``spark.read.json(multiLine=True)`` parses the array into
+    one row per instance; sequential ids follow file order (a multiLine
+    JSON file is a single split, so zipWithIndex preserves it)."""
+    df = (
+        spark.read.option("multiLine", True)
+        .json(test_json_path)
+        .select("token", "subj_start", "subj_end", "obj_start", "obj_end", "relation")
+    )
+    indexed = df.rdd.zipWithIndex().map(lambda t: (str(t[1]), *t[0])).toDF(
+        "id string, token array<string>, subj_start long, subj_end long, "
+        "obj_start long, obj_end long, relation string"
+    )
+    return indexed.select(
+        "id",
+        F.col("token").alias("tokens"),
+        F.array(F.sequence(F.col("subj_start").cast("int"), F.col("subj_end").cast("int")))
+        .alias("subject_spans"),
+        F.array(F.sequence(F.col("obj_start").cast("int"), F.col("obj_end").cast("int")))
+        .alias("object_spans"),
+        F.col("relation").alias("true_relation"),
+    )
+
 
 def prepare_rc_dataset(
     raw: DataFrame,
     lem_aliases: dict[str, list[str]],
     unlem_aliases: dict[str, list[str]],
+    dev_relations: list[str] | None = None,
 ) -> DataFrame:
-    """Attach rel_candidates by alias matching over the joined token text."""
+    """Attach rel_candidates by alias matching over the joined token text.
+
+    ``dev_relations`` (FewRel: the 16-dev-relation restriction,
+    dataset_preparation.py:61-68) intersects each candidate's relation list
+    with the allowed set and drops candidates left empty."""
     with_text = raw.withColumn("text", F.concat_ws(" ", F.col("tokens")))
-    return match_aliases(with_text, "text", lem_aliases, unlem_aliases)
+    matched = match_aliases(with_text, "text", lem_aliases, unlem_aliases)
+    if dev_relations is not None:
+        dev = F.array(*[F.lit(r) for r in dev_relations])
+        pruned = F.transform(
+            "rel_candidates",
+            lambda c: c.withField("relation", F.array_intersect(c["relation"], dev)),
+        )
+        matched = matched.withColumn(
+            "rel_candidates",
+            F.filter(pruned, lambda c: F.size(c["relation"]) > 0),
+        )
+    return matched
 
 
 def extract_rc_candidates(rc_df: DataFrame, cfg: DeepExConfig) -> DataFrame:
@@ -60,11 +149,14 @@ def extract_rc_candidates(rc_df: DataFrame, cfg: DeepExConfig) -> DataFrame:
         provider = get_attention_provider(cfg)
         for pdf in batches:
             rows: list[dict] = []
-            for _, rec in pdf.iterrows():
+            for rid, toks, sspans, ospans, cands in zip(
+                pdf["id"], pdf["tokens"], pdf["subject_spans"],
+                pdf["object_spans"], pdf["rel_candidates"],
+            ):
                 record = {
-                    "tokens": list(rec["tokens"]),
-                    "subject_spans": [list(s) for s in rec["subject_spans"]],
-                    "object_spans": [list(s) for s in rec["object_spans"]],
+                    "tokens": list(toks),
+                    "subject_spans": [list(s) for s in sspans],
+                    "object_spans": [list(s) for s in ospans],
                     "rel_candidates": [
                         {
                             "aliase": c["aliase"],
@@ -72,10 +164,10 @@ def extract_rc_candidates(rc_df: DataFrame, cfg: DeepExConfig) -> DataFrame:
                             "len": c["len"],
                             "char_span": list(c["char_span"]),
                         }
-                        for c in rec["rel_candidates"]
+                        for c in cands
                     ],
                 }
-                for r in process_rc_record(str(rec["id"]), record, cfg, provider):
+                for r in process_rc_record(str(rid), record, cfg, provider):
                     r["sent_pos"] = 0
                     rows.append(r)
             yield pd.DataFrame(rows, columns=_COLUMNS)

@@ -53,8 +53,12 @@ def extract_triples(pages: DataFrame, cfg: DeepExConfig, rerank: bool | None = N
     sentences = sentencize(normalized)
     # ONE Python stage: the kernel also computes the contrastive distances
     # (when reranking), so the docid exchange after distill_project is the
-    # only shuffle and both window sorts reuse it
-    candidates = extract_candidates(sentences, cfg)
+    # only shuffle and both window sorts reuse it. When repartition_by_url
+    # already exchanged the pages (normalize_pages), skip the kernel-stage
+    # round-robin — one pre-kernel exchange, never two.
+    candidates = extract_candidates(
+        sentences, cfg, repartition=not cfg.repartition_by_url
+    )
     projected = distill_project(candidates, cfg)
     if do_rerank:
         triples = rerank_triples(with_doc_rank(projected), cfg)

@@ -1052,13 +1052,35 @@ def _pipeline_cfg() -> DeepExConfig:
     return DeepExConfig.small()
 
 
-@register("pipeline_rc_triples", oracle=None)
+def _rc_golden_oracle() -> str:
+    """Golden-table oracle: the RC kernel is not SQL-expressible, so the
+    oracle is a pinned parquet of this query's output (regenerate with
+    ``python tools/make_rc_golden.py``), keyed by a fingerprint of the
+    documents table so the same SQL serves every sf dir. An unknown corpus
+    fingerprint returns zero rows — an honest mismatch, never a silent
+    pass."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "goldens", "rc_triples_golden.parquet",
+    )
+    return f"""
+    SELECT docid, subj, rel, obj, score, contrastive_dis, rank
+    FROM read_parquet('{path}') g
+    WHERE g.corpus_fp = (SELECT md5(text) FROM documents WHERE doc_id = 0)
+    """
+
+
+@register("pipeline_rc_triples", oracle=_rc_golden_oracle())
 def pipeline_rc_triples(spark, sf_dir):
     """RC mode over RC-style records derived deterministically from the
-    documents table (first 12 tokens; subject = token 0, object = last)."""
+    documents table (first 12 tokens; subject = token 0, object = last).
+    Input is ``doc_id < 100`` (not limit) so the row set is deterministic
+    under any partitioning."""
     from deepex_spark.operators.rc import RC_INPUT_DDL, prepare_rc_dataset, rc_pipeline
 
-    docs = load(spark, sf_dir, "documents").limit(100)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     raw = docs.select(
         F.col("doc_id").cast("string").alias("id"),
         F.slice(F.split("text", " "), 1, 12).alias("tokens"),

@@ -7,12 +7,32 @@ import os
 from pyspark.sql import SparkSession
 
 
+ICEBERG_PACKAGE = "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0"
+
+
+def iceberg_conf(warehouse_dir: str, catalog_name: str = "local") -> dict:
+    """Standard Iceberg session wiring (SQL extensions + a hadoop-type
+    local catalog). Pass as ``extra_conf`` together with
+    ``iceberg_jars=True`` — requires network (or a populated ivy cache) to
+    resolve the runtime jar, so the sandbox test suite exercises the
+    ``fmt='iceberg'`` catalog branches through stubs instead."""
+    return {
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{catalog_name}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog_name}.type": "hadoop",
+        f"spark.sql.catalog.{catalog_name}.warehouse": warehouse_dir,
+    }
+
+
 def build_session(
     app_name: str = "deepex-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     arrow_max_records: int = 8192,
     extra_conf: dict | None = None,
+    iceberg_jars: bool = False,
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     if shuffle_partitions is None:
@@ -38,6 +58,8 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if iceberg_jars:
+        b = b.config("spark.jars.packages", ICEBERG_PACKAGE)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

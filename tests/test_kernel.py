@@ -153,6 +153,36 @@ def test_dedup_ranking_types():
         assert ranked[0][0] == want_first, rt
 
 
+def test_gpt2_attention_symmetrization():
+    """GPT-2 causal attention (lower-triangular) is symmetrized by folding
+    the transpose's strict upper triangle back in (kgm.py:402-404): a walk
+    that needs a forward edge only finds it via the mirrored backward one."""
+    from dataclasses import replace
+
+    text = "Obama lives in Hawaii"
+    # tokens: [CLS](0) Obama(1) lives(2) in(3) Hawaii(4) [SEP](5)
+    # causal matrix: ONLY backward (j < i) entries are non-tiny
+    att = np.full((6, 6), 0.0)
+    att[2, 1] = 0.9   # lives -> Obama (backward)
+    att[3, 2] = 0.9   # in -> lives
+    att[4, 3] = 0.9   # Hawaii -> in
+    gpt2_cfg = replace(CFG, model_name_or_path="gpt2")
+
+    rows_gpt2 = process_sentence("d", 0, text, gpt2_cfg, FixedAttention(att))
+    keys_gpt2 = [r["triple_key"] for r in rows_gpt2]
+    assert "Obama [SEP] lives in [SEP] Hawaii" in keys_gpt2
+
+    # without the gpt2 branch (BERT config), the same causal matrix gives a
+    # DIFFERENT candidate set: the forward walk can't traverse the mirrored
+    # edges, so the full forward triple never forms with this score
+    rows_bert = process_sentence("d", 0, text, CFG, FixedAttention(att))
+    sym = att + np.triu(att.T, k=1)
+    rows_manual = process_sentence("d", 0, text, CFG, FixedAttention(sym))
+    as_set = lambda rows: {(r["triple_key"], round(r["score"], 9)) for r in rows}
+    assert as_set(rows_gpt2) == as_set(rows_manual)   # branch == manual fold
+    assert as_set(rows_gpt2) != as_set(rows_bert)     # and it changes results
+
+
 def test_windowed_long_sentence_still_extracts():
     from dataclasses import replace
 

@@ -1,0 +1,59 @@
+"""Plan-shape guards: exchange counts the 100-TB design depends on.
+
+These assert on the OPTIMIZED LOGICAL plan (stable node names, no AQE
+rewriting) so the guarantees survive Spark version/AQE churn:
+exactly ONE repartition reaches the kernel stage whether the url-hash
+exchange is configured or not.
+"""
+
+from dataclasses import replace
+
+from deepex_spark.config import DeepExConfig
+
+
+def _pages(spark, n=6):
+    rows = [(f"http://x/{i}", f"Obama lives in Hawaii number {i}.") for i in range(n)]
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def _logical_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _count(plan: str, token: str) -> int:
+    return plan.count(token)
+
+
+def test_single_exchange_before_kernel_roundrobin(spark):
+    """Default config: the kernel's round-robin repartition is the only
+    pre-kernel exchange."""
+    from deepex_spark.functions.sentencize import sentencize
+    from deepex_spark.operators.extract import extract_candidates
+    from deepex_spark.pipeline import normalize_pages
+
+    cfg = DeepExConfig.small()
+    assert not cfg.repartition_by_url
+    cand = extract_candidates(sentencize(normalize_pages(_pages(spark), cfg)), cfg)
+    plan = _logical_plan(cand)
+    assert _count(plan, "Repartition") == 1, plan
+
+
+def test_single_exchange_with_url_hash_partitioning(spark):
+    """repartition_by_url set: normalize_pages' url-hash exchange is the
+    only one — the kernel stage must NOT add a second round-robin."""
+    from deepex_spark.pipeline import extract_triples
+
+    cfg = replace(DeepExConfig.small(), repartition_by_url=8)
+    triples = extract_triples(_pages(spark), cfg, rerank=False)
+    plan = _logical_plan(triples)
+    assert _count(plan, "RepartitionByExpression") == 1, plan
+    # and no residual round-robin Repartition on top of it
+    assert _count(plan, "Repartition ") == 0, plan
+
+    # output parity: skipping the second exchange must not change results
+    cfg_rr = DeepExConfig.small()
+    a = {tuple(r) for r in extract_triples(_pages(spark), cfg, rerank=False)
+         .select("docid", "subj", "rel", "obj", "score").collect()}
+    b = {tuple(r) for r in extract_triples(_pages(spark), cfg_rr, rerank=False)
+         .select("docid", "subj", "rel", "obj", "score").collect()}
+    assert a == b
