@@ -163,27 +163,61 @@ from operator import itemgetter as _itemgetter
 _MEAN_KEY = _itemgetter(3)
 
 
-def uni_beam(node, offset, svals, sidx, topk, direction, bound):
-    """One (start, bound) directed beam walk (kgm.py:358-391).
+def _first_hop(node, offset, svals, sidx, topk):
+    """Round-1 expansion of one beam walk (kgm.py:358-391, first pass of
+    the while loop). On hop 1 ``plen1 == 2`` so neither the direction
+    constraint nor the cross-segment check applies (``multi`` is false,
+    kgm.py:370-379) and the bound gets no special treatment — the result is
+    provably independent of both direction and bound, so ``beam_search_ie``
+    computes it ONCE per start node and shares it across the ~|segment|
+    (start, bound) walks instead of redoing it per pair.
 
-    Acceptance rules, identical to the reference's scan of the pre-sorted
-    attention row: take targets in descending attention order until ``topk``
-    accepted; skip revisits always; after the first hop skip direction
-    violations and cross-segment hops unless the target is the bound (bound
-    hops are always allowed); beam pruned to topk by score/len with
-    Python-stable ordering. ``svals``/``sidx`` are per-row pre-sorted
-    values/indices as plain Python lists (fastest scalar access).
+    Beam entries are (path, score, visited, score/len, visited-bitmask):
+    the ranking mean is maintained incrementally at append so each round's
+    prune is a plain stable sort on a stored field — same ordering as the
+    reference's ``key=lambda tup: tup[1]/len(tup[0])``; the bitmask gives
+    O(1) revisit checks on long unpunctuated text.
+    """
+    row_i = sidx[node - offset]
+    row_v = svals[node - offset]
+    mask0 = 1 << node
+    new = []
+    tempk = 0
+    for k in range(len(row_i)):
+        if tempk == topk:
+            break
+        tga = row_i[k] + offset
+        if (mask0 >> tga) & 1:
+            continue
+        ns = row_v[k]
+        new.append(((node, tga), ns, False, ns / 2.0, mask0 | (1 << tga)))
+        tempk += 1
+    new.sort(key=_MEAN_KEY, reverse=True)
+    return new[:topk]
 
-    Beam entries are (path, score, visited, score/len): the ranking mean is
-    maintained incrementally at append so the per-round prune is a plain
-    stable sort on a stored field — same ordering as the reference's
-    ``key=lambda tup: tup[1]/len(tup[0])``.
+
+def uni_beam(node, offset, dvals, didx, att_rows, topk, bound, first_beam):
+    """Rounds 2+ of one (start, bound) directed beam walk (kgm.py:358-391).
+
+    Acceptance rules identical to the reference's scan of the pre-sorted
+    full attention row: take targets in descending attention order until
+    ``topk`` accepted; skip revisits always; skip direction violations and
+    cross-segment hops unless the target is the bound (bound hops always
+    allowed); beam pruned to topk by score/len with Python-stable ordering.
+
+    Performance shape (semantics-preserving): from hop 2 on, the only
+    admissible targets are the strictly-monotone ones plus the bound, so
+    the scan reads the per-(row, direction) PREFILTERED streams
+    ``didx``/``dvals`` (descending-value order, ties by ascending local
+    index — same stable-argsort order as the full row) and merge-injects
+    the bound at its exact (value, local index) rank via ``att_rows``
+    lookups. The merged emission order is byte-identical to the full-row
+    scan, pinned by tests/test_kernel.py + the parity goldens.
+    ``first_beam`` is the shared bound-independent hop-1 expansion from
+    :func:`_first_hop`.
     """
     bl = bound - offset
-    is_left = direction == "left"
-    # 5th field: visited-set bitmask over global positions — O(1) revisit
-    # check (paths grow long on unpunctuated text)
-    beam = [((node,), 0.0, False, 0.0, 1 << node)]
+    beam = first_beam
     while True:
         all_visited = True
         for c in beam:
@@ -196,36 +230,50 @@ def uni_beam(node, offset, svals, sidx, topk, direction, bound):
         append = new.append
         for path, score, visited, mean, mask in beam:
             v = path[-1] - offset
-            if v != bl:
-                row_i = sidx[v]
-                row_v = svals[v]
-                plen1 = len(path) + 1
-                last = v + offset
-                multi = plen1 > 2
-                check_cross = multi and last != node and last != bound
-                if check_cross:
-                    loc_last = (last < node) + (last < bound)
-                tempk = 0
-                for k in range(len(row_i)):
-                    if tempk == topk:
-                        break
-                    tgt = row_i[k]
+            if v == bl:
+                append((path, score, True, mean, mask))
+                continue
+            plen1 = len(path) + 1
+            last = v + offset
+            # paths here have length >= 2, so ``multi`` is always true
+            check_cross = last != node and last != bound
+            if check_cross:
+                loc_last = (last < node) + (last < bound)
+            fi = didx[v]
+            fv = dvals[v]
+            n = len(fi)
+            bval = att_rows[v][bl]
+            bound_pending = True
+            tempk = 0
+            k = 0
+            while tempk < topk:
+                if bound_pending and (
+                    k >= n or bval > fv[k] or (bval == fv[k] and bl < fi[k])
+                ):
+                    # bound reached its stable-sort rank: emit it (exempt
+                    # from direction/cross checks, kgm.py:373-379)
+                    bound_pending = False
+                    if (mask >> bound) & 1:
+                        continue
+                    ns = score + bval
+                    append((path + (bound,), ns, False, ns / plen1, mask | (1 << bound)))
+                    tempk += 1
+                elif k < n:
+                    tgt = fi[k]
+                    val = fv[k]
+                    k += 1
+                    if tgt == bl:
+                        continue  # emitted via the injection branch above
                     tga = tgt + offset
                     if (mask >> tga) & 1:
                         continue
-                    if multi and tgt != bl:
-                        if is_left:
-                            if tgt >= v:
-                                continue
-                        elif tgt <= v:
-                            continue
-                        if check_cross and ((tga < node) + (tga < bound)) != loc_last:
-                            continue
-                    ns = score + row_v[k]
+                    if check_cross and ((tga < node) + (tga < bound)) != loc_last:
+                        continue
+                    ns = score + val
                     append((path + (tga,), ns, False, ns / plen1, mask | (1 << tga)))
                     tempk += 1
-            else:
-                append((path, score, True, mean, mask))
+                else:
+                    break
         new.sort(key=_MEAN_KEY, reverse=True)
         beam = new[:topk]
     return beam
@@ -249,18 +297,35 @@ def beam_search_ie(att: np.ndarray, feat: SentenceFeatures, cfg):
     vals_np = np.take_along_axis(pruned, order_np, axis=1)
     order = order_np.tolist()
     vals = vals_np.tolist()
+    att_rows = pruned.tolist()
+    # per-(row, direction) prefiltered target streams: the boolean mask on
+    # the stable-argsort order preserves (value desc, local index asc)
+    lidx, lval, ridx, rval = [], [], [], []
+    for v in range(pruned.shape[0]):
+        row, rv = order_np[v], vals_np[v]
+        lm = row < v
+        lidx.append(row[lm].tolist())
+        lval.append(rv[lm].tolist())
+        rm = row > v
+        ridx.append(row[rm].tolist())
+        rval.append(rv[rm].tolist())
+    topk = cfg.beam_size
+    first_cache: dict[int, list] = {}
     res: list[tuple[tuple[int, ...], float, bool]] = []
     for seg in segs:
         for i in range(len(seg)):
             u = seg[i]
+            fb = first_cache.get(u)
+            if fb is None:
+                fb = first_cache[u] = _first_hop(u, offset0, vals, order, topk)
             for j in range(i - 1, i - 1 - cfg.dist_const, -1):
                 if j < 0:
                     break
-                res.extend(uni_beam(u, offset0, vals, order, cfg.beam_size, "left", seg[j]))
+                res.extend(uni_beam(u, offset0, lval, lidx, att_rows, topk, seg[j], fb))
             for j in range(i + 1, i + 1 + cfg.dist_const, 1):
                 if j > len(seg) - 1:
                     break
-                res.extend(uni_beam(u, offset0, vals, order, cfg.beam_size, "right", seg[j]))
+                res.extend(uni_beam(u, offset0, rval, ridx, att_rows, topk, seg[j], fb))
     out: list[tuple[tuple[int, ...], float]] = []
     for path, score, *_rest in res:
         L = len(path)

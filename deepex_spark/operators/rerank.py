@@ -39,8 +39,12 @@ _PREFIX_LEN = 13  # len('$input_txt:$ ') — reference slices [13:]
 
 
 import re as _re
+from math import sqrt as _sqrt
 
 _TOKEN_RE = _re.compile(r"\w+|[^\w\s]")
+
+
+_token_hash_caches: dict[int, dict[str, tuple[int, float]]] = {}
 
 
 def _hash_embed(s: str, dim: int) -> np.ndarray:
@@ -48,14 +52,23 @@ def _hash_embed(s: str, dim: int) -> np.ndarray:
     surrogate for the dual-encoder's pooled segment embedding. Tokenization
     here is the fast regex split (not the kernel's wordpiece): the encoder
     is a pluggable provider and this runs on every emitted triple, so it is
-    kept deliberately cheap."""
+    kept deliberately cheap: token hashes are memoized and the signed
+    counts accumulate via one ``bincount`` (exact small-integer sums, so
+    the vector — and every downstream distance — is bit-identical to the
+    per-token loop; pinned by the parity goldens)."""
     from zlib import crc32
 
+    cache = _token_hash_caches.get(dim)
+    if cache is None:
+        cache = _token_hash_caches[dim] = {}
     v = np.zeros(dim, dtype=np.float64)
     for t in _TOKEN_RE.findall(s):
-        h = crc32(t.encode("utf-8"))
-        v[h % dim] += 1.0 if (h >> 31) & 1 else -1.0
-    n = np.linalg.norm(v)
+        e = cache.get(t)
+        if e is None:
+            h = crc32(t.encode("utf-8"))
+            e = cache[t] = (h % dim, 1.0 if (h >> 31) & 1 else -1.0)
+        v[e[0]] += e[1]
+    n = _sqrt(v.dot(v))  # == np.linalg.norm for 1-D float64 (sqrt(dot))
     return v / n if n > 0 else v
 
 
@@ -70,7 +83,8 @@ def contrastive_distance_py(
         if _sent_cache is not None:
             _sent_cache[sentence] = text_vec
     trip_vec = _hash_embed(str((subj, rel, obj)), dim)
-    return float(np.linalg.norm(text_vec - trip_vec))
+    d = text_vec - trip_vec
+    return _sqrt(d.dot(d))  # == np.linalg.norm (sqrt(dot)) for 1-D float64
 
 
 _NON_ASCII = _re.compile(r"[^\x00-\x7F]+")

@@ -1025,7 +1025,17 @@ def ann_cosine_topk(spark, sf_dir):
 def multimodal_decode(spark, sf_dir):
     from deepex_spark.operators.multimodal import decode_media, synth_media
 
-    return decode_media(synth_media(spark, n=60))
+    # registered form flattens the meta/decoded structs to scalar columns
+    # (the harness canonicalizes via pandas, which can't sort dict cells)
+    return decode_media(synth_media(spark, n=60)).select(
+        "media_id",
+        F.col("meta.width").alias("meta_width"),
+        F.col("meta.height").alias("meta_height"),
+        F.col("meta.n_frames").alias("meta_n_frames"),
+        F.col("meta.mime").alias("meta_mime"),
+        F.col("decoded.n_bytes").alias("dec_n_bytes"),
+        F.col("decoded.mean_byte").alias("dec_mean_byte"),
+    )
 
 
 @register("multimodal_frames", oracle=None)

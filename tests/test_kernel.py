@@ -7,6 +7,7 @@ import pytest
 from deepex_spark.config import DeepExConfig
 from deepex_spark.kernel.sentence_kernel import (
     NIL,
+    _first_hop,
     assemble_and_dedup,
     beam_search_ie,
     convert_to_triplet,
@@ -77,9 +78,17 @@ def test_beam_no_revisit_and_direction():
     # walk right from 0 to 3 on a 4-node clique; paths must be monotone
     # after the first hop and never revisit
     m = np.full((4, 4), 0.5)
-    order = np.argsort(-m, axis=1, kind="stable").tolist()
-    vals = np.take_along_axis(m, np.argsort(-m, axis=1, kind="stable"), 1).tolist()
-    beams = uni_beam(0, 0, vals, order, 6, "right", 3)
+    order_np = np.argsort(-m, axis=1, kind="stable")
+    order = order_np.tolist()
+    vals = np.take_along_axis(m, order_np, 1).tolist()
+    att_rows = m.tolist()
+    ridx = [order_np[v][order_np[v] > v].tolist() for v in range(4)]
+    rval = [
+        np.take_along_axis(m, order_np, 1)[v][order_np[v] > v].tolist()
+        for v in range(4)
+    ]
+    fb = _first_hop(0, 0, vals, order, 6)
+    beams = uni_beam(0, 0, rval, ridx, att_rows, 6, 3, fb)
     for path, score, visited, *_rest in beams:
         assert visited
         assert len(set(path)) == len(path)  # no revisit
@@ -192,3 +201,83 @@ def test_windowed_long_sentence_still_extracts():
 
     rows = process_sentence("d", 0, words, cfg, get_attention_provider(cfg))
     assert rows  # windows produced candidates without O(n^3) blowup
+
+
+def _reference_uni_beam(node, offset, svals, sidx, topk, direction, bound):
+    """Straight transcription of the reference walk (kgm.py:358-391): scan
+    the FULL pre-sorted attention row every hop, filtering direction/
+    cross-segment/revisit inline. The optimized uni_beam (prefiltered
+    direction streams + merge-injected bound + shared first hop) must
+    produce byte-identical beams."""
+    bl = bound - offset
+    is_left = direction == "left"
+    beam = [((node,), 0.0, False, 0.0, 1 << node)]
+    while True:
+        if all(c[2] for c in beam):
+            break
+        new = []
+        for path, score, visited, mean, mask in beam:
+            v = path[-1] - offset
+            if v != bl:
+                row_i, row_v = sidx[v], svals[v]
+                plen1 = len(path) + 1
+                last = v + offset
+                multi = plen1 > 2
+                check_cross = multi and last != node and last != bound
+                if check_cross:
+                    loc_last = (last < node) + (last < bound)
+                tempk = 0
+                for k in range(len(row_i)):
+                    if tempk == topk:
+                        break
+                    tgt = row_i[k]
+                    tga = tgt + offset
+                    if (mask >> tga) & 1:
+                        continue
+                    if multi and tgt != bl:
+                        if is_left:
+                            if tgt >= v:
+                                continue
+                        elif tgt <= v:
+                            continue
+                        if check_cross and ((tga < node) + (tga < bound)) != loc_last:
+                            continue
+                    ns = score + row_v[k]
+                    new.append((path + (tga,), ns, False, ns / plen1, mask | (1 << tga)))
+                    tempk += 1
+            else:
+                new.append((path, score, True, mean, mask))
+        new.sort(key=lambda t: t[3], reverse=True)
+        beam = new[:topk]
+    return beam
+
+
+def test_uni_beam_equals_fullscan_reference():
+    # randomized equivalence incl. duplicate attention values (tie-order
+    # stress) and both directions, every (node, bound) pair
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        S = int(rng.integers(3, 14))
+        m = rng.random((S, S))
+        if trial % 3 == 0:
+            # quantize to force ties in the stable sort
+            m = np.round(m, 1)
+        order_np = np.argsort(-m, axis=1, kind="stable")
+        vals_np = np.take_along_axis(m, order_np, axis=1)
+        order, vals = order_np.tolist(), vals_np.tolist()
+        att_rows = m.tolist()
+        lidx = [order_np[v][order_np[v] < v].tolist() for v in range(S)]
+        lval = [vals_np[v][order_np[v] < v].tolist() for v in range(S)]
+        ridx = [order_np[v][order_np[v] > v].tolist() for v in range(S)]
+        rval = [vals_np[v][order_np[v] > v].tolist() for v in range(S)]
+        topk = int(rng.integers(2, 7))
+        for node in range(S):
+            fb = _first_hop(node, 0, vals, order, topk)
+            for bound in range(S):
+                if bound == node:
+                    continue
+                direction = "left" if bound < node else "right"
+                dval, didx = (lval, lidx) if direction == "left" else (rval, ridx)
+                got = uni_beam(node, 0, dval, didx, att_rows, topk, bound, fb)
+                want = _reference_uni_beam(node, 0, vals, order, topk, direction, bound)
+                assert got == want, (trial, node, bound, direction)
