@@ -168,10 +168,13 @@ def run_scaling(n_docs: int = 40000) -> dict:
     ceiling = round(_hw_ceiling() / 4.0, 3)
     corpus = os.path.join(tempfile.gettempdir(), f"deepex_scaling_corpus_{n_docs}")
     _materialize_corpus(n_docs, 42, corpus)
-    # alternating best-of-2 per level: this VM's host load varies minute to
-    # minute, so interleaved repeats with min-wall are the stable estimator
+    # alternating best-of-N per level: this VM's host load varies minute to
+    # minute (same-code wall times observed 2x apart within an hour), so
+    # interleaved repeats with min-wall are the stable estimator — each
+    # level just needs ONE quiet window
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
     results = {}
-    for threads in (8, 32, 8, 32):
+    for threads in (8, 32) * repeats:
         n, dt = _run_pipeline_once(threads, corpus)
         cur = results.get(threads)
         if cur is None or dt < cur["sec"]:

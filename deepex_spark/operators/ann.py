@@ -1,0 +1,199 @@
+"""IVF (inverted-file) approximate nearest neighbour — the scale path for
+embedding similarity search.
+
+Brute-force cosine top-k (`queries.ann_cosine_topk`) is exact but reads the
+whole corpus per query batch; the banded hyperplane LSH
+(`dedup.embedding_near_dups`) targets all-pairs near-dup detection. IVF is
+the classic middle ground for query-time ANN at corpus scale:
+
+1. **Coarse quantization** — every corpus vector is assigned to its nearest
+   centroid (argmax dot product). This is a NARROW per-row expression chain
+   (`greatest` + first-match `when` chain, whole-stage codegen, no Python,
+   no shuffle); at 100 TB the assignment is a single map over the corpus
+   and the index is written bucketed/partitioned by ``centroid_id`` so each
+   query probes only its lists.
+2. **Probing** — each query scores the K centroids (a tiny broadcast cross
+   join) and keeps the ``nprobe`` closest lists.
+3. **Candidate scan** — corpus vectors are joined to the probe set on
+   ``centroid_id``; the probe side (|queries| x nprobe rows) is broadcast,
+   so the corpus side never shuffles. Exact cosine + per-query top-k window
+   finishes the search, touching only ~nprobe/K of the corpus.
+
+Centroids here are deterministic seeded unit vectors so tests and the
+DuckDB oracle can inline them as literals; at production scale they would
+come from a k-means job over a corpus sample (same dataflow, learned
+literals). No reference counterpart (the reference imports faiss but never
+uses it, scripts/bert_contrastive.py:8); this operator is part of the
+training-data-pipeline extension mandated alongside SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ivf_centroids(k: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic unit-norm centroids (same literals on the Spark and
+    DuckDB sides)."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((k, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return [[float(x) for x in row] for row in c]
+
+
+def _dot_expr(vec_col: str, centroid: list[float]) -> str:
+    lit = ", ".join(repr(x) for x in centroid)
+    return (
+        f"aggregate(zip_with({vec_col}, array({lit}), (x, y) -> x * y), "
+        "0D, (acc, v) -> acc + v)"
+    )
+
+
+def ivf_assign(emb: DataFrame, centroids: list[list[float]], vec_col: str = "v") -> DataFrame:
+    """Append ``centroid_id``: argmax-dot coarse assignment, ties to the
+    lowest centroid id (first match). Pure column algebra — `greatest` over
+    K dot products and a first-match CASE chain — so the corpus-side plan
+    is one codegen'd projection with no exchange."""
+    dots = [
+        F.expr(_dot_expr(vec_col, c)).alias(f"_d{i}") for i, c in enumerate(centroids)
+    ]
+    with_dots = emb.select("*", *dots)
+    mx = F.greatest(*[F.col(f"_d{i}") for i in range(len(centroids))])
+    cid = F.when(F.col("_d0") == mx, 0)
+    for i in range(1, len(centroids)):
+        cid = cid.when(F.col(f"_d{i}") == mx, i)
+    return with_dots.withColumn("centroid_id", cid).drop(
+        *[f"_d{i}" for i in range(len(centroids))]
+    )
+
+
+def ivf_search(
+    emb: DataFrame,
+    query_filter,
+    k_centroids: int = 8,
+    nprobe: int = 2,
+    topk: int = 3,
+    seed: int = 733,
+) -> DataFrame:
+    """IVF top-k cosine search. ``emb`` has (vec_id, embedding ARRAY);
+    ``query_filter`` is a Column predicate selecting the query rows.
+    Returns (query_id, neighbor_id, cos_sim_r, rnk) — the same shape as the
+    exact ann_cosine_topk baseline so recall is directly comparable."""
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    dim = len(e.select("v").first()["v"])
+    centroids = ivf_centroids(k_centroids, dim, seed)
+
+    indexed = ivf_assign(e, centroids)
+
+    # probe: tiny query set x K centroids -> top-nprobe lists per query
+    q = e.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cdf = None
+    for i, c in enumerate(centroids):
+        lit = ", ".join(repr(x) for x in c)
+        row = q.sparkSession.sql(f"SELECT {i} AS centroid_id, array({lit}) AS cvec")
+        cdf = row if cdf is None else cdf.unionByName(row)
+    probes = (
+        q.crossJoin(F.broadcast(cdf))
+        .withColumn(
+            "cdot",
+            F.expr(
+                "aggregate(zip_with(qv, cvec, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+            ),
+        )
+        .withColumn(
+            "prb",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("cdot"), F.asc("centroid_id"))
+            ),
+        )
+        .filter(F.col("prb") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+
+    # candidate scan: corpus joined to the BROADCAST probe set on
+    # centroid_id — the big side never shuffles and only the probed
+    # ~nprobe/K fraction of lists is scored
+    dot = "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    qq = "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    nn = "aggregate(zip_with(nv, nv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    cand = (
+        indexed.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("nv"),
+            "centroid_id",
+        )
+        .join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.expr(f"{dot} / (sqrt({qq}) * sqrt({nn}))"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim_r"), "rnk")
+    )
+
+
+def ivf_oracle_sql(
+    k_centroids: int = 8,
+    nprobe: int = 2,
+    topk: int = 3,
+    seed: int = 733,
+    dim: int = 64,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB mirror with the same centroid literals, assignment tie rule
+    (first match at the max), probe ranking, and top-k ordering."""
+    centroids = ivf_centroids(k_centroids, dim, seed)
+    lits = [", ".join(repr(x) for x in c) for c in centroids]
+    dots = ", ".join(
+        f"list_dot_product(v, [{lit}]) AS d{i}" for i, lit in enumerate(lits)
+    )
+    mx = "GREATEST(" + ", ".join(f"d{i}" for i in range(k_centroids)) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = mx THEN {i}" for i in range(k_centroids))
+        + " END"
+    )
+    centroid_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT {i} AS centroid_id, [{lit}]::DOUBLE[] AS cvec"
+        for i, lit in enumerate(lits)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    assigned AS (
+      SELECT vec_id, v, {case} AS centroid_id
+      FROM (SELECT *, {mx} AS mx FROM (SELECT vec_id, v, {dots} FROM e))
+    ),
+    cents AS (
+      {centroid_rows}
+    ),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY list_dot_product(q.v, c.cvec) DESC,
+                                           c.centroid_id ASC) AS prb
+        FROM e q CROSS JOIN cents c WHERE q.{query_pred}
+      ) WHERE prb <= {nprobe}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_dot_product(p.qv, a.v)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(a.v, a.v))) AS cos_sim
+      FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim_r, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM cand
+    ) WHERE rnk <= {topk}
+    """

@@ -1016,6 +1016,26 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
+def _ivf_oracle() -> str:
+    from deepex_spark.operators.ann import ivf_oracle_sql
+
+    return ivf_oracle_sql(k_centroids=8, nprobe=3, topk=3, seed=733, dim=64)
+
+
+@register("ann_ivf_topk", oracle=_ivf_oracle())
+def ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantized ANN — the corpus-scale path: narrow codegen'd
+    centroid assignment, broadcast probe join, only ~nprobe/K of the corpus
+    scored per query (operators/ann.py)."""
+    from deepex_spark.operators.ann import ivf_search
+
+    return ivf_search(
+        load(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < 5,
+        k_centroids=8, nprobe=3, topk=3, seed=733,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (codec stubbed — deterministic fake container; the
 # Spark-side schema/batching/explosion is the real, tested part)

@@ -1,0 +1,70 @@
+"""IVF ANN tests: assignment totality, probe-subset recall vs the exact
+brute-force baseline, and the scale-critical plan shape (corpus side joined
+to a BROADCAST probe set — no corpus shuffle)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepex_spark.operators.ann import ivf_assign, ivf_centroids, ivf_search
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_ivf_assign_total_and_deterministic(emb):
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = ivf_centroids(8, 64, 733)
+    a1 = ivf_assign(e, cents).select("vec_id", "centroid_id")
+    assert a1.filter(F.col("centroid_id").isNull()).count() == 0
+    assert a1.count() == e.count()
+    ids = {r["centroid_id"] for r in a1.select("centroid_id").distinct().collect()}
+    assert ids <= set(range(8))
+    a2 = ivf_assign(e.repartition(7), cents).select("vec_id", "centroid_id")
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_ivf_recall_vs_exact(spark, emb):
+    """nprobe=3 of 8 lists must still find most true neighbours on the
+    clustered synthetic embeddings; nprobe=8 (scan everything) must equal
+    the exact baseline exactly."""
+    from deepex_spark.queries import ann_cosine_topk
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_cosine_topk(spark, SF).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_search(emb, F.col("vec_id") < 5, 8, 3, 3, 733).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, (recall, exact, approx)
+
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_search(emb, F.col("vec_id") < 5, 8, 8, 3, 733).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_corpus_side_never_shuffles(emb):
+    """The candidate join must broadcast the probe set: the corpus-side
+    subtree contains no Exchange (at 100 TB the index is scanned in place,
+    partition-pruned by centroid_id)."""
+    plan = ivf_search(emb, F.col("vec_id") < 5, 8, 3, 3, 733)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # walk the plan: the join's streamed (corpus) side must be exchange-free
+    join_at = plan.find("BroadcastHashJoin")
+    # the streamed (corpus) side prints first under the join; the broadcast
+    # (probe) subtree starts at BroadcastExchange/BroadcastQueryStage — the
+    # probe side is tiny and MAY shuffle (its own row_number window), the
+    # corpus side must not
+    tail = plan[join_at:]
+    bcast_at = tail.find("Broadcast", len("BroadcastHashJoin"))
+    streamed = tail[:bcast_at] if bcast_at != -1 else tail
+    others = [ln for ln in streamed.splitlines() if "Exchange" in ln]
+    assert not others, others
