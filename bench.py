@@ -155,11 +155,30 @@ def _run_pipeline_once(master_threads: int, corpus_path: str) -> tuple[int, floa
     )
     pages = spark.read.parquet(corpus_path)
     cfg = DeepExConfig.small()
+    s0 = _read_steal()
     t0 = time.time()
     n = extract_triples(pages, cfg).count()
     dt = time.time() - t0
+    steal_pct = _steal_pct(s0, _read_steal())
     spark.stop()
-    return n, dt
+    return n, dt, steal_pct
+
+
+def _read_steal() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — hypervisor theft is
+    bursty on this box and poisons individual wall-time measurements."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except OSError:
+        return (0, 0)
+
+
+def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    dt = after[1] - before[1]
+    return round(100.0 * (after[0] - before[0]) / dt, 2) if dt > 0 else 0.0
 
 
 def run_scaling(n_docs: int = 40000) -> dict:
@@ -175,10 +194,13 @@ def run_scaling(n_docs: int = 40000) -> dict:
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
     results = {}
     for threads in (8, 32) * repeats:
-        n, dt = _run_pipeline_once(threads, corpus)
+        n, dt, steal = _run_pipeline_once(threads, corpus)
         cur = results.get(threads)
         if cur is None or dt < cur["sec"]:
-            results[threads] = {"n_triples": n, "sec": round(dt, 2), "rate": round(n / dt, 1)}
+            results[threads] = {
+                "n_triples": n, "sec": round(dt, 2), "rate": round(n / dt, 1),
+                "steal_pct": steal,
+            }
     eff = (results[32]["rate"] / results[8]["rate"]) / (32 / 8)
     out = {
         "metric": "scaling_efficiency_8_to_32",
