@@ -223,12 +223,16 @@ def run_scaling(n_docs: int = 40000) -> dict:
             "two parallelism levels — the sandbox substitute for N vs 4N "
             "executors. Input: deterministic synthetic Common-Crawl-style "
             f"corpus, {n_docs} pages, seed 42 (FIXTURES.md F10).\n\n"
-            "| parallelism | triples | wall sec | triples/sec |\n|---|---|---|---|\n"
+            "| parallelism | triples | wall sec | triples/sec | hypervisor steal % |\n|---|---|---|---|---|\n"
             + "".join(
-                f"| local[{k}] | {v['n_triples']} | {v['sec']} | {v['rate']} |\n"
+                f"| local[{k}] | {v['n_triples']} | {v['sec']} | {v['rate']} | {v['steal_pct']} |\n"
                 for k, v in results.items()
             )
-            + f"\nScaling efficiency (rate32/rate8)/4 = **{eff:.3f}** "
+            + f"\nBest of {repeats} interleaved repeats per level (min wall; "
+            "the hypervisor steals 0-23% of CPU in bursts, so each level "
+            "just needs one quiet window — the steal column shows how "
+            "clean the kept runs were).\n\n"
+            f"Scaling efficiency (rate32/rate8)/4 = **{eff:.3f}** "
             f"(target >= 0.8 for a real N->4N executor scale-out).\n\n"
             "**Hardware ceiling on this box** (pure-Python busy-loop "
             f"throughput, 32 vs 8 processes, /4): **{ceiling:.3f}** — "
