@@ -294,8 +294,10 @@ def process_rc_record(docid: str, record: dict, cfg, att_provider) -> list[dict]
                 "subj": h,
                 "rel": r,
                 "obj": t,
-                "subj_span": list(h_span),
-                "obj_span": list(t_span),
+                "subj_s": h_span[0],
+                "subj_e": h_span[1],
+                "obj_s": t_span[0],
+                "obj_e": t_span[1],
                 "freq": freq,
                 "score": float(score),
                 "attended_len": attended,

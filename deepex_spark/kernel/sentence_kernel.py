@@ -502,9 +502,10 @@ def _window_features(feat: SentenceFeatures, cfg) -> list[SentenceFeatures]:
 
 def process_sentence_tuples(docid: str, offset: int, text: str, cfg, att_provider):
     """Full kernel for one sentence -> candidate tuples in column order
-    (docid, sent_offset, sent_text, triple_key, subj, rel, obj, subj_span,
-    obj_span, freq, score, attended_len, cand_rank). Tuple form keeps the
-    Arrow-batch assembly in the Spark stage columnar-cheap."""
+    (docid, sent_offset, sent_text, triple_key, subj, rel, obj, subj_s,
+    subj_e, obj_s, obj_e, freq, score, attended_len, cand_rank). Spans ride
+    as four plain INTs end-to-end (not 2-element arrays): less Arrow object
+    churn in the hot loop and ~30B/row less through the docid shuffle."""
     feat = featurize(docid, offset, text, cfg)
     dedup: dict[str, list] = {}
     for win in _window_features(feat, cfg):
@@ -520,7 +521,8 @@ def process_sentence_tuples(docid: str, offset: int, text: str, cfg, att_provide
     ):
         h, r, t = (part.strip() for part in key.split("[SEP]"))
         rows.append(
-            (docid, offset, text, key, h, r, t, list(h_span), list(t_span),
+            (docid, offset, text, key, h, r, t,
+             h_span[0], h_span[1], t_span[0], t_span[1],
              freq, float(score), attended, rank)
         )
     return rows
@@ -528,7 +530,8 @@ def process_sentence_tuples(docid: str, offset: int, text: str, cfg, att_provide
 
 _TUPLE_FIELDS = (
     "docid", "sent_offset", "sent_text", "triple_key", "subj", "rel", "obj",
-    "subj_span", "obj_span", "freq", "score", "attended_len", "cand_rank",
+    "subj_s", "subj_e", "obj_s", "obj_e", "freq", "score", "attended_len",
+    "cand_rank",
 )
 
 

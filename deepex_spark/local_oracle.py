@@ -83,13 +83,13 @@ def local_distill(cands: list[dict], cfg: DeepExConfig) -> list[dict]:
             "cand_rank": c["cand_rank"],
         }
         tri.append(
-            {**base, "subj": c["subj"], "subj_span": c["subj_span"],
-             "obj": c["obj"], "obj_span": c["obj_span"], "is_rev": 0,
+            {**base, "subj": c["subj"], "subj_s": c["subj_s"], "subj_e": c["subj_e"],
+             "obj": c["obj"], "obj_s": c["obj_s"], "obj_e": c["obj_e"], "is_rev": 0,
              **({"contrastive_dis": c["dis_fwd"]} if "dis_fwd" in c else {})}
         )
         tri.append(
-            {**base, "subj": c["obj"], "subj_span": c["obj_span"],
-             "obj": c["subj"], "obj_span": c["subj_span"], "is_rev": 1,
+            {**base, "subj": c["obj"], "subj_s": c["obj_s"], "subj_e": c["obj_e"],
+             "obj": c["subj"], "obj_s": c["subj_s"], "obj_e": c["subj_e"], "is_rev": 1,
              **({"contrastive_dis": c["dis_rev"]} if "dis_rev" in c else {})}
         )
     # per-doc sort identical to the distill window

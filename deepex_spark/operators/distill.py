@@ -69,17 +69,21 @@ def distill_project(candidates: DataFrame, cfg: DeepExConfig) -> DataFrame:
         F.array(
             F.struct(
                 F.col("subj").alias("subj"),
-                F.col("subj_span").alias("subj_span"),
+                F.col("subj_s").alias("subj_s"),
+                F.col("subj_e").alias("subj_e"),
                 F.col("obj").alias("obj"),
-                F.col("obj_span").alias("obj_span"),
+                F.col("obj_s").alias("obj_s"),
+                F.col("obj_e").alias("obj_e"),
                 F.lit(0).alias("is_rev"),
                 dis_fwd.alias("contrastive_dis"),
             ),
             F.struct(
                 F.col("obj").alias("subj"),
-                F.col("obj_span").alias("subj_span"),
+                F.col("obj_s").alias("subj_s"),
+                F.col("obj_e").alias("subj_e"),
                 F.col("subj").alias("obj"),
-                F.col("subj_span").alias("obj_span"),
+                F.col("subj_s").alias("obj_s"),
+                F.col("subj_e").alias("obj_e"),
                 F.lit(1).alias("is_rev"),
                 dis_rev.alias("contrastive_dis"),
             ),
@@ -94,9 +98,9 @@ def distill_project(candidates: DataFrame, cfg: DeepExConfig) -> DataFrame:
         F.col("sent_pos"),
         F.col("cand_rank"),
         directions.alias("d"),
-    ).select("docid", "d.subj", "d.subj_span", "rel", "d.obj", "d.obj_span",
-             "sentence", "score", "offset", "sent_pos", "cand_rank", "d.is_rev",
-             "d.contrastive_dis")
+    ).select("docid", "d.subj", "d.subj_s", "d.subj_e", "rel", "d.obj",
+             "d.obj_s", "d.obj_e", "sentence", "score", "offset", "sent_pos",
+             "cand_rank", "d.is_rev", "d.contrastive_dis")
     return out if has_dis else out.drop("contrastive_dis")
 
 

@@ -20,7 +20,6 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
-    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -41,8 +40,12 @@ CANDIDATE_SCHEMA = StructType(
         StructField("subj", StringType()),
         StructField("rel", StringType()),
         StructField("obj", StringType()),
-        StructField("subj_span", ArrayType(IntegerType())),
-        StructField("obj_span", ArrayType(IntegerType())),
+        # spans as four plain INTs (not 2-elem arrays): less Arrow object
+        # churn per candidate and a narrower shuffle row
+        StructField("subj_s", IntegerType()),
+        StructField("subj_e", IntegerType()),
+        StructField("obj_s", IntegerType()),
+        StructField("obj_e", IntegerType()),
         StructField("freq", LongType()),
         StructField("score", DoubleType()),
         StructField("attended_len", LongType()),

@@ -377,6 +377,12 @@ def o8_interval_join(spark, sf_dir):
     """,
 )
 def o30_pr_curve(spark, sf_dir):
+    """Global cumulative PR scan — semantically a single total order, so
+    the un-partitioned window is a one-reducer sort by construction. The
+    scale path is ``operators/evaluate.evaluate_oie_spark``: it
+    pre-aggregates per DISTINCT score (provably sufficient for optimal F1,
+    see its docstring) so the window runs over the tiny distinct-score
+    table, never the full prediction set."""
     w = Window.orderBy(F.desc("value"), F.asc("event_id")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1132,10 +1138,10 @@ def pipeline_rc_triples(spark, sf_dir):
 
 @register("pipeline_candidates", oracle=None)
 def pipeline_candidates(spark, sf_dir):
-    """Registered form projects the 2-element span arrays as four INT
-    columns (subj_s/subj_e/obj_s/obj_e): the driver's correctness harness
-    canonicalizes via a pandas sort, which cannot hash ARRAY columns
-    (round-1 CORRECTNESS err). Arrays stay array-typed internally."""
+    """Spans are four INT columns (subj_s/subj_e/obj_s/obj_e) end-to-end:
+    the driver's correctness harness canonicalizes via a pandas sort, which
+    cannot hash ARRAY columns (round-1 CORRECTNESS err), and four ints are
+    also cheaper through Arrow and the docid shuffle than 2-elem arrays."""
     from deepex_spark.functions.sentencize import sentencize
     from deepex_spark.operators.extract import extract_candidates
     from deepex_spark.sources.pages import read_documents
@@ -1144,11 +1150,7 @@ def pipeline_candidates(spark, sf_dir):
     cand = extract_candidates(sentencize(docs), _pipeline_cfg())
     return cand.select(
         "docid", "sent_pos", "sent_offset", "sent_text", "triple_key",
-        "subj", "rel", "obj",
-        F.col("subj_span")[0].alias("subj_s"),
-        F.col("subj_span")[1].alias("subj_e"),
-        F.col("obj_span")[0].alias("obj_s"),
-        F.col("obj_span")[1].alias("obj_e"),
+        "subj", "rel", "obj", "subj_s", "subj_e", "obj_s", "obj_e",
         "freq", "score", "attended_len", "cand_rank",
     )
 
@@ -1162,11 +1164,7 @@ def pipeline_triples(spark, sf_dir):
 
     docs = read_documents(spark, sf_dir).withColumnRenamed("docid", "url")
     return extract_triples(docs, _pipeline_cfg()).select(
-        "docid", "subj", "rel", "obj",
-        F.col("subj_span")[0].alias("subj_s"),
-        F.col("subj_span")[1].alias("subj_e"),
-        F.col("obj_span")[0].alias("obj_s"),
-        F.col("obj_span")[1].alias("obj_e"),
+        "docid", "subj", "rel", "obj", "subj_s", "subj_e", "obj_s", "obj_e",
         "score", "offset", "contrastive_dis", "rank",
     )
 

@@ -60,8 +60,8 @@ def to_eval_tsv(triples: DataFrame, docs: DataFrame, sort_mode: str = "sorted") 
     is the beam score for .unsort and -contrastive_dis for .sorted."""
     d = docs.select(F.col("url").alias("docid"), F.col("text").alias("_doc_text"))
     j = triples.join(d, "docid")
-    subj_txt = F.expr("substring(_doc_text, subj_span[0] + 1, subj_span[1] - subj_span[0])")
-    obj_txt = F.expr("substring(_doc_text, obj_span[0] + 1, obj_span[1] - obj_span[0])")
+    subj_txt = F.expr("substring(_doc_text, subj_s + 1, subj_e - subj_s)")
+    obj_txt = F.expr("substring(_doc_text, obj_s + 1, obj_e - obj_s)")
     score = (
         -F.col("contrastive_dis") if sort_mode == "sorted" else F.col("score")
     )

@@ -70,8 +70,8 @@ def test_simple_triple_extraction():
     keys = [r["triple_key"] for r in rows]
     assert "Obama [SEP] lives in [SEP] Hawaii" in keys
     top = rows[0]
-    assert top["subj_span"] == [0, 5]
-    assert top["obj_span"] == [15, 21]
+    assert (top["subj_s"], top["subj_e"]) == (0, 5)
+    assert (top["obj_s"], top["obj_e"]) == (15, 21)
 
 
 def test_beam_no_revisit_and_direction():

@@ -12,7 +12,7 @@ from deepex_spark.sources.pages import PAGES_SCHEMA, synth_page_rows
 CFG = DeepExConfig.task(dist_const=2)  # bounded pair search for test speed
 
 KEY_COLS = [
-    "docid", "subj", "rel", "obj", "subj_span", "obj_span",
+    "docid", "subj", "rel", "obj", "subj_s", "subj_e", "obj_s", "obj_e",
     "sentence", "score", "offset", "is_rev", "doc_rank", "rank",
 ]
 
@@ -27,7 +27,7 @@ def _spark_rows(spark, rows, cfg, n_partitions=4, rerank=True):
         out.add(
             (
                 r["docid"], r["subj"], r["rel"], r["obj"],
-                tuple(r["subj_span"]), tuple(r["obj_span"]),
+                (r["subj_s"], r["subj_e"]), (r["obj_s"], r["obj_e"]),
                 r["sentence"], round(r["score"], 12), r["offset"],
                 r["is_rev"], r["doc_rank"] if "doc_rank" in r.__fields__ else None,
                 r["rank"],
@@ -43,7 +43,7 @@ def _local_rows(rows, cfg, rerank=True):
         out.add(
             (
                 r["docid"], r["subj"], r["rel"], r["obj"],
-                tuple(r["subj_span"]), tuple(r["obj_span"]),
+                (r["subj_s"], r["subj_e"]), (r["obj_s"], r["obj_e"]),
                 r["sentence"], round(r["score"], 12), r["offset"],
                 r["is_rev"], r.get("doc_rank"), r["rank"],
             )

@@ -74,8 +74,10 @@ def test_reverse_emission_symmetry():
         "subj": "Obama",
         "rel": "was born in",
         "obj": "Hawaii",
-        "subj_span": [0, 5],
-        "obj_span": [18, 24],
+        "subj_s": 0,
+        "subj_e": 5,
+        "obj_s": 18,
+        "obj_e": 24,
         "freq": 2,
         "score": 0.5,
         "attended_len": 8,
@@ -86,7 +88,8 @@ def test_reverse_emission_symmetry():
     fwd = next(r for r in out if r["is_rev"] == 0)
     rev = next(r for r in out if r["is_rev"] == 1)
     assert (fwd["subj"], fwd["obj"]) == (rev["obj"], rev["subj"])
-    assert (fwd["subj_span"], fwd["obj_span"]) == (rev["obj_span"], rev["subj_span"])
+    assert (fwd["subj_s"], fwd["subj_e"]) == (rev["obj_s"], rev["obj_e"])
+    assert (fwd["obj_s"], fwd["obj_e"]) == (rev["subj_s"], rev["subj_e"])
     assert fwd["rel"] == rev["rel"]
     assert fwd["score"] == rev["score"]
     assert fwd["sentence"] == rev["sentence"]

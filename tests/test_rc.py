@@ -50,7 +50,7 @@ def test_rc_extraction_end_to_end_kernel():
     top = rows[0]
     assert top["subj"] == "Obama" and top["obj"] == "Hawaii"
     assert top["rel"] == "born in"  # relation mention surface text
-    assert top["subj_span"] == [0, 5] and top["obj_span"] == [18, 24]
+    assert (top["subj_s"], top["subj_e"]) == (0, 5) and (top["obj_s"], top["obj_e"]) == (18, 24)
     # the RC beam's reversed walk swaps endpoints back (kgm.py:499), so it
     # lands on the SAME oriented key and dedups into freq >= 2; reversed
     # triples are emitted at distill, not here
