@@ -20,6 +20,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -62,6 +63,33 @@ CANDIDATE_SCHEMA = StructType(
 
 _COLUMNS = [f.name for f in CANDIDATE_SCHEMA.fields]
 
+# The Python stage returns ONE row per sentence (struct-of-arrays over its
+# candidates) and the JVM explodes it: the per-sentence fields — docid and
+# the full sentence text, ~60% of the candidate-row bytes — cross the
+# python->JVM Arrow boundary once per sentence instead of once per
+# candidate (~8x fewer string bytes on webtext; that hop is the
+# syscall-bound term at full-core saturation, BENCH/BASELINE.md).
+_PER_CAND = [
+    "triple_key", "subj", "rel", "obj", "subj_s", "subj_e", "obj_s", "obj_e",
+    "freq", "score", "attended_len", "cand_rank", "dis_fwd", "dis_rev",
+]
+
+NESTED_SCHEMA = StructType(
+    [
+        StructField("docid", StringType()),
+        StructField("sent_pos", IntegerType()),
+        StructField("sent_offset", IntegerType()),
+        StructField("sent_text", StringType()),
+    ]
+    + [
+        StructField(f.name, ArrayType(f.dataType))
+        for f in CANDIDATE_SCHEMA.fields
+        if f.name in _PER_CAND
+    ]
+)
+
+_NESTED_COLUMNS = [f.name for f in NESTED_SCHEMA.fields]
+
 
 def extract_candidates(
     sentences: DataFrame, cfg: DeepExConfig, repartition: bool = True
@@ -77,6 +105,8 @@ def extract_candidates(
     hashes pages by url upstream; a second round-robin here would double
     the exchange count and undo the url colocation).
     """
+    from pyspark.sql import functions as F
+
     if repartition:
         n_parts = cfg.repartition_by_url or (
             sentences.sparkSession.sparkContext.defaultParallelism * 2
@@ -98,16 +128,32 @@ def extract_candidates(
             for docid, pos, off, text in zip(
                 pdf["docid"], pdf["sent_pos"], pdf["sent_offset"], pdf["sent_text"]
             ):
-                pos = int(pos)
-                for t in process_sentence_tuples(docid, int(off), text, cfg, provider):
-                    # tuple order: docid, sent_offset, sent_text, ... ->
-                    # splice sent_pos in at position 1 (schema order)
-                    if compute_dis:
-                        # t = (docid, off, text, key, subj, rel, obj, ...)
-                        dis = candidate_distances(t[2], t[4], t[5], t[6], cfg.encoder_dim, sent_cache)
-                    else:
-                        dis = (None, None)
-                    rows.append((t[0], pos) + t[1:] + dis)
-            yield pd.DataFrame(rows, columns=_COLUMNS)
+                ts = process_sentence_tuples(docid, int(off), text, cfg, provider)
+                if not ts:
+                    continue
+                # tuple order: docid, sent_offset, sent_text, then _PER_CAND
+                # fields minus the distances — transpose to parallel arrays
+                cols = list(zip(*ts))[3:]
+                if compute_dis:
+                    dis = [
+                        candidate_distances(t[2], t[4], t[5], t[6], cfg.encoder_dim, sent_cache)
+                        for t in ts
+                    ]
+                    dis_fwd = [d[0] for d in dis]
+                    dis_rev = [d[1] for d in dis]
+                else:
+                    dis_fwd = [None] * len(ts)
+                    dis_rev = [None] * len(ts)
+                rows.append(
+                    (docid, int(pos), int(off), text)
+                    + tuple(list(c) for c in cols)
+                    + (dis_fwd, dis_rev)
+                )
+            yield pd.DataFrame(rows, columns=_NESTED_COLUMNS)
 
-    return sentences.mapInPandas(run, schema=CANDIDATE_SCHEMA)
+    nested = sentences.mapInPandas(run, schema=NESTED_SCHEMA)
+    # JVM-side explode back to one row per candidate (codegen'd Generate)
+    zipped = F.arrays_zip(*[F.col(c) for c in _PER_CAND])
+    return nested.select(
+        "docid", "sent_pos", "sent_offset", "sent_text", F.inline(zipped)
+    ).select(*_COLUMNS)
