@@ -40,6 +40,12 @@ def main():
     corpus = f"/tmp/deepex_scaling_corpus_{n_docs}"
     if not os.path.exists(corpus):
         bench._materialize_corpus(n_docs, 42, corpus)
+    import subprocess
+
+    rev = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ).stdout.strip()
     os.makedirs("BENCH", exist_ok=True)
     log = "BENCH/scaling_attempts.jsonl"
     for _ in range(rounds):
@@ -49,7 +55,7 @@ def main():
             rec = {
                 "ts": round(time.time(), 1), "n_docs": n_docs, "threads": threads,
                 "n_triples": n, "sec": round(dt, 2), "rate": round(n / dt, 1),
-                "steal_pct": steal, "load_at_start": la,
+                "steal_pct": steal, "load_at_start": la, "git_rev": rev,
                 "driver_mem": os.environ.get("SPARK_DRIVER_MEM", "8g"),
             }
             with open(log, "a") as f:
