@@ -30,6 +30,7 @@ HEADLINE = [
     "o27_alias_broadcast_join",
     "o30_pr_curve",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "dedup_exact",
 ]
 
