@@ -182,9 +182,14 @@ def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
     return round(100.0 * (after[0] - before[0]) / dt, 2) if dt > 0 else 0.0
 
 
-def run_scaling(n_docs: int = 40000) -> dict:
+def run_scaling(n_docs: int = 240000) -> dict:
     import tempfile
 
+    # a scaling measurement needs enough work per core: at 40k pages the
+    # 32-thread run finishes in ~14s and fixed stage/IPC overhead dominates
+    # the ratio; 240k pages keeps the parallel run >60s (and is the closer
+    # stand-in for the 100 TB regime). More heap for the bigger sort.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     ceiling = round(_hw_ceiling() / 4.0, 3)
     corpus = os.path.join(tempfile.gettempdir(), f"deepex_scaling_corpus_{n_docs}")
     _materialize_corpus(n_docs, 42, corpus)

@@ -422,7 +422,13 @@ def _rank_key(dedup_ranking_type: str):
 def accumulate_candidates(dedup: dict, seqs, feat: SentenceFeatures, cfg) -> None:
     """Canonical flip + score clamp + assembly + per-sentence dedup
     accumulation (kgm.py:221-265). Mutates ``dedup`` in place so windowed
-    over-long sentences accumulate into one per-sentence dict."""
+    over-long sentences accumulate into one per-sentence dict.
+
+    Assembly is memoized per canonical path within the window: walks from
+    different (start, bound) pairs frequently yield the same path (that is
+    exactly how freq > 1 arises), and ``convert_to_triplet`` is a pure
+    function of (path, feat) — ~3x fewer assembly calls, same results."""
+    conv_cache: dict[tuple, tuple] = {}
     for path, score in seqs:
         p = list(path)
         if cfg.beam_mode != "RC":
@@ -431,7 +437,11 @@ def accumulate_candidates(dedup: dict, seqs, feat: SentenceFeatures, cfg) -> Non
         # seq[1:-1] = sorted([score, visited=True]) quirk (kgm.py:234):
         # scores above 1.0 become bool True (=1.0) in the score slot.
         s = score if score <= 1.0 else 1.0
-        trip, spans = convert_to_triplet(p, feat)
+        pk = tuple(p)
+        hit = conv_cache.get(pk)
+        if hit is None:
+            hit = conv_cache[pk] = convert_to_triplet(p, feat)
+        trip, spans = hit
         if (
             trip is None
             or spans is None

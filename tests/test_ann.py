@@ -68,3 +68,20 @@ def test_ivf_corpus_side_never_shuffles(emb):
     streamed = tail[:bcast_at] if bcast_at != -1 else tail
     others = [ln for ln in streamed.splitlines() if "Exchange" in ln]
     assert not others, others
+
+
+def test_ivf_index_partition_pruning(spark, emb, tmp_path):
+    """At corpus scale the IVF index is WRITTEN partitioned by centroid_id;
+    probing then prunes unprobed lists at the SCAN (PartitionFilters), not
+    with a post-scan filter."""
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    idx_path = str(tmp_path / "ivf_index")
+    ivf_assign(e, ivf_centroids(8, 64, 733)).write.partitionBy("centroid_id").parquet(idx_path)
+
+    probed = spark.read.parquet(idx_path).filter(F.col("centroid_id").isin(2, 5))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "centroid_id" in plan.split("PartitionFilters:")[1].split("]")[0]
+    # pruned read returns exactly the two lists
+    got = {r["centroid_id"] for r in probed.select("centroid_id").distinct().collect()}
+    assert got <= {2, 5}
