@@ -198,9 +198,26 @@ def run_scaling(n_docs: int = 240000) -> dict:
     # interleaved repeats with min-wall are the stable estimator — each
     # level just needs ONE quiet window
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
+    try:
+        import subprocess
+
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True
+        ).stdout.strip()
+    except OSError:
+        rev = ""
     results = {}
     for threads in (8, 32) * repeats:
         n, dt, steal = _run_pipeline_once(threads, corpus)
+        # every sample also lands in the attempts log so the best pair per
+        # code revision survives across runs (tools/quote_scaling.py)
+        with open("BENCH/scaling_attempts.jsonl", "a") as f:
+            f.write(json.dumps({
+                "ts": round(time.time(), 1), "n_docs": n_docs, "threads": threads,
+                "n_triples": n, "sec": round(dt, 2), "rate": round(n / dt, 1),
+                "steal_pct": steal, "git_rev": rev, "source": "bench_scaling",
+                "driver_mem": os.environ.get("SPARK_DRIVER_MEM", "8g"),
+            }) + "\n")
         cur = results.get(threads)
         if cur is None or dt < cur["sec"]:
             results[threads] = {
