@@ -92,11 +92,13 @@ def ivf_search(
     q = e.filter(query_filter).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    cdf = None
-    for i, c in enumerate(centroids):
-        lit = ", ".join(repr(x) for x in c)
-        row = q.sparkSession.sql(f"SELECT {i} AS centroid_id, array({lit}) AS cvec")
-        cdf = row if cdf is None else cdf.unionByName(row)
+    values = ", ".join(
+        f"({i}, array({', '.join(repr(x) for x in c)}))"
+        for i, c in enumerate(centroids)
+    )
+    cdf = q.sparkSession.sql(
+        f"SELECT * FROM VALUES {values} AS t(centroid_id, cvec)"
+    )
     probes = (
         q.crossJoin(F.broadcast(cdf))
         .withColumn(
