@@ -85,3 +85,23 @@ def test_ivf_index_partition_pruning(spark, emb, tmp_path):
     # pruned read returns exactly the two lists
     got = {r["centroid_id"] for r in probed.select("centroid_id").distinct().collect()}
     assert got <= {2, 5}
+
+
+def test_ivf_assign_matches_numpy_argmax(spark):
+    """The single-expression argmax must equal numpy's argmax (which also
+    takes the first occurrence on ties), including on constructed ties."""
+    import numpy as np
+
+    cents = ivf_centroids(6, 8, 99)
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 8))
+    # force exact ties: vector 0 orthogonal to everything -> all dots 0.0
+    vecs[0] = 0.0
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    got = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(df, cents).collect()}
+    C = np.array(cents)
+    for i, v in enumerate(vecs):
+        want = int(np.argmax(C @ v))
+        assert got[i] == want, (i, got[i], want)
+    assert got[0] == 0  # all-ties -> first centroid
