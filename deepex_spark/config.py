@@ -54,6 +54,18 @@ class DeepExConfig:
     encoder_dim: int = 64
     rerank_sorted: bool = True           # '.sorted' mode (rerank) vs '.unsort'
 
+    # --- kernel output width (scale knob) ---
+    # sent_text / triple_key are DERIVABLE payloads: the sentence is needed
+    # only by the eval/TSV stages (distill builds the '$input_txt:$ '
+    # sentence from it) and triple_key only by corpus_dedup /
+    # 'score_freq_len' ranking. Both are pure string freight through the
+    # python->JVM Arrow boundary and the docid shuffle — on webtext they are
+    # most of the row bytes — so the triples-only production path switches
+    # them off (DeepExConfig.small()). Defaults keep the full reference-
+    # faithful surface.
+    emit_sent_text: bool = True
+    emit_triple_key: bool = True
+
     # --- scale / execution ---
     shuffle_partitions: int = 32
     arrow_max_records: int = 2048        # reference example_batch_size (re_data.py:88)
@@ -81,5 +93,10 @@ class DeepExConfig:
         """Cheap config for smoke checks / benchmarks on word-salad docs:
         task semantics but a bounded pair search (dist_const=2, the library
         default in args.py:130-132) and windowed over-long sentences."""
-        base = cls.task(dist_const=2, max_kernel_tokens=48)
+        base = cls.task(
+            dist_const=2,
+            max_kernel_tokens=48,
+            emit_sent_text=False,
+            emit_triple_key=False,
+        )
         return replace(base, **overrides)

@@ -50,12 +50,19 @@ def distill_project(candidates: DataFrame, cfg: DeepExConfig) -> DataFrame:
     """Narrow part of distillation: rank-score attach, scrub, fwd+rev
     emission — NO window. Kept separate so the rerank UDF can run before
     any exchange (one docid shuffle then serves both window sorts)."""
+    if cfg.dedup_ranking_type == "score_freq_len" and "triple_key" not in candidates.columns:
+        raise ValueError(
+            "dedup_ranking_type='score_freq_len' needs triple_key — set "
+            "emit_triple_key=True in DeepExConfig"
+        )
+    has_text = "sent_text" in candidates.columns  # off when cfg.emit_sent_text=False
     base = (
         candidates.withColumn("rank_score", rank_score_col(cfg.dedup_ranking_type))
         .withColumn("rel_scrub", F.trim(F.regexp_replace("rel", r"[^\x00-\x7F]+", " ")))
         .filter(F.length("rel_scrub") > 0)
-        .withColumn("sentence", F.concat(F.lit(SENT_PREFIX), F.col("sent_text")))
     )
+    if has_text:
+        base = base.withColumn("sentence", F.concat(F.lit(SENT_PREFIX), F.col("sent_text")))
     # Forward + reverse emitted in ONE pass: a union of two projections
     # would duplicate the (expensive) kernel subtree in the physical plan,
     # running extraction twice; explode(array(fwd, rev)) keeps it a single
@@ -89,17 +96,18 @@ def distill_project(candidates: DataFrame, cfg: DeepExConfig) -> DataFrame:
             ),
         )
     )
+    sent_cols = ["sentence"] if has_text else []
     out = base.select(
         F.col("docid"),
         F.col("rel_scrub").alias("rel"),
-        F.col("sentence"),
+        *[F.col(c) for c in sent_cols],
         F.col("rank_score").alias("score"),
         F.col("sent_offset").alias("offset"),
         F.col("sent_pos"),
         F.col("cand_rank"),
         directions.alias("d"),
     ).select("docid", "d.subj", "d.subj_s", "d.subj_e", "rel", "d.obj",
-             "d.obj_s", "d.obj_e", "sentence", "score", "offset", "sent_pos",
+             "d.obj_s", "d.obj_e", *sent_cols, "score", "offset", "sent_pos",
              "cand_rank", "d.is_rev", "d.contrastive_dis")
     return out if has_dis else out.drop("contrastive_dis")
 

@@ -74,19 +74,24 @@ _PER_CAND = [
     "freq", "score", "attended_len", "cand_rank", "dis_fwd", "dis_rev",
 ]
 
-NESTED_SCHEMA = StructType(
-    [
-        StructField("docid", StringType()),
-        StructField("sent_pos", IntegerType()),
-        StructField("sent_offset", IntegerType()),
-        StructField("sent_text", StringType()),
-    ]
-    + [
-        StructField(f.name, ArrayType(f.dataType))
-        for f in CANDIDATE_SCHEMA.fields
-        if f.name in _PER_CAND
-    ]
-)
+def _schemas(with_sent_text: bool, with_triple_key: bool):
+    """(nested schema, per-candidate field list, flat column list) for the
+    configured output width. sent_text and triple_key are derivable string
+    payload (config.py emit_* knobs) — dropping them shrinks the python->JVM
+    Arrow boundary and every downstream shuffle row."""
+    per_cand = [c for c in _PER_CAND if with_triple_key or c != "triple_key"]
+    per_sent = ["docid", "sent_pos", "sent_offset"] + (
+        ["sent_text"] if with_sent_text else []
+    )
+    by_name = {f.name: f for f in CANDIDATE_SCHEMA.fields}
+    nested = StructType(
+        [by_name[c] for c in per_sent]
+        + [StructField(c, ArrayType(by_name[c].dataType)) for c in per_cand]
+    )
+    return nested, per_cand, per_sent + per_cand
+
+
+NESTED_SCHEMA, _, _ = _schemas(True, True)
 
 _NESTED_COLUMNS = [f.name for f in NESTED_SCHEMA.fields]
 
@@ -114,6 +119,14 @@ def extract_candidates(
         sentences = sentences.repartition(n_parts)
 
     compute_dis = cfg.rerank_sorted
+    with_text = cfg.emit_sent_text
+    with_key = cfg.emit_triple_key
+    nested_schema, per_cand, flat_cols = _schemas(with_text, with_key)
+    nested_cols = [f.name for f in nested_schema.fields]
+    # tuple order from process_sentence_tuples: docid, sent_offset,
+    # sent_text, then _PER_CAND fields minus the distances; slice off the
+    # per-sentence prefix (and triple_key when slimmed)
+    cand_lo = 3 if with_key else 4
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # imports inside the task so executors resolve them locally
@@ -131,9 +144,7 @@ def extract_candidates(
                 ts = process_sentence_tuples(docid, int(off), text, cfg, provider)
                 if not ts:
                     continue
-                # tuple order: docid, sent_offset, sent_text, then _PER_CAND
-                # fields minus the distances — transpose to parallel arrays
-                cols = list(zip(*ts))[3:]
+                cols = list(zip(*ts))[cand_lo:]
                 if compute_dis:
                     dis = [
                         candidate_distances(t[2], t[4], t[5], t[6], cfg.encoder_dim, sent_cache)
@@ -145,15 +156,15 @@ def extract_candidates(
                     dis_fwd = [None] * len(ts)
                     dis_rev = [None] * len(ts)
                 rows.append(
-                    (docid, int(pos), int(off), text)
+                    (docid, int(pos), int(off))
+                    + ((text,) if with_text else ())
                     + tuple(list(c) for c in cols)
                     + (dis_fwd, dis_rev)
                 )
-            yield pd.DataFrame(rows, columns=_NESTED_COLUMNS)
+            yield pd.DataFrame(rows, columns=nested_cols)
 
-    nested = sentences.mapInPandas(run, schema=NESTED_SCHEMA)
+    nested = sentences.mapInPandas(run, schema=nested_schema)
     # JVM-side explode back to one row per candidate (codegen'd Generate)
-    zipped = F.arrays_zip(*[F.col(c) for c in _PER_CAND])
-    return nested.select(
-        "docid", "sent_pos", "sent_offset", "sent_text", F.inline(zipped)
-    ).select(*_COLUMNS)
+    zipped = F.arrays_zip(*[F.col(c) for c in per_cand])
+    per_sent = ["docid", "sent_pos", "sent_offset"] + (["sent_text"] if with_text else [])
+    return nested.select(*per_sent, F.inline(zipped)).select(*flat_cols)

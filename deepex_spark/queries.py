@@ -1088,24 +1088,31 @@ def _pipeline_cfg() -> DeepExConfig:
     return DeepExConfig.small()
 
 
-def _rc_golden_oracle() -> str:
-    """Golden-table oracle: the RC kernel is not SQL-expressible, so the
-    oracle is a pinned parquet of this query's output (regenerate with
-    ``python tools/make_rc_golden.py``), keyed by a fingerprint of the
-    documents table so the same SQL serves every sf dir. An unknown corpus
-    fingerprint returns zero rows — an honest mismatch, never a silent
-    pass."""
+def _golden_oracle(golden_file: str, cols: str) -> str:
+    """Golden-table oracle: the beam-search kernels are not SQL-expressible,
+    so the oracle is a pinned parquet of the query's own (deterministic)
+    output (regenerate with ``python tools/make_rc_golden.py`` /
+    ``make_ie_golden.py``), keyed by a fingerprint of the documents table so
+    the same SQL serves every sf dir. An unknown corpus fingerprint returns
+    zero rows — an honest mismatch, never a silent pass."""
     import os
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "goldens", "rc_triples_golden.parquet",
+        "goldens", golden_file,
     )
     return f"""
-    SELECT docid, subj, rel, obj, score, contrastive_dis, rank
+    SELECT {cols}
     FROM read_parquet('{path}') g
     WHERE g.corpus_fp = (SELECT md5(text) FROM documents WHERE doc_id = 0)
     """
+
+
+def _rc_golden_oracle() -> str:
+    return _golden_oracle(
+        "rc_triples_golden.parquet",
+        "docid, subj, rel, obj, score, contrastive_dis, rank",
+    )
 
 
 @register("pipeline_rc_triples", oracle=_rc_golden_oracle())
@@ -1136,26 +1143,39 @@ def pipeline_rc_triples(spark, sf_dir):
     )
 
 
-@register("pipeline_candidates", oracle=None)
+_CAND_COLS = (
+    "docid, sent_pos, sent_offset, subj, rel, obj, subj_s, subj_e, obj_s, "
+    "obj_e, freq, score, attended_len, cand_rank"
+)
+
+
+@register("pipeline_candidates", oracle=_golden_oracle("ie_candidates_golden.parquet", _CAND_COLS))
 def pipeline_candidates(spark, sf_dir):
     """Spans are four INT columns (subj_s/subj_e/obj_s/obj_e) end-to-end:
     the driver's correctness harness canonicalizes via a pandas sort, which
     cannot hash ARRAY columns (round-1 CORRECTNESS err), and four ints are
-    also cheaper through Arrow and the docid shuffle than 2-elem arrays."""
+    also cheaper through Arrow and the docid shuffle than 2-elem arrays.
+    sent_text/triple_key are not emitted (DeepExConfig.small() slims the
+    kernel output; the sentence identity is (docid, sent_offset))."""
     from deepex_spark.functions.sentencize import sentencize
     from deepex_spark.operators.extract import extract_candidates
     from deepex_spark.sources.pages import read_documents
 
     docs = read_documents(spark, sf_dir)
     cand = extract_candidates(sentencize(docs), _pipeline_cfg())
-    return cand.select(
-        "docid", "sent_pos", "sent_offset", "sent_text", "triple_key",
-        "subj", "rel", "obj", "subj_s", "subj_e", "obj_s", "obj_e",
-        "freq", "score", "attended_len", "cand_rank",
-    )
+    return cand.select(*[c.strip() for c in _CAND_COLS.split(",")])
 
 
-@register("pipeline_triples", oracle=None)
+_TRIPLE_COLS = (
+    "docid, subj, rel, obj, subj_s, subj_e, obj_s, obj_e, score, offset, "
+    "contrastive_dis, rank"
+)
+
+# DuckDB side: ``offset`` is a reserved word there, quote it
+_TRIPLE_COLS_SQL = _TRIPLE_COLS.replace(" offset,", ' g."offset" AS "offset",')
+
+
+@register("pipeline_triples", oracle=_golden_oracle("ie_triples_golden.parquet", _TRIPLE_COLS_SQL))
 def pipeline_triples(spark, sf_dir):
     """Flagship query. Spans projected as four INT columns for the driver
     harness (see pipeline_candidates docstring)."""
@@ -1164,8 +1184,7 @@ def pipeline_triples(spark, sf_dir):
 
     docs = read_documents(spark, sf_dir).withColumnRenamed("docid", "url")
     return extract_triples(docs, _pipeline_cfg()).select(
-        "docid", "subj", "rel", "obj", "subj_s", "subj_e", "obj_s", "obj_e",
-        "score", "offset", "contrastive_dis", "rank",
+        *[c.strip() for c in _TRIPLE_COLS.split(",")]
     )
 
 
