@@ -159,8 +159,14 @@ def match_counts(
 
 
 def pr_curve(y_true, y_scores, recall_multiplier: float):
-    """PR pairs by descending score threshold + optimal F1 (benchmark.py:
-    119-134, sklearn-free re-implementation)."""
+    """PR points by descending score THRESHOLD + optimal F1 (benchmark.py:
+    119-134, sklearn-free re-implementation of sklearn's
+    ``precision_recall_curve`` semantics: one point per DISTINCT score, a
+    threshold takes ALL predictions scoring >= it — tied scores are
+    indivisible). Curve rows are (precision, recall, threshold) in
+    descending-threshold order; recall carries the reference's
+    unmatched-gold multiplier. Optimal is the max-F1 point (the reference
+    maxes over the same threshold points)."""
     pairs = sorted(zip(y_scores, y_true), key=lambda t: -t[0])
     total_pos = sum(y_true)
     if total_pos == 0 or not pairs:
@@ -168,15 +174,36 @@ def pr_curve(y_true, y_scores, recall_multiplier: float):
     tp = 0
     curve = []
     best = (0.0, 0.0, 0.0, 0.0)
-    for i, (score, label) in enumerate(pairs, 1):
-        tp += label
-        p = tp / i
+    n = 0
+    i = 0
+    while i < len(pairs):
+        score = pairs[i][0]
+        while i < len(pairs) and pairs[i][0] == score:  # the whole tie run
+            tp += pairs[i][1]
+            n += 1
+            i += 1
+        p = tp / n
         r = (tp / total_pos) * recall_multiplier
         f1 = 2 * p * r / (p + r) if p + r > 0 else 0.0
         curve.append((p, r, score))
         if f1 > best[2]:
             best = (p, r, f1, score)
     return curve, best
+
+
+def pr_auc(curve) -> float:
+    """Area under the PR curve by trapezoid over recall (the reference's
+    ``auc(r, p)``, benchmark.py:102 — README's headline AUC column).
+    ``curve`` is ``pr_curve``'s output (descending threshold = ascending
+    recall); sklearn's appended (precision 1, recall 0) endpoint is the
+    integration anchor. Flat-recall segments contribute zero, matching
+    sklearn's truncation of the post-full-recall tail."""
+    prev_p, prev_r = 1.0, 0.0
+    area = 0.0
+    for p, r, _ in curve:
+        area += (r - prev_r) * (p + prev_p) / 2.0
+        prev_p, prev_r = p, r
+    return area
 
 
 def precision_recall(gold, pred):
@@ -268,16 +295,16 @@ def match_rows_spark(gold_df, pred_df):
 
 def evaluate_oie_spark(pred_df, gold_df) -> dict:
     """Distributed O30 evaluation: same numbers as the driver-side
-    match_counts + pr_curve path, but nothing larger than a handful of
-    scalars ever reaches the driver.
+    match_counts + pr_curve + pr_auc path, but nothing larger than a
+    handful of scalars ever reaches the driver.
 
-    The optimal F1 uses the positives-first intra-tie order: within a run of
-    equal scores, F1 as a function of the prefix length j rises until all m
-    positives are taken (precision and recall both increase while tp tracks
-    j) and falls after (tp flat, precision falls), so the run's maximum is
-    exactly at j = m — one point per DISTINCT score suffices. The curve scan
-    is a window over distinct scores (small), not over predictions, so no
-    single-reducer pass over the full prediction set.
+    The PR curve has exactly one point per DISTINCT score — sklearn's
+    threshold semantics (a threshold takes every prediction scoring >= it),
+    which is what the reference maxes F1 over and integrates into AUC
+    (benchmark.py:101-134). So the curve scan is a window over the small
+    distinct-score table, never a single-reducer pass over the full
+    prediction set; AUC is the trapezoid over recall with sklearn's
+    (precision 1, recall 0) anchor via a lag window over the same table.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -309,6 +336,8 @@ def evaluate_oie_spark(pred_df, gold_df) -> dict:
         recall = mult
 
         best_f1 = 0.0
+        auc = 0.0
+        n_points = 0
         if matched > 0:
             by_score = (
                 rows.filter(F.col("label").isNotNull())
@@ -316,30 +345,45 @@ def evaluate_oie_spark(pred_df, gold_df) -> dict:
                 .agg(F.count("*").alias("c"), F.sum("label").alias("m"))
             )
             w = Window.orderBy(F.desc("score")).rowsBetween(
-                Window.unboundedPreceding, -1
+                Window.unboundedPreceding, Window.currentRow
             )
-            pts = (
-                by_score.select(
-                    "score", "c", "m",
-                    F.coalesce(F.sum("c").over(w), F.lit(0)).alias("n0"),
-                    F.coalesce(F.sum("m").over(w), F.lit(0)).alias("tp0"),
-                )
-                .filter(F.col("m") > 0)
-                .select(
-                    ((F.col("tp0") + F.col("m")) / (F.col("n0") + F.col("m"))).alias("prec"),
-                    (((F.col("tp0") + F.col("m")) / F.lit(float(matched))) * mult).alias("rec"),
-                )
-                .select(
-                    (2 * F.col("prec") * F.col("rec") / (F.col("prec") + F.col("rec"))).alias("f1")
-                )
+            pts = by_score.select(
+                "score",
+                (F.sum("c").over(w)).alias("n"),
+                (F.sum("m").over(w)).alias("tp"),
+            ).select(
+                "score",
+                (F.col("tp") / F.col("n")).alias("prec"),
+                ((F.col("tp") / F.lit(float(matched))) * mult).alias("rec"),
             )
-            row = pts.agg(F.max("f1")).collect()[0]
-            best_f1 = float(row[0] or 0.0)
+            lagw = Window.orderBy(F.desc("score"))
+            curve = pts.select(
+                "prec", "rec",
+                F.lag("prec", 1, 1.0).over(lagw).alias("prev_p"),
+                F.lag("rec", 1, 0.0).over(lagw).alias("prev_r"),
+            )
+            row = curve.agg(
+                F.max(
+                    F.when(
+                        F.col("prec") + F.col("rec") > 0,
+                        2 * F.col("prec") * F.col("rec") / (F.col("prec") + F.col("rec")),
+                    ).otherwise(0.0)
+                ).alias("best_f1"),
+                F.sum(
+                    (F.col("rec") - F.col("prev_r"))
+                    * (F.col("prec") + F.col("prev_p")) / 2.0
+                ).alias("auc"),
+                F.count("*").alias("n_points"),
+            ).collect()[0]
+            best_f1 = float(row["best_f1"] or 0.0)
+            auc = float(row["auc"] or 0.0)
+            n_points = int(row["n_points"])
         return {
             "precision": precision,
             "recall": recall,
             "optimal_f1": best_f1,
-            "auc_points": n_scored if matched > 0 else 0,
+            "auc": auc,
+            "auc_points": n_points,
             "n_gold": total,
             "n_pred": int(agg["n_pred"] or 0),
         }

@@ -13,8 +13,10 @@ Dataflow mirrors the reference's FewRel/TACRED path
 3. the shared distill/rerank stages apply unchanged ('.sorted' mode);
 4. ``evaluate_rc``: per item keep the k smallest ``contrastive_dis``
    triples, map each predicted relation surface through the alias ->
-   relations dictionary, correct if the true relation is in the union
-   (``evaluation.py:95-141``); P = correct/|predicted|, R = correct/|gold|.
+   relations dictionary, accept with the reference's TACRED/FewRel rules
+   (colon-split label normalization, ``no_relation`` convention,
+   ``main subject`` -> ``part of``; ``evaluation.py:82-141``);
+   P = correct/|predicted|, R = correct/|gold|.
 """
 
 from __future__ import annotations
@@ -87,16 +89,17 @@ def prepare_tacred_raw(spark, test_json_path: str) -> DataFrame:
 
     Spark-native: ``spark.read.json(multiLine=True)`` parses the array into
     one row per instance; sequential ids follow file order (a multiLine
-    JSON file is a single split, so zipWithIndex preserves it)."""
+    JSON file is a single split, so ``monotonically_increasing_id`` is
+    file-ordered and the row_number window — single-partition, fine for a
+    one-time small-file prep — assigns 0-based sequential ids without
+    leaving the DataFrame API)."""
     df = (
         spark.read.option("multiLine", True)
         .json(test_json_path)
         .select("token", "subj_start", "subj_end", "obj_start", "obj_end", "relation")
     )
-    indexed = df.rdd.zipWithIndex().map(lambda t: (str(t[1]), *t[0])).toDF(
-        "id string, token array<string>, subj_start long, subj_end long, "
-        "obj_start long, obj_end long, relation string"
-    )
+    w = Window.orderBy(F.monotonically_increasing_id())
+    indexed = df.withColumn("id", (F.row_number().over(w) - 1).cast("string"))
     return indexed.select(
         "id",
         F.col("token").alias("tokens"),
@@ -190,9 +193,29 @@ def evaluate_rc(
     alias2rel: dict[str, list[str]],
     topk: int = 1,
 ) -> dict:
-    """Zero-shot RC scoring (evaluation.py:95-141). gold: (id,
-    true_relation). Returns {'precision', 'recall', 'f1', 'n_correct',
-    'n_predicted', 'n_gold'}."""
+    """Zero-shot RC scoring with the reference's acceptance rules
+    (evaluation.py:82-141). gold: (id, true_relation). Returns
+    {'precision', 'recall', 'f1', 'n_correct', 'n_predicted', 'n_gold'}.
+
+    An item is correct if ANY of its top-k predicted relation surfaces
+    (smallest contrastive distance) is accepted:
+
+    * surface known in the alias dictionary -> accepted when its relation
+      list contains the TACRED-normalized gold label
+      (``true_relation.split(':')[1].replace('_', ' ')`` — evaluation.py:97;
+      empty string when there is no colon, matching the reference's bare
+      ``except``), OR the raw gold label, OR — the FewRel quirk — when the
+      gold label is ``main subject`` and the list contains ``part of``
+      (evaluation.py:101);
+    * surface NOT in the dictionary -> accepted iff the gold label is
+      ``no_relation`` (the TACRED convention, evaluation.py:82).
+
+    Items that produced no prediction at all are never correct and do not
+    count toward the precision denominator (reference: accuracy /
+    len(our_result)). One deviation, by design: the reference consults each
+    item's OWN candidate alias->relations map; this engine broadcasts one
+    global dictionary — the scalable equivalent, since predicted surfaces
+    come from the item's own candidates."""
     spark = triples.sparkSession
     w = Window.partitionBy("docid").orderBy(F.asc("contrastive_dis"), F.asc("rank"))
     top = (
@@ -202,26 +225,34 @@ def evaluate_rc(
     )
     a2r_rows = [(k.lower(), [r for r in v]) for k, v in alias2rel.items()]
     a2r = spark.createDataFrame(a2r_rows, "pred_rel string, relations array<string>")
-    scored = (
-        top.join(F.broadcast(a2r), "pred_rel", "left")
-        .groupBy("id")
-        .agg(F.flatten(F.collect_list("relations")).alias("pred_relations"))
-    )
+    preds = top.join(F.broadcast(a2r), "pred_rel", "left")
     joined = gold.select(
         F.col("id").cast("string").alias("id"), "true_relation"
-    ).join(scored, "id", "left")
-    res = joined.select(
+    ).join(preds, "id", "left")
+    parts = F.split("true_relation", ":")
+    norm_true = F.when(
+        F.size(parts) >= 2, F.regexp_replace(F.element_at(parts, 2), "_", " ")
+    ).otherwise(F.lit(""))
+    accept = (
+        F.when(F.col("pred_rel").isNull(), F.lit(False))
+        .when(F.col("relations").isNull(), F.col("true_relation") == "no_relation")
+        .otherwise(
+            F.array_contains("relations", norm_true)
+            | F.array_contains("relations", F.col("true_relation"))
+            | (
+                (F.col("true_relation") == "main subject")
+                & F.array_contains("relations", "part of")
+            )
+        )
+    )
+    per_item = joined.groupBy("id").agg(
+        F.max(accept).alias("correct"),
+        F.max(F.col("pred_rel").isNotNull()).alias("predicted"),
+    )
+    res = per_item.select(
         F.count("*").alias("n_gold"),
-        F.sum(F.when(F.col("pred_relations").isNotNull(), 1).otherwise(0)).alias("n_predicted"),
-        F.sum(
-            F.when(
-                F.array_contains(
-                    F.coalesce("pred_relations", F.array().cast("array<string>")),
-                    F.col("true_relation"),
-                ),
-                1,
-            ).otherwise(0)
-        ).alias("n_correct"),
+        F.sum(F.col("predicted").cast("int")).alias("n_predicted"),
+        F.sum(F.col("correct").cast("int")).alias("n_correct"),
     ).collect()[0]
     n_gold, n_pred, n_corr = res["n_gold"], res["n_predicted"] or 0, res["n_correct"] or 0
     p = n_corr / n_pred if n_pred else 0.0

@@ -15,6 +15,7 @@ from deepex_spark.operators.evaluate import (
     match_counts,
     normalize_key,
     normalize_sent_col,
+    pr_auc,
     pr_curve,
 )
 
@@ -72,10 +73,57 @@ def _driver_metrics(gold, pred):
         "precision": precision,
         "recall": mult,
         "optimal_f1": best[2],
+        "auc": pr_auc(curve),
         "auc_points": len(curve),
         "n_gold": total,
         "n_pred": len(pred),
     }
+
+
+def test_pr_curve_auc_sklearn_golden():
+    """Hand-checked against sklearn's precision_recall_curve + auc
+    (reference benchmark.py:101-134) on a fixture with a MIXED-LABEL TIE at
+    0.8 — pins the all-ties-in threshold semantics. sklearn points
+    (threshold desc): (1, 1/3) @.9, (2/3, 2/3) @.8, (3/4, 1) @.7,
+    (3/5, 1) @.6, anchored at (precision 1, recall 0):
+    AUC = 1/3 + 1/3*(1+2/3)/2 + 1/3*(2/3+3/4)/2 + 0 = 61/72."""
+    y_true = [1, 0, 1, 1, 0]
+    y_scores = [0.9, 0.8, 0.8, 0.7, 0.6]
+    curve, best = pr_curve(y_true, y_scores, 1.0)
+    assert [(round(p, 12), round(r, 12), s) for p, r, s in curve] == [
+        (round(1 / 1, 12), round(1 / 3, 12), 0.9),
+        (round(2 / 3, 12), round(2 / 3, 12), 0.8),
+        (round(3 / 4, 12), round(1.0, 12), 0.7),
+        (round(3 / 5, 12), round(1.0, 12), 0.6),
+    ]
+    # optimal F1 = 6/7 at threshold 0.7 (sklearn max over threshold points)
+    assert math.isclose(best[2], 6 / 7, rel_tol=1e-12) and best[3] == 0.7
+    assert math.isclose(pr_auc(curve), 61 / 72, rel_tol=1e-12)
+
+
+def test_evaluate_oie_spark_auc_matches_driver_with_ties(spark):
+    """Distributed AUC/optimal-F1 equals the driver path on a fixture with
+    tied scores (two predictions at distance 0.2)."""
+    gold_rows = [
+        ("t one .", "born in", ["Obama", "Hawaii"]),
+        ("t one .", "lives in", ["Obama", "Washington"]),
+        ("t two .", "works at", ["Curie", "Institute"]),
+    ]
+    pred_rows = [
+        ("t one .", "born in", "Obama", "Hawaii", 0.2),
+        ("t one .", "made of", "cheese", "moon", 0.2),
+        ("t two .", "works at", "Curie", "Institute", 0.4),
+    ]
+    gold = spark.createDataFrame(gold_rows, "sent string, rel string, args array<string>")
+    pred = spark.createDataFrame(
+        pred_rows, "sentence string, rel string, subj string, obj string, contrastive_dis double"
+    )
+    got = evaluate_oie_spark(pred, gold)
+    g = [(s, r, list(a)) for s, r, a in gold_rows]
+    p = [(s, r, [su, ob], -d) for s, r, su, ob, d in pred_rows]
+    want = _driver_metrics(g, p)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-12), (k, got[k], want[k])
 
 
 def test_evaluate_oie_spark_matches_driver_path(spark):

@@ -77,6 +77,45 @@ def test_rc_exhaustive_subspan_scoring():
     assert best_path[1:-1] == [3, 4]
 
 
+def test_rc_eval_acceptance_rules(spark):
+    """The reference's TACRED/FewRel acceptance quirks (evaluation.py:
+    82-141): colon-split+underscore normalization of the gold label, the
+    no_relation convention for unknown predicted surfaces, and the FewRel
+    'main subject' -> 'part of' alias."""
+    from deepex_spark.operators.rc import evaluate_rc
+
+    triples = spark.createDataFrame(
+        [
+            ("1", "founded by", 0.1, 1),   # TACRED org:founded_by, normalized
+            ("2", "gibberish", 0.1, 1),    # unknown surface + no_relation gold
+            ("3", "of", 0.1, 1),           # FewRel main subject -> part of
+            ("4", "works at", 0.1, 1),     # wrong relation
+            # item 5 emits nothing
+        ],
+        "docid string, rel string, contrastive_dis double, rank int",
+    )
+    gold = spark.createDataFrame(
+        [
+            ("1", "org:founded_by"),
+            ("2", "no_relation"),
+            ("3", "main subject"),
+            ("4", "per:spouse"),
+            ("5", "per:age"),
+        ],
+        "id string, true_relation string",
+    )
+    alias2rel = {
+        "founded by": ["founded by"],
+        "of": ["part of"],
+        "works at": ["employee of"],
+    }
+    m = evaluate_rc(triples, gold, alias2rel, topk=1)
+    assert m["n_gold"] == 5
+    assert m["n_predicted"] == 4  # item 5 produced no prediction
+    assert m["n_correct"] == 3    # items 1 (normalized), 2 (no_relation), 3 (quirk)
+    assert m["precision"] == 3 / 4 and m["recall"] == 3 / 5
+
+
 def test_rc_spark_pipeline_and_eval(spark):
     from deepex_spark.operators.rc import (
         RC_INPUT_DDL,
