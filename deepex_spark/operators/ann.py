@@ -30,6 +30,7 @@ training-data-pipeline extension mandated alongside SURVEY.md §2.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -70,6 +71,36 @@ def ivf_assign(emb: DataFrame, centroids: list[list[float]], vec_col: str = "v")
     return emb.withColumn("centroid_id", F.expr(expr))
 
 
+def ivf_assign_vectorized(
+    emb: DataFrame, centroids: list[list[float]], vec_col: str = "v"
+) -> DataFrame:
+    """Scale path for the coarse assignment: a production index has K in
+    the thousands and dim in the hundreds, and inlining K*dim literals into
+    one Catalyst expression (``ivf_assign``) blows up analysis/codegen long
+    before data size matters. Here the centroid matrix ships once per task
+    inside the UDF closure and each Arrow batch does ONE BLAS matmul +
+    argmax — still a narrow projection, no exchange (plan-guarded by
+    ``tests/test_ann.py``). Ties resolve to the lowest centroid id
+    (``np.argmax`` takes the first maximum), matching ``ivf_assign``'s
+    strict-``>`` running max; equality of the two paths is asserted by
+    test on real embeddings."""
+    from pyspark.sql.functions import pandas_udf
+
+    cm = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        return pd.Series(np.argmax(mat @ cm.T, axis=1).astype(np.int32))
+
+    return emb.withColumn("centroid_id", assign(F.col(vec_col)))
+
+
+# above this many inlined literals the Catalyst expression tree is the
+# bottleneck — switch the coarse assignment to the vectorized pandas path
+_MAX_INLINE_LITERALS = 4096
+
+
 def ivf_search(
     emb: DataFrame,
     query_filter,
@@ -77,16 +108,26 @@ def ivf_search(
     nprobe: int = 2,
     topk: int = 3,
     seed: int = 733,
+    dim: int = 64,
 ) -> DataFrame:
     """IVF top-k cosine search. ``emb`` has (vec_id, embedding ARRAY);
     ``query_filter`` is a Column predicate selecting the query rows.
     Returns (query_id, neighbor_id, cos_sim_r, rnk) — the same shape as the
-    exact ann_cosine_topk baseline so recall is directly comparable."""
+    exact ann_cosine_topk baseline so recall is directly comparable.
+
+    ``dim`` is explicit (no inferring via a ``first()`` job at plan time,
+    and it must agree with ``ivf_oracle_sql``'s ``dim`` — both default 64);
+    a table with different-length embeddings fails loudly in the vectorized
+    path (ragged ``np.stack``) and produces null dots in the literal path.
+    Small K*dim keeps the literal-expression assignment (friendlier plan);
+    production-sized indexes switch to the broadcast-matrix pandas path."""
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    dim = len(e.select("v").first()["v"])
     centroids = ivf_centroids(k_centroids, dim, seed)
 
-    indexed = ivf_assign(e, centroids)
+    if k_centroids * dim <= _MAX_INLINE_LITERALS:
+        indexed = ivf_assign(e, centroids)
+    else:
+        indexed = ivf_assign_vectorized(e, centroids)
 
     # probe: tiny query set x K centroids -> top-nprobe lists per query
     q = e.filter(query_filter).select(

@@ -45,6 +45,11 @@ _TOKEN_RE = _re.compile(r"\w+|[^\w\s]")
 
 
 _token_hash_caches: dict[int, dict[str, tuple[int, float]]] = {}
+# per-worker memory bound: on webtext the token vocabulary is unbounded and
+# the executor Python workers are long-lived, so an uncapped memo is a slow
+# leak. Entries are pure functions of the token, so a full flush (not LRU —
+# no bookkeeping in the hot loop) changes nothing but recompute cost.
+_TOKEN_CACHE_MAX = 1 << 18
 
 
 def _hash_embed(s: str, dim: int) -> np.ndarray:
@@ -65,6 +70,8 @@ def _hash_embed(s: str, dim: int) -> np.ndarray:
     for t in _TOKEN_RE.findall(s):
         e = cache.get(t)
         if e is None:
+            if len(cache) >= _TOKEN_CACHE_MAX:
+                cache.clear()
             h = crc32(t.encode("utf-8"))
             e = cache[t] = (h % dim, 1.0 if (h >> 31) & 1 else -1.0)
         v[e[0]] += e[1]

@@ -556,12 +556,28 @@ def o_distinct_agg(spark, sf_dir):
     )
 
 
-@register("o_approx_distinct", oracle=None)  # sketch values are engine-specific
+@register(
+    "o_approx_distinct",
+    # sketch values are engine-specific (Spark HLL++ vs DuckDB HLL), so the
+    # hard-checkable projection is the TOLERANCE BOOLEAN: each engine
+    # asserts its own sketch lands within 5% of the exact count — identical
+    # rows iff both sketches are sane
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+             <= 0.05 * count(DISTINCT user_id) AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def o_approx_distinct(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(F.approx_count_distinct("user_id") - F.countDistinct("user_id"))
+            <= 0.05 * F.countDistinct("user_id")
+        ).alias("within_5pct"),
     )
 
 
@@ -1047,7 +1063,28 @@ def ann_ivf_topk(spark, sf_dir):
 # Spark-side schema/batching/explosion is the real, tested part)
 # ---------------------------------------------------------------------------
 
-@register("multimodal_decode", oracle=None)
+def _mm_golden(golden_file: str, cols: str) -> str:
+    """Golden oracle for the multimodal trio: the DXM1 synthetic container
+    is seeded-deterministic and corpus-independent (the queries ignore
+    sf_dir), so the oracle is an unkeyed pinned parquet of the query's own
+    output (regenerate with ``python tools/make_multimodal_golden.py``)."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "goldens", golden_file,
+    )
+    return f"SELECT {cols} FROM read_parquet('{path}')"
+
+
+@register(
+    "multimodal_decode",
+    oracle=_mm_golden(
+        "multimodal_decode_golden.parquet",
+        "media_id, meta_width, meta_height, meta_n_frames, meta_mime, "
+        "dec_n_bytes, dec_mean_byte",
+    ),
+)
 def multimodal_decode(spark, sf_dir):
     from deepex_spark.operators.multimodal import decode_media, synth_media
 
@@ -1064,14 +1101,31 @@ def multimodal_decode(spark, sf_dir):
     )
 
 
-@register("multimodal_frames", oracle=None)
+@register(
+    "multimodal_frames",
+    oracle=_mm_golden(
+        "multimodal_frames_golden.parquet",
+        "media_id, frame_idx, frame_len, frame_checksum",
+    ),
+)
 def multimodal_frames(spark, sf_dir):
     from deepex_spark.operators.multimodal import sample_frames, synth_media
 
-    return sample_frames(synth_media(spark, n=60), every=2)
+    # frame bytes stay out of the registered projection (the harness's
+    # pandas canonicalization can't hash binary cells); length + crc32
+    # pin the content
+    return sample_frames(synth_media(spark, n=60), every=2).select(
+        "media_id",
+        "frame_idx",
+        F.length("frame_bytes").alias("frame_len"),
+        "frame_checksum",
+    )
 
 
-@register("multimodal_feature_ann", oracle=None)
+@register(
+    "multimodal_feature_ann",
+    oracle=_mm_golden("multimodal_feature_ann_golden.parquet", "id_a, id_b, cos_sim"),
+)
 def multimodal_feature_ann(spark, sf_dir):
     from deepex_spark.operators.dedup import embedding_near_dups
     from deepex_spark.operators.multimodal import media_features, synth_media

@@ -8,11 +8,15 @@ the sink every batch; keeping the seen-set in the state store makes the
 dedup incremental, checkpointed, and recoverable — state survives query
 restarts (exercised by the two-phase test).
 
-State per docid: the set of seen triple fingerprints (64-bit md5 prefixes,
-deterministic across workers — Python's builtin ``hash`` is salted). At
-corpus scale the state value would be a bloom filter or the RocksDB state
-backend; the dataflow shape (groupBy docid -> applyInPandasWithState) is
-identical.
+State per docid is BOUNDED: the first ``MAX_EXACT`` triple fingerprints
+(64-bit md5 prefixes — deterministic across workers; Python's builtin
+``hash`` is salted) are kept exactly; past the cap, new fingerprints go
+into a fixed-size bloom tail (8 KiB, 4 slices of the fingerprint as bit
+indexes). Below the cap the dedup is exact; above it, bloom false
+positives can DROP a novel triple (never emit a duplicate) — the right
+failure direction for a dedup sink. A hot docid therefore costs at most
+``MAX_EXACT*8 B + 8 KiB`` of state forever; for corpora where even that is
+too much, layer a state TTL (``GroupStateTimeout``) on top.
 
 No reference counterpart (the reference is strictly batch); this is the
 Structured-Streaming extension of O19/O22's dedup semantics.
@@ -27,7 +31,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "docid string, triple_key string, score double"
-STATE_SCHEMA = "seen array<long>"
+STATE_SCHEMA = "seen array<long>, bloom binary"
+
+MAX_EXACT = 4096          # exact fingerprints kept per docid
+_BLOOM_BYTES = 1 << 13    # 8 KiB = 2^16 bits; 4 hashes -> ~0.2% FP at 4k inserts
+_IDX_MASK = (1 << 16) - 1
 
 
 def _fp(key: str) -> int:
@@ -36,16 +44,41 @@ def _fp(key: str) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def _bloom_indices(fp: int):
+    u = fp & ((1 << 64) - 1)
+    return ((u >> (16 * i)) & _IDX_MASK for i in range(4))
+
+
+def _bloom_has(bloom: bytearray, fp: int) -> bool:
+    return all(bloom[i >> 3] & (1 << (i & 7)) for i in _bloom_indices(fp))
+
+
+def _bloom_add(bloom: bytearray, fp: int) -> None:
+    for i in _bloom_indices(fp):
+        bloom[i >> 3] |= 1 << (i & 7)
+
+
 def _dedup_fn(key, pdfs, state: GroupState):
-    seen = set(state.get[0]) if state.exists else set()
+    if state.exists:
+        seen_list, bloom_bytes = state.get
+        seen = set(seen_list)
+        bloom = bytearray(bloom_bytes) if bloom_bytes is not None else None
+    else:
+        seen, bloom = set(), None
     out = []
     for pdf in pdfs:
         for k, s in zip(pdf["triple_key"], pdf["score"]):
             f = _fp(k)
-            if f not in seen:
+            if f in seen or (bloom is not None and _bloom_has(bloom, f)):
+                continue
+            if len(seen) < MAX_EXACT:
                 seen.add(f)
-                out.append((key[0], k, float(s)))
-    state.update((list(seen),))
+            else:
+                if bloom is None:
+                    bloom = bytearray(_BLOOM_BYTES)
+                _bloom_add(bloom, f)
+            out.append((key[0], k, float(s)))
+    state.update((list(seen), bytes(bloom) if bloom is not None else None))
     if out:
         yield pd.DataFrame(out, columns=["docid", "triple_key", "score"])
 

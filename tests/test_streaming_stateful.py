@@ -63,3 +63,63 @@ def test_stateful_dedup_across_batches_and_restarts(spark, tmp_path):
     # the duplicate emitted exactly once (phase-1 copy, score 0.9)
     dup = [r for r in rows if r["triple_key"] == "A [SEP] r [SEP] B"]
     assert len(dup) == 1 and abs(dup[0]["score"] - 0.9) < 1e-9
+
+
+class _FakeState:
+    """Minimal GroupState stub for unit-testing _dedup_fn's state policy."""
+
+    def __init__(self):
+        self.exists = False
+        self._val = None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = v
+        self.exists = True
+
+
+def test_state_bounded_with_bloom_tail():
+    """A hot docid crossing MAX_EXACT must keep the exact list capped and
+    divert the tail into the fixed 8 KiB bloom — dedup stays exact below
+    the cap, never emits a duplicate above it, and total state stays
+    <= MAX_EXACT longs + the bloom bytes."""
+    import pandas as pd
+
+    from deepex_spark.streaming.stateful import MAX_EXACT, _BLOOM_BYTES, _dedup_fn
+
+    n = MAX_EXACT + 1000
+    keys = [f"S{i} [SEP] r [SEP] O{i}" for i in range(n)]
+    pdf = pd.DataFrame({"triple_key": keys, "score": [0.5] * n})
+    st = _FakeState()
+    out1 = list(_dedup_fn(("hot",), iter([pdf]), st))
+    emitted1 = sum(len(o) for o in out1)
+    seen_list, bloom = st.get
+    assert len(seen_list) == MAX_EXACT                      # exact list capped
+    assert bloom is not None and len(bloom) == _BLOOM_BYTES  # fixed-size tail
+    # bloom FPs may drop a few novel keys, never more than ~1%
+    assert emitted1 >= n - n // 100
+
+    # replaying the identical batch emits NOTHING (no duplicates ever)
+    out2 = list(_dedup_fn(("hot",), iter([pdf]), st))
+    assert sum(len(o) for o in out2) == 0
+    seen2, bloom2 = st.get
+    assert len(seen2) == MAX_EXACT and len(bloom2) == _BLOOM_BYTES
+
+
+def test_state_exact_below_cap():
+    """Below MAX_EXACT no bloom is allocated and dedup is exact."""
+    import pandas as pd
+
+    from deepex_spark.streaming.stateful import _dedup_fn
+
+    pdf = pd.DataFrame(
+        {"triple_key": ["a", "b", "a", "c"], "score": [0.1, 0.2, 0.3, 0.4]}
+    )
+    st = _FakeState()
+    out = list(_dedup_fn(("d",), iter([pdf]), st))
+    assert sum(len(o) for o in out) == 3
+    seen, bloom = st.get
+    assert len(seen) == 3 and bloom is None
