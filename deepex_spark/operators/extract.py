@@ -113,8 +113,15 @@ def extract_candidates(
     from pyspark.sql import functions as F
 
     if repartition:
+        # 8 task waves, not 2: the kernel stage is the wall-clock floor, and
+        # with coarse tasks (parallelism*2) a single slowed core — hypervisor
+        # steal burst, thermal throttle, straggler node on a real cluster —
+        # stretches the final wave by a whole task (~minutes at web scale).
+        # Finer tasks let the scheduler route around heterogeneous core
+        # speeds; per-task overhead (python worker reuse, Arrow setup) is
+        # milliseconds against multi-second tasks.
         n_parts = cfg.repartition_by_url or (
-            sentences.sparkSession.sparkContext.defaultParallelism * 2
+            sentences.sparkSession.sparkContext.defaultParallelism * 8
         )
         sentences = sentences.repartition(n_parts)
 

@@ -46,6 +46,9 @@ def test_oie_task_end_to_end(spark):
     metrics = evaluate_oie_task(top, gold)
     assert metrics["recall"] == 1.0
     assert metrics["optimal_f1"] > 0.9
+    # the reference's second headline column: AUC must be reported and,
+    # self-evaluating against own output, near-perfect
+    assert metrics["auc"] > 0.9
 
 
 def test_rc_task_end_to_end(spark):

@@ -61,10 +61,35 @@ def main():
             continue
         r32 = min(cands, key=lambda r: abs(r["ts"] - r8["ts"]))
         pairs.append((r8, r32, abs(r32["ts"] - r8["ts"])))
-    clean = [(a, b) for a, b, gap in pairs
-             if a["steal_pct"] < 1.0 and b["steal_pct"] < 1.0 and gap < 900]
-    if not clean:
-        raise SystemExit(f"no clean pairs among {len(pairs)}: {n_samples}")
+    # steal is an EXOGENOUS, per-run-measured corruption (hypervisor CPU
+    # theft tagged from /proc/stat deltas), so filtering on it is excluding
+    # corrupted measurements, not cherry-picking outcomes. Tiered
+    # thresholds: prefer rounds where both levels ran steal-free (<1%),
+    # fall back to <5%, then to everything — always the MEDIAN ratio within
+    # the tier, always labeled with the tier used.
+    in_window = [(a, b) for a, b, gap in pairs if gap < 900]
+    if not in_window:
+        raise SystemExit(f"no pairs among {len(pairs)}: {n_samples}")
+    steal_note = ""
+    for cap in (1.0, 5.0):
+        clean = [(a, b) for a, b in in_window
+                 if a["steal_pct"] < cap and b["steal_pct"] < cap]
+        if clean:
+            if cap > 1.0:
+                steal_note = (
+                    f"No fully steal-clean round available this session — "
+                    f"quoting the median of rounds with both levels under "
+                    f"{cap:.0f}% hypervisor steal ({len(clean)} of "
+                    f"{len(in_window)} rounds). "
+                )
+            break
+    else:
+        clean = in_window
+        steal_note = (
+            "**No steal-clean round available** — every sampled local[32] "
+            "window lost CPU to the hypervisor (see steal column); the "
+            "quoted efficiency is as-measured under that theft. "
+        )
     # median ratio, quoted FROM the pair that realizes it (len//2 of the
     # ratio-sorted list) — an even count quotes the lower-middle pair, the
     # conservative side of the two medians
@@ -72,6 +97,11 @@ def main():
     b8, b32 = clean[(len(clean) - 1) // 2]
     assert b8["n_triples"] == b32["n_triples"] and b8.get("git_rev") == b32.get("git_rev")
     eff = (b8["sec"] / b32["sec"]) / 4
+    # steal-corrected: approximate each run's quiet-host wall time by its
+    # busy share (1 - steal); exact if theft is uniform over the run
+    corr8 = b8["sec"] * (1 - b8["steal_pct"] / 100.0)
+    corr32 = b32["sec"] * (1 - b32["steal_pct"] / 100.0)
+    eff_corr = (corr8 / corr32) / 4
     # ceiling: keep the most recently measured one unless re-run
     ceiling = float(os.environ.get("HW_CEILING", "0.835"))
     out = {
@@ -82,6 +112,8 @@ def main():
         "n_docs": n_docs,
         "hw_ceiling": ceiling,
         "normalized_efficiency": round(eff / ceiling, 3),
+        "steal_corrected_efficiency": round(eff_corr, 3),
+        "n_clean_pairs": len(clean),
         "n_samples": n_samples,
         "detail": {"8": b8, "32": b32},
     }
@@ -109,8 +141,11 @@ def main():
             "overall speed drifts by phase, so the within-round ratio is "
             "phase-free and the median over clean rounds avoids picking a "
             "lucky tail).\n\n"
+            + steal_note +
             f"Scaling efficiency (rate32/rate8)/4 = **{eff:.3f}** "
-            "(target >= 0.8 for a real N->4N executor scale-out).\n\n"
+            "(target >= 0.8 for a real N->4N executor scale-out); "
+            f"steal-corrected (each run scaled by its busy share 1-steal): "
+            f"**{eff_corr:.3f}**.\n\n"
             "**Hardware ceiling on this box** (pure-Python busy-loop "
             f"throughput, 32 vs 8 processes, /4): **{ceiling:.3f}** — "
             "all-cores turbo is lower than 8-core turbo and the hypervisor "
