@@ -146,13 +146,16 @@ def main():
             "(target >= 0.8 for a real N->4N executor scale-out); "
             f"steal-corrected (each run scaled by its busy share 1-steal): "
             f"**{eff_corr:.3f}**.\n\n"
-            "**Hardware ceiling on this box** (pure-Python busy-loop "
-            f"throughput, 32 vs 8 processes, /4): **{ceiling:.3f}** — "
-            "all-cores turbo is lower than 8-core turbo and the hypervisor "
-            "steals CPU when all 32 vCPUs are busy, so no single-box "
-            "CPU-bound job can reach 1.0; a real 4N-executor scale-out adds "
-            "machines and does not pay this tax. Efficiency normalized by "
-            f"the ceiling: **{eff/ceiling:.3f}**.\n\n"
+            "**Hardware scaling reference on this box** (pure-Python "
+            f"busy-loop throughput, 32 vs 8 processes, /4): **{ceiling:.3f}** "
+            "— all-cores turbo is lower than 8-core turbo and the "
+            "hypervisor taxes full-box usage, so single-box ratios "
+            "undershoot 1.0 for reasons a real 4N-executor scale-out (more "
+            "machines) does not share. It is an indicative envelope for a "
+            "pure-CPU workload, not a hard bound: a mixed JVM+Python "
+            "pipeline can exceed it when its 8-thread baseline leaves less "
+            "headroom than the busy-loop's. Efficiency relative to it: "
+            f"**{eff/ceiling:.3f}**.\n\n"
             "Single-box caveats (documented because the sandbox substitutes "
             "cores for executors): at full 32-thread saturation the "
             "JVM<->python-worker Arrow IPC turns syscall-bound and the "
