@@ -117,11 +117,27 @@ def ivf_search(
 
     ``dim`` is explicit (no inferring via a ``first()`` job at plan time,
     and it must agree with ``ivf_oracle_sql``'s ``dim`` — both default 64);
-    a table with different-length embeddings fails loudly in the vectorized
-    path (ragged ``np.stack``) and produces null dots in the literal path.
-    Small K*dim keeps the literal-expression assignment (friendlier plan);
-    production-sized indexes switch to the broadcast-matrix pandas path."""
+    a table with different-length embeddings fails LOUDLY in both paths:
+    the vectorized path via ragged ``np.stack``, the literal path via the
+    JVM-side ``raise_error`` guard below (without it, zip_with against a
+    wrong-length literal yields null dots, the running max never fires,
+    every centroid_id becomes -1 and the probe join silently returns zero
+    rows). Small K*dim keeps the literal-expression assignment (friendlier
+    plan); production-sized indexes switch to the broadcast-matrix pandas
+    path."""
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    e = e.withColumn(
+        "v",
+        F.when(F.size("v") == dim, F.col("v")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("ivf_search: embedding length "),
+                    F.size("v").cast("string"),
+                    F.lit(f" != dim={dim}"),
+                )
+            )
+        ),
+    )
     centroids = ivf_centroids(k_centroids, dim, seed)
 
     if k_centroids * dim <= _MAX_INLINE_LITERALS:

@@ -135,6 +135,11 @@ def corpus_dedup(candidates: DataFrame, cfg: DeepExConfig, topk_per_sentence: in
     distillation.py:80-98): per-sentence top-k candidates merged across the
     whole corpus by triple key, accumulating [freq, score], ranked by the
     dedup ranking type. The canonical Spark hash aggregate."""
+    if "triple_key" not in candidates.columns:
+        raise ValueError(
+            "corpus_dedup groups by triple_key — set emit_triple_key=True "
+            "in DeepExConfig (it is off in the slimmed bench configs)"
+        )
     c = candidates
     if topk_per_sentence is not None:
         w = Window.partitionBy("docid", "sent_offset").orderBy(F.asc("cand_rank"))

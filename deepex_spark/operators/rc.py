@@ -190,8 +190,9 @@ def rc_pipeline(rc_df: DataFrame, cfg: DeepExConfig) -> DataFrame:
 def evaluate_rc(
     triples: DataFrame,
     gold: DataFrame,
-    alias2rel: dict[str, list[str]],
+    alias2rel: dict[str, list[str]] | None = None,
     topk: int = 1,
+    items: DataFrame | None = None,
 ) -> dict:
     """Zero-shot RC scoring with the reference's acceptance rules
     (evaluation.py:82-141). gold: (id, true_relation). Returns
@@ -212,20 +213,46 @@ def evaluate_rc(
 
     Items that produced no prediction at all are never correct and do not
     count toward the precision denominator (reference: accuracy /
-    len(our_result)). One deviation, by design: the reference consults each
-    item's OWN candidate alias->relations map; this engine broadcasts one
-    global dictionary — the scalable equivalent, since predicted surfaces
-    come from the item's own candidates."""
+    len(our_result)).
+
+    The dictionary consulted is, exactly as in the reference, each item's
+    OWN alias->relations map (``val_data[k]["alias2relation"][v]``,
+    evaluation.py:95-101): pass ``items`` = the prepared RC records (id,
+    rel_candidates) and the map is derived by exploding each item's
+    candidates and set-unioning relation lists per surface — the same
+    per-item union ``post_process.py:27-42`` builds — then joined to the
+    predictions by (id, surface), a plain distributed equi-join. The
+    ``alias2rel`` global-dict form remains as a fallback (broadcast
+    lookup); it differs only when one surface maps to different relation
+    sets in different items (``tests/test_rc.py`` pins the difference)."""
     spark = triples.sparkSession
+    if (alias2rel is None) == (items is None):
+        raise ValueError("evaluate_rc needs exactly one of alias2rel / items")
     w = Window.partitionBy("docid").orderBy(F.asc("contrastive_dis"), F.asc("rank"))
     top = (
         triples.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= topk)
         .select(F.col("docid").alias("id"), F.lower(F.trim("rel")).alias("pred_rel"))
     )
-    a2r_rows = [(k.lower(), [r for r in v]) for k, v in alias2rel.items()]
-    a2r = spark.createDataFrame(a2r_rows, "pred_rel string, relations array<string>")
-    preds = top.join(F.broadcast(a2r), "pred_rel", "left")
+    if items is not None:
+        a2r = (
+            items.select(
+                F.col("id").cast("string").alias("id"),
+                F.explode("rel_candidates").alias("c"),
+            )
+            .select(
+                "id",
+                F.lower(F.trim(F.col("c.aliase"))).alias("pred_rel"),
+                F.col("c.relation").alias("rels"),
+            )
+            .groupBy("id", "pred_rel")
+            .agg(F.array_distinct(F.flatten(F.collect_list("rels"))).alias("relations"))
+        )
+        preds = top.join(a2r, ["id", "pred_rel"], "left")
+    else:
+        a2r_rows = [(k.lower(), [r for r in v]) for k, v in alias2rel.items()]
+        a2r = spark.createDataFrame(a2r_rows, "pred_rel string, relations array<string>")
+        preds = top.join(F.broadcast(a2r), "pred_rel", "left")
     joined = gold.select(
         F.col("id").cast("string").alias("id"), "true_relation"
     ).join(preds, "id", "left")

@@ -368,30 +368,46 @@ def o8_interval_join(spark, sf_dir):
 @register(
     "o30_pr_curve",
     oracle="""
-    SELECT event_id, value,
-           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-             OVER (ORDER BY value DESC, event_id ASC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tp,
-           row_number() OVER (ORDER BY value DESC, event_id ASC) AS n_pred
-    FROM events
+    WITH by_score AS (
+      SELECT value,
+             CAST(count(*) AS BIGINT) AS n_at,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS tp_at
+      FROM events GROUP BY value
+    )
+    SELECT value,
+           CAST(sum(n_at) OVER w AS BIGINT) AS n_pred,
+           CAST(sum(tp_at) OVER w AS BIGINT) AS cum_tp
+    FROM by_score
+    WINDOW w AS (ORDER BY value DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
 def o30_pr_curve(spark, sf_dir):
-    """Global cumulative PR scan — semantically a single total order, so
-    the un-partitioned window is a one-reducer sort by construction. The
-    scale path is ``operators/evaluate.evaluate_oie_spark``: it
-    pre-aggregates per DISTINCT score (provably sufficient for optimal F1,
-    see its docstring) so the window runs over the tiny distinct-score
-    table, never the full prediction set."""
-    w = Window.orderBy(F.desc("value"), F.asc("event_id")).rowsBetween(
+    """PR-curve cumulative scan on the SCALE-SAFE plan (the same shape
+    ``operators/evaluate.evaluate_oie_spark`` uses, see its docstring): a
+    distributed groupBy pre-aggregates per DISTINCT score — sklearn's
+    threshold semantics, a threshold takes every prediction scoring >= it,
+    so tied scores are indivisible and one curve point per distinct score
+    loses nothing — and only then does the cumulative window run, over the
+    small distinct-score table instead of the full prediction set. The
+    single-partition window sits above a full shuffle aggregate; its input
+    is |distinct scores| rows, bounded regardless of corpus size
+    (``tests/test_plan_shape.py`` pins Aggregate-below-Window)."""
+    by_score = (
+        load(spark, sf_dir, "events")
+        .groupBy("value")
+        .agg(
+            F.count("*").alias("n_at"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("tp_at"),
+        )
+    )
+    w = Window.orderBy(F.desc("value")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    wr = Window.orderBy(F.desc("value"), F.asc("event_id"))
-    return load(spark, sf_dir, "events").select(
-        "event_id",
+    return by_score.select(
         "value",
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).over(w).alias("cum_tp"),
-        F.row_number().over(wr).alias("n_pred"),
+        F.sum("n_at").over(w).alias("n_pred"),
+        F.sum("tp_at").over(w).alias("cum_tp"),
     )
 
 
@@ -560,8 +576,12 @@ def o_distinct_agg(spark, sf_dir):
     "o_approx_distinct",
     # sketch values are engine-specific (Spark HLL++ vs DuckDB HLL), so the
     # hard-checkable projection is the TOLERANCE BOOLEAN: each engine
-    # asserts its own sketch lands within 5% of the exact count — identical
-    # rows iff both sketches are sane
+    # asserts its own sketch lands within 5% of the exact count. The hash
+    # compares the two booleans, so it also matches if BOTH sketches are
+    # out of tolerance (false == false) and spuriously fails if only
+    # DuckDB's is; tests/test_properties.py pins the Spark-side boolean to
+    # literally True so an insane Spark sketch cannot pass via a matching
+    # insane DuckDB one.
     oracle="""
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,

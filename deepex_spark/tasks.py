@@ -94,15 +94,21 @@ def run_rc_task(
     raw: DataFrame,
     lem_aliases: dict,
     unlem_aliases: dict,
-    alias2rel: dict,
+    alias2rel: dict | None = None,
     cfg: DeepExConfig | None = None,
     topk: int = 1,
 ) -> dict:
-    """FewRel/TACRED chain: prepare (O29) -> RC pipeline -> evaluate (O31)."""
+    """FewRel/TACRED chain: prepare (O29) -> RC pipeline -> evaluate (O31).
+
+    Scoring consults each item's OWN alias->relations map derived from its
+    prepared ``rel_candidates`` (reference evaluation.py:95-101 semantics);
+    pass ``alias2rel`` to force the legacy global-dictionary fallback."""
     from deepex_spark.operators.rc import evaluate_rc, prepare_rc_dataset, rc_pipeline
 
     cfg = cfg or DeepExConfig.task(beam_mode="RC")
     rc_df = prepare_rc_dataset(raw, lem_aliases, unlem_aliases)
     triples = rc_pipeline(rc_df, cfg)
     gold = raw.select("id", "true_relation")
-    return evaluate_rc(triples, gold, alias2rel, topk=topk)
+    if alias2rel is not None:
+        return evaluate_rc(triples, gold, alias2rel, topk=topk)
+    return evaluate_rc(triples, gold, topk=topk, items=rc_df)

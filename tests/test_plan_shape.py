@@ -57,3 +57,35 @@ def test_single_exchange_with_url_hash_partitioning(spark):
     b = {tuple(r) for r in extract_triples(_pages(spark), cfg_rr, rerank=False)
          .select("docid", "subj", "rel", "obj", "score").collect()}
     assert a == b
+
+
+def test_pr_curve_window_runs_over_preaggregate(spark, tmp_path):
+    """The registered o30_pr_curve must carry the scale-safe shape: the
+    global (un-partitioned) cumulative window consumes the DISTINCT-score
+    Aggregate, never the raw prediction rows — so the single-reducer input
+    is |distinct scores|, bounded regardless of corpus size."""
+    import pandas as pd
+
+    from deepex_spark.queries import REGISTRY
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [1, 1, 2, 2],
+            "event_type": ["click", "view", "click", "view"],
+            "value": [0.9, 0.9, 0.5, 0.1],
+        }
+    ).to_parquet(sf / "events.parquet", index=False)
+    df = REGISTRY["o30_pr_curve"].spark_fn(spark, str(sf))
+    plan = _logical_plan(df)
+    # Window directly above Aggregate: the Aggregate line must appear, and
+    # every Window node must come BEFORE (above) it with no second Window
+    # below the Aggregate reading raw rows
+    assert "Window" in plan and "Aggregate" in plan, plan
+    assert plan.index("Window") < plan.index("Aggregate"), plan
+    assert plan.count("Window [") == 1, plan
+    # ties are indivisible: one output row per distinct score
+    rows = {tuple(r) for r in df.collect()}
+    assert rows == {(0.9, 2, 1), (0.5, 3, 2), (0.1, 4, 2)}

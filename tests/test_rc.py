@@ -116,6 +116,62 @@ def test_rc_eval_acceptance_rules(spark):
     assert m["precision"] == 3 / 4 and m["recall"] == 3 / 5
 
 
+def test_rc_eval_per_item_alias_map(spark):
+    """Reference semantics (evaluation.py:95-101): acceptance consults each
+    item's OWN alias->relations map, not a corpus-global dictionary. Pin
+    the case where they differ: the same surface maps to different relation
+    sets in two items — the global dict (a set-union across items) accepts
+    both, the per-item map accepts only the item whose own candidates carry
+    the gold relation."""
+    from deepex_spark.operators.rc import evaluate_rc
+
+    triples = spark.createDataFrame(
+        [
+            ("1", "of", 0.1, 1),
+            ("2", "of", 0.1, 1),
+            ("3", "unknown surface", 0.1, 1),  # not in item 3's candidates
+        ],
+        "docid string, rel string, contrastive_dis double, rank int",
+    )
+    gold = spark.createDataFrame(
+        [("1", "part of"), ("2", "part of"), ("3", "no_relation")],
+        "id string, true_relation string",
+    )
+    cand_ddl = (
+        "id string, rel_candidates array<struct<aliase:string,"
+        "relation:array<string>,len:int,char_span:array<int>>>"
+    )
+    items = spark.createDataFrame(
+        [
+            ("1", [("of", ["part of"], 1, [0, 2])]),
+            ("2", [("of", ["member of"], 1, [0, 2])]),
+            ("3", [("in", ["located in"], 1, [0, 2])]),
+        ],
+        cand_ddl,
+    )
+    per_item = evaluate_rc(triples, gold, topk=1, items=items)
+    # item 1: own map has the gold; item 2: own map does NOT (member of);
+    # item 3: surface unknown to ITS map + gold no_relation -> correct
+    assert per_item["n_correct"] == 2
+    assert per_item["n_predicted"] == 3 and per_item["n_gold"] == 3
+
+    # the global-dict fallback unions the two items' maps and (wrongly,
+    # vs reference semantics) also accepts item 2
+    global_dict = evaluate_rc(
+        triples, gold,
+        {"of": ["part of", "member of"], "in": ["located in"]},
+        topk=1,
+    )
+    assert global_dict["n_correct"] == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        evaluate_rc(triples, gold)  # neither map given
+    with _pytest.raises(ValueError):
+        evaluate_rc(triples, gold, {"of": ["part of"]}, topk=1, items=items)
+
+
 def test_rc_spark_pipeline_and_eval(spark):
     from deepex_spark.operators.rc import (
         RC_INPUT_DDL,
