@@ -1,0 +1,229 @@
+"""Independent (non-self-referential) SQL oracle for the beam-search
+kernel at a tiny configuration.
+
+The golden-parquet oracles for ``pipeline_*`` pin the engine's own
+deterministic output — determinism and regression, not independent
+correctness. This module closes that gap: at ``dist_const=1, beam_size=2,
+search_max_len=4`` the bidirectional beam search (reference
+``kgm.py:358-421``) is expressible as a bounded number of ranked
+self-joins over the attention matrix, so DuckDB can RE-DERIVE the
+sequences from first principles instead of comparing against a pinned
+copy of the engine's output.
+
+Shared input (exported once by ``tools/make_kernel_tiny.py`` to
+``fixtures/kernel_tiny/``, committed):
+
+* ``sentences.parquet`` (sent_id, docid, "offset", text) — a slice of the
+  deterministic synthetic corpus, restricted to sentences whose pruned
+  entity window has <= ``MAX_PRUNED`` tokens and whose segment positions
+  all fall inside the window (so ``ROUNDS`` unrolled expansion rounds
+  provably cover every walk: a path never revisits, hence never exceeds
+  the window size);
+* ``attention.parquet`` (sent_id, i, j, v) — the surrogate attention
+  matrix pruned to the entity window (``kgm.py:399-401``), positions
+  relabeled to 0-based window coordinates;
+* ``segments.parquet`` (sent_id, seg_id, pos_idx, pos) — the entity
+  segments (``kgm.py:297-350``), window coordinates.
+
+The ENGINE side (``queries.kernel_tiny_sql``) runs the real kernel —
+``featurize`` + attention provider + ``beam_search_ie`` — on the
+sentences and relabels paths into window coordinates. The ORACLE side
+(:func:`kernel_tiny_oracle_sql`) re-implements, in pure SQL over the
+attention + segments tables, the reference beam semantics:
+
+* pair enumeration: per segment, each start u walks to bound seg[i-1]
+  (backward) then seg[i+1] (forward) — dist_const=1 (``kgm.py:406-421``);
+* hop 1: direction-free, top-``beam_size`` targets by (attention DESC,
+  index ASC) — the stable-argsort order (``kgm.py:358-369``);
+* hops 2+: targets must be strictly monotone in the walk direction and on
+  the same side of the (start, bound) landmarks as the current node
+  (cross-segment rule, ``kgm.py:370-379``), EXCEPT the bound, which is
+  always admissible at its stable-sort rank; revisits never; accepted
+  targets counted to ``beam_size`` per beam entry;
+* beam prune: top-``beam_size`` by score/len with Python-stable tie order
+  = (mean DESC, parent position ASC, emission order ASC)
+  (``kgm.py:388-391``);
+* a walk's survivors are the paths that reached the bound; global filter
+  ``search_min_len <= len <= search_max_len``, score ('sum' ranking) >
+  threshold, stable sort by score desc in walk-enumeration order
+  (``kgm.py:274-294``).
+
+Arithmetic is the same sequence of IEEE-double adds/divides on both
+sides, so scores compare exactly — no rounding, no tolerance.
+"""
+
+from __future__ import annotations
+
+import os
+
+# tiny configuration (VERDICT round-3 prescription)
+TINY = dict(
+    dist_const=1,
+    beam_size=2,
+    search_max_len=4,
+    search_min_len=3,
+    search_score_threshold=0.0,
+    search_ranking_type="sum",
+)
+MAX_PRUNED = 12   # max pruned-window tokens admitted into the fixture
+ROUNDS = 12       # unrolled expansion rounds; >= MAX_PRUNED covers any path
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures", "kernel_tiny",
+)
+
+
+def tiny_cfg():
+    from deepex_spark.config import DeepExConfig
+
+    return DeepExConfig.task(**TINY)
+
+
+def kernel_tiny_oracle_sql(fixture_dir: str | None = None) -> str:
+    """DuckDB SQL re-deriving the tiny-config beam from the attention +
+    segments parquet — never reads ``goldens/`` or any engine output."""
+    d = fixture_dir or FIXTURE_DIR
+    att = os.path.join(d, "attention.parquet")
+    segs = os.path.join(d, "segments.parquet")
+    k = TINY["beam_size"]
+    parts = [f"""
+WITH att AS (SELECT * FROM read_parquet('{att}')),
+segs AS (SELECT * FROM read_parquet('{segs}')),
+walks AS (
+  SELECT a.sent_id, a.pos AS start, b.pos AS bound,
+         CASE WHEN b.pos_idx < a.pos_idx THEN -1 ELSE 1 END AS dir,
+         row_number() OVER (
+           PARTITION BY a.sent_id
+           ORDER BY a.seg_id, a.pos_idx,
+                    CASE WHEN b.pos_idx < a.pos_idx THEN 0 ELSE 1 END
+         ) AS walk_ord
+  FROM segs a
+  JOIN segs b ON b.sent_id = a.sent_id AND b.seg_id = a.seg_id
+             AND abs(b.pos_idx - a.pos_idx) = 1
+),
+hop1 AS MATERIALIZED (
+  SELECT w.sent_id, w.walk_ord, w.start, w.bound, w.dir,
+         a.j, a.v,
+         row_number() OVER (PARTITION BY w.sent_id, w.walk_ord
+                            ORDER BY a.v DESC, a.j ASC) AS rn
+  FROM walks w
+  JOIN att a ON a.sent_id = w.sent_id AND a.i = w.start AND a.j != w.start
+),
+beam1 AS MATERIALIZED (
+  SELECT sent_id, walk_ord, start, bound, dir,
+         [start, j] AS path, v AS score, v / 2.0 AS mean, rn AS pos
+  FROM hop1 WHERE rn <= {k}
+)"""]
+    prev = "beam1"
+    for r in range(2, ROUNDS + 1):
+        parts.append(f""",
+exp{r} AS MATERIALIZED (
+  SELECT sent_id, walk_ord, start, bound, dir, path, score, mean,
+         pos AS parent_pos, 0 AS em
+  FROM {prev}
+  WHERE list_extract(path, len(path)) = bound
+  UNION ALL
+  SELECT sent_id, walk_ord, start, bound, dir, path, score, mean,
+         parent_pos, em
+  FROM (
+    SELECT b.sent_id, b.walk_ord, b.start, b.bound, b.dir,
+           list_append(b.path, a.j) AS path,
+           b.score + a.v AS score,
+           (b.score + a.v) / (len(b.path) + 1) AS mean,
+           b.pos AS parent_pos,
+           row_number() OVER (PARTITION BY b.sent_id, b.walk_ord, b.pos
+                              ORDER BY a.v DESC, a.j ASC) AS em
+    FROM {prev} b
+    JOIN att a
+      ON a.sent_id = b.sent_id
+     AND a.i = list_extract(b.path, len(b.path))
+     AND a.i != b.bound
+     AND NOT list_contains(b.path, a.j)
+     AND (
+           a.j = b.bound
+           OR (
+             (CASE WHEN b.dir = 1 THEN a.j > a.i ELSE a.j < a.i END)
+             AND (CAST(a.j < b.start AS INT) + CAST(a.j < b.bound AS INT))
+               = (CAST(a.i < b.start AS INT) + CAST(a.i < b.bound AS INT))
+           )
+         )
+  ) WHERE em <= {k}
+),
+beam{r} AS MATERIALIZED (
+  SELECT sent_id, walk_ord, start, bound, dir, path, score, mean,
+         row_number() OVER (PARTITION BY sent_id, walk_ord
+                            ORDER BY mean DESC, parent_pos ASC, em ASC) AS pos
+  FROM exp{r}
+  QUALIFY pos <= {k}
+)""")
+        prev = f"beam{r}"
+    ranking = (
+        "score / len(path)"
+        if TINY["search_ranking_type"] == "mean"
+        else "score"
+    )
+    parts.append(f""",
+finished AS (
+  SELECT sent_id, walk_ord, pos, path, {ranking} AS s
+  FROM {prev}
+  WHERE list_extract(path, len(path)) = bound
+    AND len(path) BETWEEN {TINY["search_min_len"]} AND {TINY["search_max_len"]}
+),
+ranked AS (
+  SELECT sent_id, path, s,
+         row_number() OVER (PARTITION BY sent_id
+                            ORDER BY s DESC, walk_ord ASC, pos ASC) AS seq_rank
+  FROM finished WHERE s > {TINY["search_score_threshold"]}
+)
+SELECT sent_id, CAST(seq_rank AS INT) AS seq_rank,
+       array_to_string(path, '-') AS path_str, s AS score
+FROM ranked
+""")
+    return "".join(parts)
+
+
+def run_kernel_tiny(spark, sentences_df):
+    """Engine side: the REAL kernel (featurize -> surrogate attention ->
+    ``beam_search_ie``) at the tiny config, paths relabeled to window
+    coordinates. Distributed via mapInPandas like the production stage."""
+    import pandas as pd
+
+    cfg = tiny_cfg()
+
+    def run(batches):
+        from deepex_spark.kernel.sentence_kernel import (
+            beam_search_ie,
+            entity_segments,
+            featurize,
+        )
+        from deepex_spark.nlp.attention import get_attention_provider
+
+        provider = get_attention_provider(cfg)
+        for pdf in batches:
+            rows = []
+            for sent_id, docid, offset, text in zip(
+                pdf["sent_id"], pdf["docid"], pdf["offset"], pdf["text"]
+            ):
+                feat = featurize(str(docid), int(offset), str(text), cfg)
+                eid, _segs = entity_segments(feat, cfg)
+                if eid is None:
+                    continue
+                off0 = eid[0]
+                att = provider.attention(feat.tokens)
+                for rank, (path, s) in enumerate(beam_search_ie(att, feat, cfg), 1):
+                    rows.append(
+                        (
+                            int(sent_id),
+                            rank,
+                            "-".join(str(p - off0) for p in path),
+                            float(s),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["sent_id", "seq_rank", "path_str", "score"]
+            )
+
+    return sentences_df.mapInPandas(
+        run, schema="sent_id long, seq_rank int, path_str string, score double"
+    )

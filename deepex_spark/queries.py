@@ -1155,6 +1155,38 @@ def multimodal_feature_ann(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Kernel verification at a tiny config — INDEPENDENT SQL oracle
+# ---------------------------------------------------------------------------
+
+def _kernel_tiny_oracle() -> str:
+    from deepex_spark.kernel.tiny_oracle import kernel_tiny_oracle_sql
+
+    return kernel_tiny_oracle_sql()
+
+
+@register("kernel_tiny_sql", oracle=_kernel_tiny_oracle())
+def kernel_tiny_sql(spark, sf_dir):
+    """Beam-search kernel vs a NON-self-referential oracle: the engine runs
+    the real kernel (featurize -> surrogate attention -> beam_search_ie) at
+    ``dist_const=1, beam_size=2, search_max_len=4`` over the committed
+    50-sentence fixture slice, while the DuckDB oracle RE-DERIVES every
+    sequence from the exported attention + segment tables as ranked
+    self-joins (reference kgm.py:358-421 semantics; see
+    ``kernel/tiny_oracle.py``). Unlike the golden-parquet pipeline oracles,
+    this one never reads the engine's own output — scores compare with
+    exact float equality because both sides perform the identical sequence
+    of IEEE adds/divides. ``sf_dir`` is unused by design: the fixture is a
+    committed deterministic slice (regenerate + self-check with
+    ``python tools/make_kernel_tiny.py``), the same for every sf."""
+    import os as _os
+
+    from deepex_spark.kernel.tiny_oracle import FIXTURE_DIR, run_kernel_tiny
+
+    sentences = spark.read.parquet(_os.path.join(FIXTURE_DIR, "sentences.parquet"))
+    return run_kernel_tiny(spark, sentences)
+
+
+# ---------------------------------------------------------------------------
 # Pipeline queries (beam-search kernel — not SQL-expressible; rows-only)
 # ---------------------------------------------------------------------------
 
