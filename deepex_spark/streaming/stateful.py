@@ -15,8 +15,21 @@ into a fixed-size bloom tail (8 KiB, 4 slices of the fingerprint as bit
 indexes). Below the cap the dedup is exact; above it, bloom false
 positives can DROP a novel triple (never emit a duplicate) — the right
 failure direction for a dedup sink. A hot docid therefore costs at most
-``MAX_EXACT*8 B + 8 KiB`` of state forever; for corpora where even that is
-too much, layer a state TTL (``GroupStateTimeout``) on top.
+``MAX_EXACT*8 B + 8 KiB`` of state forever; for corpora where even that
+is too much, pass ``ttl_ms`` to evict idle docids via a processing-time
+``GroupStateTimeout``: a docid that receives no data for ``ttl_ms`` has
+its state removed on a later micro-batch, freeing the store at the cost
+of re-admitting that docid's triples if it ever reappears (duplicates
+become possible ONLY across an idle gap longer than the TTL — choose it
+longer than the re-crawl period).
+
+CHECKPOINT COMPATIBILITY: ``STATE_SCHEMA`` gained the ``bloom binary``
+field in round 3 — a query restarted from a checkpoint written by the
+pre-bloom schema (``seen array<long>`` only) will misread its state;
+resuming such a stream needs a fresh checkpoint location (or a one-off
+state rewrite). Likewise, turning ``ttl_ms`` on/off changes the timeout
+conf, which Spark accepts on restart, but timers only attach to keys
+updated after the change.
 
 No reference counterpart (the reference is strictly batch); this is the
 Structured-Streaming extension of O19/O22's dedup semantics.
@@ -58,39 +71,61 @@ def _bloom_add(bloom: bytearray, fp: int) -> None:
         bloom[i >> 3] |= 1 << (i & 7)
 
 
-def _dedup_fn(key, pdfs, state: GroupState):
-    if state.exists:
-        seen_list, bloom_bytes = state.get
-        seen = set(seen_list)
-        bloom = bytearray(bloom_bytes) if bloom_bytes is not None else None
-    else:
-        seen, bloom = set(), None
-    out = []
-    for pdf in pdfs:
-        for k, s in zip(pdf["triple_key"], pdf["score"]):
-            f = _fp(k)
-            if f in seen or (bloom is not None and _bloom_has(bloom, f)):
-                continue
-            if len(seen) < MAX_EXACT:
-                seen.add(f)
-            else:
-                if bloom is None:
-                    bloom = bytearray(_BLOOM_BYTES)
-                _bloom_add(bloom, f)
-            out.append((key[0], k, float(s)))
-    state.update((list(seen), bytes(bloom) if bloom is not None else None))
-    if out:
-        yield pd.DataFrame(out, columns=["docid", "triple_key", "score"])
+def _make_dedup_fn(ttl_ms: int | None):
+    """Build the per-group dedup function; ``ttl_ms`` arms a processing-
+    time timeout re-set on every update, so a docid idle for > ttl_ms is
+    evicted (state.remove) on a subsequent micro-batch."""
+
+    def _dedup_fn(key, pdfs, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            seen_list, bloom_bytes = state.get
+            seen = set(seen_list)
+            bloom = bytearray(bloom_bytes) if bloom_bytes is not None else None
+        else:
+            seen, bloom = set(), None
+        out = []
+        for pdf in pdfs:
+            for k, s in zip(pdf["triple_key"], pdf["score"]):
+                f = _fp(k)
+                if f in seen or (bloom is not None and _bloom_has(bloom, f)):
+                    continue
+                if len(seen) < MAX_EXACT:
+                    seen.add(f)
+                else:
+                    if bloom is None:
+                        bloom = bytearray(_BLOOM_BYTES)
+                    _bloom_add(bloom, f)
+                out.append((key[0], k, float(s)))
+        state.update((list(seen), bytes(bloom) if bloom is not None else None))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if out:
+            yield pd.DataFrame(out, columns=["docid", "triple_key", "score"])
+
+    return _dedup_fn
 
 
-def dedup_new_triples(triples_stream: DataFrame) -> DataFrame:
+# default (no-TTL) instance — also the unit-test target
+_dedup_fn = _make_dedup_fn(None)
+
+
+def dedup_new_triples(triples_stream: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """(docid, triple_key, score) stream -> only rows whose (docid,
     triple_key) was never emitted before, across all micro-batches and
-    query restarts."""
+    query restarts. ``ttl_ms`` (optional) evicts docids idle longer than
+    that, bounding TOTAL state by the active-docid working set — see the
+    module docstring for the re-admission trade-off."""
     return triples_stream.groupBy("docid").applyInPandasWithState(
-        _dedup_fn,
+        _make_dedup_fn(ttl_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -12,7 +12,7 @@ TRIPLES_SCHEMA = StructType(
 )
 
 
-def _run_phase(spark, src, out, chk):
+def _run_phase(spark, src, out, chk, ttl_ms=None):
     from deepex_spark.streaming.stateful import dedup_new_triples
 
     stream = (
@@ -21,7 +21,7 @@ def _run_phase(spark, src, out, chk):
         .parquet(str(src))
     )
     q = (
-        dedup_new_triples(stream)
+        dedup_new_triples(stream, ttl_ms=ttl_ms)
         .writeStream.format("parquet")
         .option("path", str(out))
         .option("checkpointLocation", str(chk))
@@ -30,6 +30,9 @@ def _run_phase(spark, src, out, chk):
         .start()
     )
     q.awaitTermination(180)
+    # with processing-time timers armed, availableNow may keep servicing
+    # timer batches past the data — stop explicitly so phases don't overlap
+    q.stop()
 
 
 def test_stateful_dedup_across_batches_and_restarts(spark, tmp_path):
@@ -65,11 +68,60 @@ def test_stateful_dedup_across_batches_and_restarts(spark, tmp_path):
     assert len(dup) == 1 and abs(dup[0]["score"] - 0.9) < 1e-9
 
 
+def test_state_ttl_evicts_idle_docid(spark, tmp_path):
+    """With ttl_ms set, a docid idle past the TTL is evicted on a later
+    micro-batch and its triples re-admit — the documented state-size
+    trade-off. (Suppression INSIDE the TTL cannot be asserted across
+    streaming phases — micro-batch wall-clock latency exceeds any small
+    TTL — so that half lives in the _FakeState unit tests below and the
+    no-TTL streaming test above.)"""
+    import time
+
+    import pandas as pd
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    chk = tmp_path / "chk"
+    src.mkdir()
+    cols = ["docid", "triple_key", "score"]
+    ttl = 500
+
+    pd.DataFrame([("d1", "A [SEP] r [SEP] B", 0.9)], columns=cols).to_parquet(
+        src / "f1.parquet", index=False
+    )
+    _run_phase(spark, src, out, chk, ttl_ms=ttl)
+    assert spark.read.parquet(str(out)).count() == 1
+
+    # let d1 go idle past the TTL, then drive a batch for ANOTHER docid so
+    # the timeout fires and d1's state is removed...
+    time.sleep(3 * ttl / 1000)
+    pd.DataFrame([("d2", "X [SEP] r [SEP] Z", 0.6)], columns=cols).to_parquet(
+        src / "f2.parquet", index=False
+    )
+    _run_phase(spark, src, out, chk, ttl_ms=ttl)
+
+    # ...after which d1's old triple re-admits
+    pd.DataFrame([("d1", "A [SEP] r [SEP] B", 0.5)], columns=cols).to_parquet(
+        src / "f3.parquet", index=False
+    )
+    _run_phase(spark, src, out, chk, ttl_ms=ttl)
+    rows = spark.read.parquet(str(out)).collect()
+    a_rows = sorted(
+        (r["score"] for r in rows if r["triple_key"] == "A [SEP] r [SEP] B")
+    )
+    assert a_rows == [0.5, 0.9]
+    # d2 emitted its single triple exactly once
+    assert sum(r["docid"] == "d2" for r in rows) == 1
+
+
 class _FakeState:
     """Minimal GroupState stub for unit-testing _dedup_fn's state policy."""
 
-    def __init__(self):
+    def __init__(self, timed_out=False):
         self.exists = False
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
         self._val = None
 
     @property
@@ -79,6 +131,55 @@ class _FakeState:
     def update(self, v):
         self._val = v
         self.exists = True
+
+    def remove(self):
+        self._val = None
+        self.exists = False
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_ttl_fn_policy_unit():
+    """The TTL variant's state policy, deterministic (no wall clock):
+    inside the TTL the dedup is unchanged (duplicate suppressed, timer
+    re-armed on every update); a timed-out invocation removes state and
+    emits nothing; after removal the same triple re-admits."""
+    import pandas as pd
+
+    from deepex_spark.streaming.stateful import _make_dedup_fn
+
+    fn = _make_dedup_fn(60_000)
+    pdf = pd.DataFrame({"triple_key": ["a", "b"], "score": [0.1, 0.2]})
+    st = _FakeState()
+    out1 = list(fn(("d",), iter([pdf]), st))
+    assert sum(len(o) for o in out1) == 2
+    assert st.timeout_set == 60_000  # timer armed on update
+
+    # same batch again, state live: suppressed, timer re-armed
+    st.timeout_set = None
+    out2 = list(fn(("d",), iter([pdf]), st))
+    assert sum(len(o) for o in out2) == 0
+    assert st.timeout_set == 60_000
+
+    # timeout invocation: state removed, nothing emitted
+    st.hasTimedOut = True
+    out3 = list(fn(("d",), iter([]), st))
+    assert sum(len(o) for o in out3) == 0
+    assert st.removed and not st.exists
+
+    # post-eviction the triples re-admit
+    st.hasTimedOut = False
+    out4 = list(fn(("d",), iter([pdf]), st))
+    assert sum(len(o) for o in out4) == 2
+
+    # the no-TTL variant never arms a timer
+    from deepex_spark.streaming.stateful import _dedup_fn
+
+    st2 = _FakeState()
+    list(_dedup_fn(("d",), iter([pdf]), st2))
+    assert st2.timeout_set is None
 
 
 def test_state_bounded_with_bloom_tail():
