@@ -48,6 +48,11 @@ class DeepExConfig:
     wordpiece_piece_chars: int = 4
     max_mentions_np_len: int = 3         # NP chunker: max tokens per chunk
     max_kernel_tokens: int | None = None  # window over-long sentences (scale guard)
+    # sentence-offset mode: 'scan' = reference-faithful first-occurrence
+    # instr (O(n_sents x doc_len) serial per doc — the skew bottleneck for
+    # mega-docs, EXPLAIN.md §7); 'reconstruct' = linear aligned-offset
+    # reconstruction (deviates only on duplicate/embedded sentences)
+    sentencize_offsets: str = "scan"
 
     # --- reranking (scripts/bert_contrastive.py) ---
     encoder_provider: str = "surrogate"

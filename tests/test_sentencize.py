@@ -36,3 +36,48 @@ def test_spark_matches_local(spark):
         for pos, off, s in local_sentencize(t):
             want.add((str(i), pos, off, s))
     assert got == want
+
+
+def test_reconstruct_mode_matches_scan_without_duplicates(spark):
+    """The linear reconstruct mode must agree with the faithful instr scan
+    everywhere except the documented duplicate/embedded cases."""
+    from deepex_spark.functions.sentencize import sentencize
+
+    texts = [
+        "First sentence. Second one! Third?  Fourth",
+        "No terminal punctuation here",
+        "Gap  after (blank)   run. Next.",
+        "Tabs\tinside. And newlines\nhere. End.",
+    ]
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "docid string, text string"
+    )
+    scan = {tuple(r) for r in sentencize(df).collect()}
+    recon = {tuple(r) for r in sentencize(df, mode="reconstruct").collect()}
+    assert scan == recon
+
+
+def test_reconstruct_mode_duplicate_offsets_are_aligned(spark):
+    """Documented deviation: duplicates get their ACTUAL aligned offset
+    (the scan mode gives every copy the first occurrence's offset); every
+    reconstructed offset indexes its own sentence in the doc."""
+    from deepex_spark.functions.sentencize import sentencize
+
+    t = "It rained. It rained. Sun came out."
+    df = spark.createDataFrame([("d", t)], "docid string, text string")
+    scan = sorted(tuple(r) for r in sentencize(df).collect())
+    recon = sorted(tuple(r) for r in sentencize(df, mode="reconstruct").collect())
+    assert [r[2] for r in scan] == [0, 0, 22]
+    assert [r[2] for r in recon] == [0, 11, 22]
+    for _, _, off, s in recon:
+        assert t[off : off + len(s)] == s
+
+
+def test_reconstruct_mode_no_instr_in_plan(spark):
+    """The scale mode must not carry the per-sentence doc scan: no instr
+    and no _doc_text column survive analysis."""
+    from deepex_spark.functions.sentencize import sentencize
+
+    df = spark.createDataFrame([("d", "A. B.")], "docid string, text string")
+    plan = sentencize(df, mode="reconstruct")._jdf.queryExecution().analyzed().toString()
+    assert "instr" not in plan
