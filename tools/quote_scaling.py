@@ -63,17 +63,31 @@ def main():
         pairs.append((r8, r32, abs(r32["ts"] - r8["ts"])))
     # steal is an EXOGENOUS, per-run-measured corruption (hypervisor CPU
     # theft tagged from /proc/stat deltas), so filtering on it is excluding
-    # corrupted measurements, not cherry-picking outcomes. Tiered
-    # thresholds: prefer rounds where both levels ran steal-free (<1%),
-    # fall back to <5%, then to everything — always the MEDIAN ratio within
-    # the tier, always labeled with the tier used.
+    # corrupted measurements, not cherry-picking outcomes. Same for the
+    # hw_mops canary (round 4): an all-core busy-loop measured BEFORE each
+    # run — the box sometimes degrades all-core throughput ~40% with <1%
+    # reported steal, and the canary tags those windows without ever
+    # seeing the measurement it guards. Tiered thresholds: prefer rounds
+    # where both levels ran steal-free (<1%) and at full canary speed
+    # (>= 90% of the best observed), fall back to <5% steal, then to
+    # everything — always the MEDIAN ratio within the tier, always
+    # labeled with the tier used.
     in_window = [(a, b) for a, b, gap in pairs if gap < 900]
     if not in_window:
         raise SystemExit(f"no pairs among {len(pairs)}: {n_samples}")
+    hw_vals = [r["hw_mops"] for pair in in_window for r in pair if "hw_mops" in r]
+    hw_ref = max(hw_vals) if hw_vals else None
+
+    def hw_ok(r) -> bool:
+        # legacy samples (pre-canary, or the scale-bug 0.0s) carry no
+        # usable tag; the steal filter is their only exogenous signal
+        return not r.get("hw_mops") or (hw_ref and r["hw_mops"] >= 0.9 * hw_ref)
+
     steal_note = ""
     for cap in (1.0, 5.0):
         clean = [(a, b) for a, b in in_window
-                 if a["steal_pct"] < cap and b["steal_pct"] < cap]
+                 if a["steal_pct"] < cap and b["steal_pct"] < cap
+                 and hw_ok(a) and hw_ok(b)]
         if clean:
             if cap > 1.0:
                 steal_note = (

@@ -24,6 +24,20 @@ def loadavg() -> float:
         return float(f.read().split()[0])
 
 
+def hw_canary(nproc: int = 32, seconds: float = 1.5) -> float:
+    """All-core busy-loop throughput (Mops/s) measured immediately BEFORE
+    a run — an exogenous host-health signal alongside steal%. The box
+    sometimes degrades all-core throughput ~40% with <1% reported steal
+    (frequency capping / neighbor memory pressure); the canary makes those
+    windows identifiable the same way steal bursts are. Outcome-
+    independent: it never sees the measurement it tags."""
+    import multiprocessing as mp
+
+    with mp.Pool(nproc) as pool:
+        ops = sum(pool.map(bench._busy_loop, [seconds] * nproc))
+    return round(ops / seconds, 1)  # aggregate iters/s across all procs
+
+
 def wait_quiet(limit: float = 2.0, max_wait_s: int = 300) -> float:
     t0 = time.time()
     while time.time() - t0 < max_wait_s:
@@ -51,11 +65,13 @@ def main():
     for _ in range(rounds):
         for threads in (8, 32):
             la = wait_quiet()
+            hw = hw_canary()
             n, dt, steal = bench._run_pipeline_once(threads, corpus)
             rec = {
                 "ts": round(time.time(), 1), "n_docs": n_docs, "threads": threads,
                 "n_triples": n, "sec": round(dt, 2), "rate": round(n / dt, 1),
-                "steal_pct": steal, "load_at_start": la, "git_rev": rev,
+                "steal_pct": steal, "load_at_start": la, "hw_mops": hw,
+                "git_rev": rev,
                 "driver_mem": os.environ.get("SPARK_DRIVER_MEM", "8g"),
             }
             with open(log, "a") as f:
