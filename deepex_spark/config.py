@@ -50,9 +50,13 @@ class DeepExConfig:
     max_kernel_tokens: int | None = None  # window over-long sentences (scale guard)
     # sentence-offset mode: 'scan' = reference-faithful first-occurrence
     # instr (O(n_sents x doc_len) serial per doc — the skew bottleneck for
-    # mega-docs, EXPLAIN.md §7); 'reconstruct' = linear aligned-offset
-    # reconstruction (deviates only on duplicate/embedded sentences)
-    sentencize_offsets: str = "scan"
+    # mega-docs, EXPLAIN.md §6); 'reconstruct' = linear aligned-offset
+    # reconstruction (same sentence TEXT, offsets deviate only on
+    # duplicate/embedded sentences); 'auto' (default) = per-doc switch:
+    # scan below sentencize_scan_max_len chars, reconstruct above — the
+    # scale-safe default (no serial instr term on uncurated crawl)
+    sentencize_offsets: str = "auto"
+    sentencize_scan_max_len: int = 64 * 1024
 
     # --- reranking (scripts/bert_contrastive.py) ---
     encoder_provider: str = "surrogate"

@@ -3,12 +3,16 @@ kernel at a tiny configuration.
 
 The golden-parquet oracles for ``pipeline_*`` pin the engine's own
 deterministic output — determinism and regression, not independent
-correctness. This module closes that gap: at ``dist_const=1, beam_size=2,
-search_max_len=4`` the bidirectional beam search (reference
-``kgm.py:358-421``) is expressible as a bounded number of ranked
-self-joins over the attention matrix, so DuckDB can RE-DERIVE the
-sequences from first principles instead of comparing against a pinned
-copy of the engine's output.
+correctness. This module closes that gap: at bounded knobs the bidirectional beam
+search (reference ``kgm.py:358-421``) is expressible as a bounded number
+of ranked self-joins over the attention matrix, so DuckDB can RE-DERIVE
+the sequences from first principles instead of comparing against a pinned
+copy of the engine's output. Two committed variants: ``TINY``
+(dist_const=1, beam_size=2, search_max_len=4, ``fixtures/kernel_tiny``)
+and ``TINY2`` (dist_const=2, beam_size=3, search_max_len=6,
+``fixtures/kernel_tiny2``) — the second sits meaningfully closer to the
+production config (beam 6) and exercises the multi-pair enumeration
+order and 3-way beam prunes.
 
 Shared input (exported once by ``tools/make_kernel_tiny.py`` to
 ``fixtures/kernel_tiny/``, committed):
@@ -31,8 +35,10 @@ sentences and relabels paths into window coordinates. The ORACLE side
 (:func:`kernel_tiny_oracle_sql`) re-implements, in pure SQL over the
 attention + segments tables, the reference beam semantics:
 
-* pair enumeration: per segment, each start u walks to bound seg[i-1]
-  (backward) then seg[i+1] (forward) — dist_const=1 (``kgm.py:406-421``);
+* pair enumeration: per segment, each start u walks to bounds seg[i-1],
+  seg[i-2], ... (backward, nearest first) then seg[i+1], seg[i+2], ...
+  (forward, nearest first), up to ``dist_const`` per direction
+  (``kgm.py:406-421``);
 * hop 1: direction-free, top-``beam_size`` targets by (attention DESC,
   index ASC) — the stable-argsort order (``kgm.py:358-369``);
 * hops 2+: targets must be strictly monotone in the walk direction and on
@@ -56,7 +62,12 @@ from __future__ import annotations
 
 import os
 
-# tiny configuration (VERDICT round-3 prescription)
+# tiny configurations. Variant 1 (VERDICT round-3 prescription) keeps the
+# smallest SQL-checkable knobs; variant 2 (VERDICT round-4 #4) moves every
+# beam knob toward the production config (beam 6, dist 2048, max_len 256):
+# dist_const=2 exercises the multi-pair enumeration order (kgm.py:406-421,
+# nearest-bound-first per direction), beam_size=3 exercises 3-way beam
+# prunes, search_max_len=6 admits longer survivors.
 TINY = dict(
     dist_const=1,
     beam_size=2,
@@ -65,28 +76,50 @@ TINY = dict(
     search_score_threshold=0.0,
     search_ranking_type="sum",
 )
+TINY2 = dict(
+    dist_const=2,
+    beam_size=3,
+    search_max_len=6,
+    search_min_len=3,
+    search_score_threshold=0.0,
+    search_ranking_type="sum",
+)
 MAX_PRUNED = 12   # max pruned-window tokens admitted into the fixture
 ROUNDS = 12       # unrolled expansion rounds; >= MAX_PRUNED covers any path
 
-FIXTURE_DIR = os.path.join(
+_FIXTURES_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "fixtures", "kernel_tiny",
+    "fixtures",
 )
+VARIANTS = {
+    1: (TINY, os.path.join(_FIXTURES_ROOT, "kernel_tiny")),
+    2: (TINY2, os.path.join(_FIXTURES_ROOT, "kernel_tiny2")),
+}
+FIXTURE_DIR = VARIANTS[1][1]
+FIXTURE_DIR2 = VARIANTS[2][1]
 
 
-def tiny_cfg():
+def tiny_cfg(variant: int = 1):
     from deepex_spark.config import DeepExConfig
 
-    return DeepExConfig.task(**TINY)
+    return DeepExConfig.task(**VARIANTS[variant][0])
 
 
-def kernel_tiny_oracle_sql(fixture_dir: str | None = None) -> str:
+def kernel_tiny_oracle_sql(fixture_dir: str | None = None, variant: int = 1) -> str:
     """DuckDB SQL re-deriving the tiny-config beam from the attention +
-    segments parquet — never reads ``goldens/`` or any engine output."""
-    d = fixture_dir or FIXTURE_DIR
+    segments parquet — never reads ``goldens/`` or any engine output.
+
+    Parameterized over the variant's knobs: pair enumeration within
+    ``dist_const`` per direction (backward bounds nearest-first, then
+    forward nearest-first — the exact ``range(i-1, i-1-D, -1)`` /
+    ``range(i+1, i+1+D)`` order of kgm.py:406-421), ``beam_size``-way
+    hop/beam prunes, and the final length/threshold filter."""
+    knobs, default_dir = VARIANTS[variant]
+    d = fixture_dir or default_dir
     att = os.path.join(d, "attention.parquet")
     segs = os.path.join(d, "segments.parquet")
-    k = TINY["beam_size"]
+    k = knobs["beam_size"]
+    dist = knobs["dist_const"]
     parts = [f"""
 WITH att AS (SELECT * FROM read_parquet('{att}')),
 segs AS (SELECT * FROM read_parquet('{segs}')),
@@ -96,11 +129,12 @@ walks AS (
          row_number() OVER (
            PARTITION BY a.sent_id
            ORDER BY a.seg_id, a.pos_idx,
-                    CASE WHEN b.pos_idx < a.pos_idx THEN 0 ELSE 1 END
+                    CASE WHEN b.pos_idx < a.pos_idx THEN 0 ELSE 1 END,
+                    abs(b.pos_idx - a.pos_idx)
          ) AS walk_ord
   FROM segs a
   JOIN segs b ON b.sent_id = a.sent_id AND b.seg_id = a.seg_id
-             AND abs(b.pos_idx - a.pos_idx) = 1
+             AND abs(b.pos_idx - a.pos_idx) BETWEEN 1 AND {dist}
 ),
 hop1 AS MATERIALIZED (
   SELECT w.sent_id, w.walk_ord, w.start, w.bound, w.dir,
@@ -160,7 +194,7 @@ beam{r} AS MATERIALIZED (
         prev = f"beam{r}"
     ranking = (
         "score / len(path)"
-        if TINY["search_ranking_type"] == "mean"
+        if knobs["search_ranking_type"] == "mean"
         else "score"
     )
     parts.append(f""",
@@ -168,13 +202,13 @@ finished AS (
   SELECT sent_id, walk_ord, pos, path, {ranking} AS s
   FROM {prev}
   WHERE list_extract(path, len(path)) = bound
-    AND len(path) BETWEEN {TINY["search_min_len"]} AND {TINY["search_max_len"]}
+    AND len(path) BETWEEN {knobs["search_min_len"]} AND {knobs["search_max_len"]}
 ),
 ranked AS (
   SELECT sent_id, path, s,
          row_number() OVER (PARTITION BY sent_id
                             ORDER BY s DESC, walk_ord ASC, pos ASC) AS seq_rank
-  FROM finished WHERE s > {TINY["search_score_threshold"]}
+  FROM finished WHERE s > {knobs["search_score_threshold"]}
 )
 SELECT sent_id, CAST(seq_rank AS INT) AS seq_rank,
        array_to_string(path, '-') AS path_str, s AS score
@@ -183,13 +217,13 @@ FROM ranked
     return "".join(parts)
 
 
-def run_kernel_tiny(spark, sentences_df):
+def run_kernel_tiny(spark, sentences_df, variant: int = 1):
     """Engine side: the REAL kernel (featurize -> surrogate attention ->
     ``beam_search_ie``) at the tiny config, paths relabeled to window
     coordinates. Distributed via mapInPandas like the production stage."""
     import pandas as pd
 
-    cfg = tiny_cfg()
+    cfg = tiny_cfg(variant)
 
     def run(batches):
         from deepex_spark.kernel.sentence_kernel import (

@@ -18,7 +18,10 @@ from deepex_spark.nlp.attention import get_attention_provider
 from deepex_spark.operators.distill import SENT_PREFIX
 from deepex_spark.operators.rerank import candidate_distances
 
-_BOUNDARY = re.compile(r"([.!?])\s+")
+# re.ASCII mirrors Java regex \s (no UNICODE_CHARACTER_CLASS); trim is
+# ' '-only to match F.trim exactly (SPARK-17299) — same doc-edge
+# tab/newline behavior as the Spark scan mode
+_BOUNDARY = re.compile(r"([.!?])\s+", re.ASCII)
 _NON_ASCII = re.compile(r"[^\x00-\x7F]+")
 
 
@@ -27,7 +30,7 @@ def local_sentencize(text: str) -> list[tuple[int, int, str]]:
     marked = _BOUNDARY.sub(lambda m: m.group(1) + "\x01", text)
     out = []
     for pos, raw in enumerate(marked.split("\x01")):
-        s = raw.strip()
+        s = raw.strip(" ")
         if s:
             out.append((pos, text.find(s), s))
     return out

@@ -215,16 +215,23 @@ def evaluate_rc(
     count toward the precision denominator (reference: accuracy /
     len(our_result)).
 
-    The dictionary consulted is, exactly as in the reference, each item's
-    OWN alias->relations map (``val_data[k]["alias2relation"][v]``,
-    evaluation.py:95-101): pass ``items`` = the prepared RC records (id,
-    rel_candidates) and the map is derived by exploding each item's
-    candidates and set-unioning relation lists per surface — the same
-    per-item union ``post_process.py:27-42`` builds — then joined to the
-    predictions by (id, surface), a plain distributed equi-join. The
-    ``alias2rel`` global-dict form remains as a fallback (broadcast
-    lookup); it differs only when one surface maps to different relation
-    sets in different items (``tests/test_rc.py`` pins the difference)."""
+    The dictionary consulted follows the reference's PER-ITEM scope
+    (``val_data[k]["alias2relation"][v]``, evaluation.py:95-101): pass
+    ``items`` = the prepared RC records (id, rel_candidates) and the map
+    is derived by exploding each item's candidates and set-unioning
+    relation lists per surface — the per-item union
+    ``post_process.py:27-42`` builds — then joined to the predictions by
+    (id, surface), a plain distributed equi-join. One documented KEY
+    deviation: the reference keys the per-item map by the raw
+    ``char_span`` text slice with a case-sensitive lookup
+    (``get_id_alias2relations_dict``), while this map is keyed by
+    ``lower(trim(aliase))`` (the same normalization the global-dict
+    fallback and the prediction side use) — results can differ when the
+    dictionary surface form differs in case/whitespace from the matched
+    text slice. The ``alias2rel`` global-dict form remains as a fallback
+    (broadcast lookup); it differs from per-item scope only when one
+    surface maps to different relation sets in different items
+    (``tests/test_rc.py`` pins the difference)."""
     spark = triples.sparkSession
     if (alias2rel is None) == (items is None):
         raise ValueError("evaluate_rc needs exactly one of alias2rel / items")

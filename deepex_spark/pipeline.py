@@ -50,7 +50,11 @@ def extract_triples(pages: DataFrame, cfg: DeepExConfig, rerank: bool | None = N
     do_rerank = cfg.rerank_sorted if rerank is None else rerank
     cfg = _replace(cfg, rerank_sorted=do_rerank)
     normalized = normalize_pages(pages, cfg)
-    sentences = sentencize(normalized, mode=cfg.sentencize_offsets)
+    sentences = sentencize(
+        normalized,
+        mode=cfg.sentencize_offsets,
+        scan_max_len=cfg.sentencize_scan_max_len,
+    )
     # ONE Python stage: the kernel also computes the contrastive distances
     # (when reranking), so the docid exchange after distill_project is the
     # only shuffle and both window sorts reuse it. When repartition_by_url

@@ -1186,6 +1186,34 @@ def kernel_tiny_sql(spark, sf_dir):
     return run_kernel_tiny(spark, sentences)
 
 
+def _kernel_tiny2_oracle() -> str:
+    from deepex_spark.kernel.tiny_oracle import kernel_tiny_oracle_sql
+
+    return kernel_tiny_oracle_sql(variant=2)
+
+
+@register("kernel_tiny2_sql", oracle=_kernel_tiny2_oracle())
+def kernel_tiny2_sql(spark, sf_dir):
+    """Second independent kernel oracle at LARGER knobs — ``dist_const=2,
+    beam_size=3, search_max_len=6`` (VERDICT round-4 #4): meaningfully
+    closer to the production config (beam 6, dist 2048), exercising the
+    multi-pair enumeration order (nearest bound first per direction,
+    kgm.py:406-421), 3-way hop/beam prunes, and longer survivors — 2,132
+    sequences vs variant 1's 582 over the same committed 50-sentence
+    slice (every fixture sentence has a 3+-entity segment so distance-2
+    bounds exist). Same protocol as ``kernel_tiny_sql``: the engine runs
+    the real kernel, the DuckDB oracle re-derives every sequence from the
+    exported attention + segments parquet, scores compare with exact
+    float equality. Regenerate + self-check with
+    ``python tools/make_kernel_tiny.py 2``."""
+    import os as _os
+
+    from deepex_spark.kernel.tiny_oracle import FIXTURE_DIR2, run_kernel_tiny
+
+    sentences = spark.read.parquet(_os.path.join(FIXTURE_DIR2, "sentences.parquet"))
+    return run_kernel_tiny(spark, sentences, variant=2)
+
+
 # ---------------------------------------------------------------------------
 # Pipeline queries (beam-search kernel — not SQL-expressible; rows-only)
 # ---------------------------------------------------------------------------

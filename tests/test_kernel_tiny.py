@@ -37,3 +37,50 @@ def test_kernel_tiny_covers_nontrivial_paths(spark):
     assert {3, 4} <= lens, lens
     n_sents = {r["sent_id"] for r in rows}
     assert len(n_sents) >= 40  # broad coverage across the 50-sentence slice
+
+
+def test_kernel_tiny2_spark_matches_independent_sql(spark):
+    """Variant 2 (dist_const=2, beam_size=3, search_max_len=6): the same
+    independent-SQL protocol at knobs meaningfully closer to the
+    production config — exercises the multi-pair enumeration order and
+    3-way beam prunes."""
+    from deepex_spark.kernel.tiny_oracle import kernel_tiny_oracle_sql
+    from deepex_spark.queries import REGISTRY
+
+    sql = kernel_tiny_oracle_sql(variant=2)
+    assert "goldens" not in sql
+
+    got = {
+        (int(r["sent_id"]), int(r["seq_rank"]), r["path_str"], float(r["score"]))
+        for r in REGISTRY["kernel_tiny2_sql"].spark_fn(spark, "unused").collect()
+    }
+    want = {
+        (int(a), int(b), c, float(d)) for a, b, c, d in duckdb.sql(sql).fetchall()
+    }
+    assert got, "fixture produced no sequences"
+    assert got == want
+
+
+def test_kernel_tiny2_exercises_distance_2_pairs(spark):
+    """Every variant-2 fixture sentence has a 3+-entity segment, so walks
+    whose (start, bound) are 2 apart exist — re-derived from the committed
+    segments table, not trusted from the generator. And the longer
+    max_len must be exercised: paths of length 5 or 6 appear."""
+    import os
+
+    import duckdb as dk
+
+    from deepex_spark.kernel.tiny_oracle import FIXTURE_DIR2
+    from deepex_spark.queries import REGISTRY
+
+    segs = os.path.join(FIXTURE_DIR2, "segments.parquet")
+    n3 = dk.sql(
+        f"""SELECT count(*) FROM (
+              SELECT sent_id, seg_id FROM read_parquet('{segs}')
+              GROUP BY sent_id, seg_id HAVING count(*) >= 3)"""
+    ).fetchone()[0]
+    assert n3 >= 50  # at least one 3+-entity segment per sentence
+
+    rows = REGISTRY["kernel_tiny2_sql"].spark_fn(spark, "unused").collect()
+    lens = {len(r["path_str"].split("-")) for r in rows}
+    assert {3, 4, 5} <= lens, lens

@@ -40,7 +40,10 @@ def test_spark_matches_local(spark):
 
 def test_reconstruct_mode_matches_scan_without_duplicates(spark):
     """The linear reconstruct mode must agree with the faithful instr scan
-    everywhere except the documented duplicate/embedded cases."""
+    everywhere except the documented duplicate/embedded cases — INCLUDING
+    doc-edge non-space whitespace (F.trim strips only ' ', SPARK-17299;
+    reconstruct must not strip tabs/newlines/controls either) and
+    tab/newline/mixed boundary runs."""
     from deepex_spark.functions.sentencize import sentencize
 
     texts = [
@@ -48,13 +51,83 @@ def test_reconstruct_mode_matches_scan_without_duplicates(spark):
         "No terminal punctuation here",
         "Gap  after (blank)   run. Next.",
         "Tabs\tinside. And newlines\nhere. End.",
+        "\tLeading tab. Trailing newline\n",      # doc-edge non-space ws
+        "A.\tTab boundary. B.\n\n C.\r\n D.",     # \s+ runs beyond ' '
+        "A. \x00control kept. B\x07.",            # controls are NOT \s
+        "Unicode\xa0space. Next\xa0one. End.",    # \xa0 is not Java \s
     ]
     df = spark.createDataFrame(
         [(str(i), t) for i, t in enumerate(texts)], "docid string, text string"
     )
-    scan = {tuple(r) for r in sentencize(df).collect()}
+    scan = {tuple(r) for r in sentencize(df, mode="scan").collect()}
     recon = {tuple(r) for r in sentencize(df, mode="reconstruct").collect()}
     assert scan == recon
+
+
+def test_reconstruct_text_parity_even_with_duplicates(spark):
+    """Sentence TEXT (docid, sent_pos, sent_text) is byte-identical between
+    modes on EVERY doc — only offsets may deviate, and only on
+    duplicate/embedded sentences."""
+    from deepex_spark.functions.sentencize import sentencize
+
+    texts = [
+        "It rained. It rained. Sun came out.",
+        "\tIt rained.\tIt rained.\nSun came out.\n",
+        "abc. xyz abc. tail.",
+    ]
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "docid string, text string"
+    )
+    cols = ("docid", "sent_pos", "sent_text")
+    scan = {tuple(r) for r in sentencize(df, mode="scan").select(*cols).collect()}
+    recon = {
+        tuple(r) for r in sentencize(df, mode="reconstruct").select(*cols).collect()
+    }
+    assert scan == recon
+
+
+def test_auto_mode_routes_per_doc(spark):
+    """auto == scan below the threshold; above it, == reconstruct — checked
+    on a mixed frame in one pass."""
+    from deepex_spark.functions.sentencize import sentencize
+
+    short = "It rained. It rained. Sun came out."
+    long = ("The cat sat here. " * 40).rstrip()  # 719 chars > threshold 64
+    df = spark.createDataFrame(
+        [("s", short), ("l", long)], "docid string, text string"
+    )
+    got = {tuple(r) for r in sentencize(df, mode="auto", scan_max_len=64).collect()}
+    want_short = {
+        tuple(r) for r in sentencize(
+            df.filter("docid = 's'"), mode="scan").collect()
+    }
+    want_long = {
+        tuple(r) for r in sentencize(
+            df.filter("docid = 'l'"), mode="reconstruct").collect()
+    }
+    assert got == want_short | want_long
+    # the long doc's duplicate sentences carry aligned (distinct) offsets —
+    # proof the reconstruct branch actually ran
+    long_offs = sorted(off for d, _, off, _ in got if d == "l")
+    assert len(set(long_offs)) == len(long_offs)
+
+
+def test_auto_mode_default_matches_scan_on_small_docs(spark):
+    """Default threshold (64 KiB) leaves every normal page on the faithful
+    scan branch — byte-identical output, duplicate quirk included."""
+    from deepex_spark.functions.sentencize import sentencize
+
+    texts = [
+        "First sentence. Second one! Third?  Fourth",
+        "It rained. It rained. Sun came out.",
+        "\tLeading tab. Trailing newline\n",
+    ]
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "docid string, text string"
+    )
+    scan = {tuple(r) for r in sentencize(df, mode="scan").collect()}
+    auto = {tuple(r) for r in sentencize(df).collect()}  # default mode=auto
+    assert scan == auto
 
 
 def test_reconstruct_mode_duplicate_offsets_are_aligned(spark):

@@ -1,12 +1,19 @@
-"""Export the kernel_tiny_sql fixture: a sentence slice + its surrogate
-attention matrices + entity segments, so DuckDB can RE-DERIVE the tiny-
-config beam search independently (see deepex_spark/kernel/tiny_oracle.py).
+"""Export the kernel_tiny_sql / kernel_tiny2_sql fixtures: a sentence
+slice + its surrogate attention matrices + entity segments, so DuckDB can
+RE-DERIVE the tiny-config beam search independently (see
+deepex_spark/kernel/tiny_oracle.py). Usage:
+
+    python tools/make_kernel_tiny.py      # variant 1 (kernel_tiny)
+    python tools/make_kernel_tiny.py 2    # variant 2 (kernel_tiny2)
 
 Selection (documented, does not bias correctness — both engines run on
 the final set): sentences from the deterministic synthetic corpus whose
 pruned entity window is 4..MAX_PRUNED tokens, whose segment positions all
 fall inside the window, with at least one 2+-entity segment (so walks
-exist) and a non-empty tiny-config output. First N_SENTENCES matches.
+exist) and a non-empty tiny-config output. Variant 2 additionally
+requires a 3+-entity segment, so bounds at pair distance 2 actually
+exist and the dist_const=2 enumeration order is exercised. First
+N_SENTENCES matches.
 
 After writing, the tool SELF-CHECKS: runs the real kernel AND the DuckDB
 oracle SQL and asserts identical (sent_id, seq_rank, path, score) rows —
@@ -27,7 +34,7 @@ sys.path.insert(0, REPO)
 N_SENTENCES = 50
 
 
-def main() -> None:
+def main(variant: int = 1) -> None:
     import duckdb
 
     from deepex_spark.kernel.sentence_kernel import (
@@ -36,8 +43,8 @@ def main() -> None:
         featurize,
     )
     from deepex_spark.kernel.tiny_oracle import (
-        FIXTURE_DIR,
         MAX_PRUNED,
+        VARIANTS,
         kernel_tiny_oracle_sql,
         tiny_cfg,
     )
@@ -45,7 +52,8 @@ def main() -> None:
     from deepex_spark.nlp.attention import get_attention_provider
     from deepex_spark.sources.pages import synth_page_rows
 
-    cfg = tiny_cfg()
+    fixture_dir = VARIANTS[variant][1]
+    cfg = tiny_cfg(variant)
     provider = get_attention_provider(cfg)
 
     sent_rows, att_rows, seg_rows, engine_rows = [], [], [], []
@@ -68,6 +76,8 @@ def main() -> None:
                 continue
             if not any(len(seg) >= 2 for seg in segs):
                 continue
+            if variant == 2 and not any(len(seg) >= 3 for seg in segs):
+                continue
             att = provider.attention(feat.tokens)
             seqs = beam_search_ie(att, feat, cfg)
             if not seqs:
@@ -87,19 +97,19 @@ def main() -> None:
             sent_id += 1
 
     assert sent_id == N_SENTENCES, f"only {sent_id} qualifying sentences found"
-    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    os.makedirs(fixture_dir, exist_ok=True)
     pd.DataFrame(
         sent_rows, columns=["sent_id", "docid", "offset", "text"]
-    ).to_parquet(os.path.join(FIXTURE_DIR, "sentences.parquet"), index=False)
+    ).to_parquet(os.path.join(fixture_dir, "sentences.parquet"), index=False)
     pd.DataFrame(att_rows, columns=["sent_id", "i", "j", "v"]).to_parquet(
-        os.path.join(FIXTURE_DIR, "attention.parquet"), index=False
+        os.path.join(fixture_dir, "attention.parquet"), index=False
     )
     pd.DataFrame(
         seg_rows, columns=["sent_id", "seg_id", "pos_idx", "pos"]
-    ).to_parquet(os.path.join(FIXTURE_DIR, "segments.parquet"), index=False)
+    ).to_parquet(os.path.join(fixture_dir, "segments.parquet"), index=False)
 
     # --- self-check: engine vs independent SQL, exact equality ---
-    oracle = duckdb.sql(kernel_tiny_oracle_sql()).fetchall()
+    oracle = duckdb.sql(kernel_tiny_oracle_sql(variant=variant)).fetchall()
     got = sorted((int(a), int(b), c, float(d)) for a, b, c, d in oracle)
     want = sorted(engine_rows)
     if got != want:
@@ -108,11 +118,11 @@ def main() -> None:
         print("ENGINE-ONLY:", sorted(ws - gs)[:10])
         raise SystemExit("kernel_tiny self-check FAILED")
     print(
-        f"wrote {FIXTURE_DIR}: {len(sent_rows)} sentences, "
+        f"wrote {fixture_dir}: {len(sent_rows)} sentences, "
         f"{len(att_rows)} attention cells, {len(seg_rows)} segment rows; "
         f"self-check PASSED on {len(want)} sequences"
     )
 
 
 if __name__ == "__main__":
-    main()
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1)

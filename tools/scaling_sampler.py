@@ -24,18 +24,7 @@ def loadavg() -> float:
         return float(f.read().split()[0])
 
 
-def hw_canary(nproc: int = 32, seconds: float = 1.5) -> float:
-    """All-core busy-loop throughput (Mops/s) measured immediately BEFORE
-    a run — an exogenous host-health signal alongside steal%. The box
-    sometimes degrades all-core throughput ~40% with <1% reported steal
-    (frequency capping / neighbor memory pressure); the canary makes those
-    windows identifiable the same way steal bursts are. Outcome-
-    independent: it never sees the measurement it tags."""
-    import multiprocessing as mp
-
-    with mp.Pool(nproc) as pool:
-        ops = sum(pool.map(bench._busy_loop, [seconds] * nproc))
-    return round(ops / seconds, 1)  # aggregate iters/s across all procs
+hw_canary = bench.hw_canary  # single implementation, shared with headline mode
 
 
 def wait_quiet(limit: float = 2.0, max_wait_s: int = 300) -> float:

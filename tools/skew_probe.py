@@ -1,4 +1,4 @@
-"""Skew-path evidence for the post-kernel docid exchange (EXPLAIN.md §7).
+"""Skew-path evidence for the post-kernel docid exchange (EXPLAIN.md §6).
 
 Synthesizes a corpus with ONE hot document of ~10^4 sentences alongside
 normal 2-6-sentence docs, runs the full pipeline, and reports:
@@ -16,7 +16,9 @@ partitioned round-robin over SENTENCES before any docid grouping
 (extract.py), so a hot document spreads across every core and cannot
 skew the kernel. The two per-DOC serial costs are (a) the sentencize
 first-occurrence ``instr`` scan — O(unique sentences x doc length),
-faithful to the reference's ``full_text.find`` quirk and measured here —
+faithful to the reference's ``full_text.find`` quirk, measured here in
+BOTH modes: forced ``scan`` (the pathological term) and the default
+``auto`` (which routes this hot doc to the linear reconstruct branch) —
 and (b) the single-partition window sort over the hot doc's triples.
 AQE's skew splitting does NOT apply to window partitions (partitionBy
 requires co-location), so if these numbers ever grew pathological the
@@ -81,10 +83,21 @@ def main() -> None:
     n_bal2, t_bal2 = timed(balanced)
     n_skew2, t_skew2 = timed(skewed)
 
-    # sentencize-only serial cost of the hot doc (one row -> one task)
-    t0 = time.time()
-    n_hot_sents = sentencize(normalize_pages(hot, cfg)).count()
-    t_sentencize_hot = round(time.time() - t0, 2)
+    # sentencize-only serial cost of the hot doc (one row -> one task).
+    # .count() would prune the computed sent_offset column and the instr
+    # scan with it — force materialization through an aggregate over the
+    # offset itself, so the timed query pays the exact per-sentence cost.
+    def timed_sentencize(mode):
+        t0 = time.time()
+        row = (
+            sentencize(normalize_pages(hot, cfg), mode=mode)
+            .agg(F.sum("sent_offset").alias("s"), F.count("*").alias("n"))
+            .collect()[0]
+        )
+        return row["n"], round(time.time() - t0, 2)
+
+    n_hot_sents, t_sentencize_scan = timed_sentencize("scan")
+    _, t_sentencize_default = timed_sentencize(cfg.sentencize_offsets)
 
     # window-stage input imbalance, pre-filter
     tri = distill_triples(extract_candidates(sentencize(
@@ -96,7 +109,9 @@ def main() -> None:
     )
     out = {
         "hot_doc": {"chars": len(hot_text), "sentences": n_hot_sents,
-                    "sentencize_serial_s": t_sentencize_hot},
+                    "sentencize_scan_serial_s": t_sentencize_scan,
+                    "sentencize_default_mode": cfg.sentencize_offsets,
+                    "sentencize_default_s": t_sentencize_default},
         "balanced": {"docs": N_NORMAL + extra, "triples": n_bal,
                      "wall_s": [t_bal, t_bal2]},
         "skewed": {"docs": N_NORMAL + 1, "triples": n_skew,
