@@ -72,16 +72,21 @@ def main() -> None:
     # warm-up: JVM codegen + python worker pool, excluded from timings
     extract_triples(synth_pages(spark, n_docs=200, seed=1), cfg).count()
 
+    import bench as _bench
+
     def timed(pages):
+        s0 = _bench._read_steal()
         t0 = time.time()
         n = extract_triples(pages, cfg).count()
-        return n, round(time.time() - t0, 2)
+        dt = round(time.time() - t0, 2)
+        return n, dt, _bench._steal_pct(s0, _bench._read_steal())
 
-    n_bal, t_bal = timed(balanced)
-    n_skew, t_skew = timed(skewed)
+    hw = _bench.hw_canary()
+    n_bal, t_bal, st_bal = timed(balanced)
+    n_skew, t_skew, st_skew = timed(skewed)
     # second interleaved measurement to expose run-to-run noise
-    n_bal2, t_bal2 = timed(balanced)
-    n_skew2, t_skew2 = timed(skewed)
+    n_bal2, t_bal2, st_bal2 = timed(balanced)
+    n_skew2, t_skew2, st_skew2 = timed(skewed)
 
     # sentencize-only serial cost of the hot doc (one row -> one task).
     # .count() would prune the computed sent_offset column and the instr
@@ -112,10 +117,13 @@ def main() -> None:
                     "sentencize_scan_serial_s": t_sentencize_scan,
                     "sentencize_default_mode": cfg.sentencize_offsets,
                     "sentencize_default_s": t_sentencize_default},
+        "hw_mops": hw,
         "balanced": {"docs": N_NORMAL + extra, "triples": n_bal,
-                     "wall_s": [t_bal, t_bal2]},
+                     "wall_s": [t_bal, t_bal2],
+                     "steal_pct": [st_bal, st_bal2]},
         "skewed": {"docs": N_NORMAL + 1, "triples": n_skew,
-                   "wall_s": [t_skew, t_skew2]},
+                   "wall_s": [t_skew, t_skew2],
+                   "steal_pct": [st_skew, st_skew2]},
         "slowdown_warm": round(min(t_skew, t_skew2) / min(t_bal, t_bal2), 3),
         "window_partitions": {"n": len(stats),
                               "median_rows": stats[len(stats) // 2],
