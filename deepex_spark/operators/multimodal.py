@@ -1,12 +1,18 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, partitioning, UDF
-signatures, frame explosion) is real and tested; the actual codecs
-(Pillow/ffmpeg/etc.) are NOT available in this container, so the byte-level
-decode step is STUBBED: payloads in the deterministic synthetic container
-format below decode fully; any other payload raises ``NotImplementedError``
-at the decode boundary — swap ``_decode_payload`` for a real codec in
-production.
+signatures, frame explosion) is real and tested. Codecs at the decode
+boundary, per modality:
+
+* **audio — REAL public codec**: RIFF/WAVE PCM payloads decode through the
+  Python-stdlib ``wave`` module (sample rate, channels, PCM frames; body =
+  raw PCM so downstream featurization runs on real samples). Generate test
+  payloads with :func:`make_wav_payload` (also stdlib ``wave``).
+* **image/video — STUBBED**: Pillow/ffmpeg are NOT available in this
+  container, so only the deterministic synthetic container format below
+  decodes; any other payload raises ``NotImplementedError`` at the decode
+  boundary — swap ``_decode_payload``'s fallthrough for a real codec in
+  production.
 
 Synthetic container format (deterministic, seeded):
     b"DXM1" | kind(1B: I/A/V) | width(2B) | height(2B) | n_frames(2B) | body
@@ -14,7 +20,9 @@ Synthetic container format (deterministic, seeded):
 
 from __future__ import annotations
 
+import io
 import struct
+import wave
 import zlib
 from collections.abc import Iterator
 
@@ -24,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MAGIC = b"DXM1"
+WAV_MAGIC = b"RIFF"
 
 MEDIA_DDL = (
     "media_id long, kind string, payload binary, "
@@ -52,12 +61,68 @@ def synth_media(spark: SparkSession, n: int = 60, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_DDL)
 
 
+def make_wav_payload(
+    n_samples: int, sample_rate: int = 8000, channels: int = 1, seed: int = 0
+) -> bytes:
+    """A REAL RIFF/WAVE file (16-bit PCM) written by stdlib ``wave`` —
+    deterministic from the seed, decodable by any WAV reader."""
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-(1 << 15), 1 << 15, size=n_samples * channels, dtype=np.int64)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """REAL audio decode: stdlib ``wave`` parses the RIFF container; body
+    is the raw PCM so featurization consumes actual samples."""
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        channels = w.getnchannels()
+        rate = w.getframerate()
+        n_frames = w.getnframes()
+        body = w.readframes(n_frames)
+    return {
+        "kind": "A",
+        "width": rate,        # audio: width slot carries the sample rate
+        "height": channels,   # and height the channel count
+        "n_frames": n_frames,
+        "n_bytes": len(body),
+        "mean_byte": float(np.frombuffer(body, dtype=np.uint8).mean()) if body else 0.0,
+        "body": body,
+    }
+
+
+def synth_wav_media(spark: SparkSession, n: int = 20, seed: int = 42) -> DataFrame:
+    """Rows whose payloads are REAL WAV files (stdlib ``wave``); meta uses
+    the audio convention width=sample_rate, height=channels."""
+    rows = []
+    for i in range(n):
+        rate = 8000 * (1 + i % 3)
+        channels = 1 + i % 2
+        n_samples = 64 + (i % 5) * 32
+        payload = make_wav_payload(n_samples, rate, channels, seed + i)
+        rows.append(
+            (i, "audio", bytearray(payload), (rate, channels, n_samples, "audio/wav"))
+        )
+    return spark.createDataFrame(rows, MEDIA_DDL)
+
+
 def _decode_payload(payload: bytes) -> dict:
-    """STUB decode boundary. Real deployment: replace with PIL/ffmpeg."""
+    """Decode boundary: real WAV via stdlib ``wave``; DXM1 synthetic
+    container for the still-stubbed image/video modalities; anything else
+    fails LOUDLY. Real deployment: replace the fallthrough with
+    PIL/ffmpeg."""
+    if payload is not None and bytes(payload[:4]) == WAV_MAGIC:
+        return _decode_wav(payload)
     if payload is None or bytes(payload[:4]) != MAGIC:
         raise NotImplementedError(
-            "real media codecs are not available in this environment; "
-            "only the DXM1 synthetic container decodes (see module docstring)"
+            "image/video codecs are not available in this environment; "
+            "only RIFF/WAVE audio (real, stdlib wave) and the DXM1 "
+            "synthetic container decode (see module docstring)"
         )
     kind = chr(payload[4])
     w, h, n_frames = struct.unpack(">HHH", bytes(payload[5:11]))

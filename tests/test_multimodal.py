@@ -39,6 +39,53 @@ def test_decode_stub_raises_on_real_media(spark):
         _decode_payload(b"\x89PNG\r\n\x1a\n....")
 
 
+def test_wav_decode_is_real():
+    """Audio is no longer a stub: a genuine RIFF/WAVE file round-trips
+    through the stdlib ``wave`` codec at the decode boundary — verified
+    against an independent wave.open of the same bytes."""
+    import io
+    import wave as _wave
+
+    from deepex_spark.operators.multimodal import _decode_payload, make_wav_payload
+
+    payload = make_wav_payload(n_samples=100, sample_rate=16000, channels=2, seed=7)
+    # independent parse of the same bytes
+    with _wave.open(io.BytesIO(payload), "rb") as w:
+        assert (w.getframerate(), w.getnchannels(), w.getnframes()) == (16000, 2, 100)
+        pcm = w.readframes(100)
+
+    d = _decode_payload(payload)
+    assert d["kind"] == "A"
+    assert d["width"] == 16000 and d["height"] == 2 and d["n_frames"] == 100
+    assert d["body"] == pcm and d["n_bytes"] == 100 * 2 * 2  # frames*ch*2B
+
+
+def test_wav_media_through_spark_plumbing(spark):
+    """Real-WAV rows flow through the same Arrow decode/featurize stages
+    as the synthetic container rows."""
+    from deepex_spark.operators.multimodal import (
+        decode_media,
+        media_features,
+        synth_wav_media,
+    )
+
+    media = synth_wav_media(spark, n=6)
+    dec = {r["media_id"]: r["decoded"] for r in decode_media(media).collect()}
+    assert len(dec) == 6
+    for i, d in dec.items():
+        rate, channels = 8000 * (1 + i % 3), 1 + i % 2
+        n_samples = 64 + (i % 5) * 32
+        assert (d["width"], d["height"], d["n_frames"]) == (rate, channels, n_samples)
+        assert d["n_bytes"] == n_samples * channels * 2
+
+    feats = media_features(media).collect()
+    assert len(feats) == 6
+    for r in feats:
+        v = r["embedding"]
+        assert len(v) == 64
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-5  # unit norm
+
+
 def test_streaming_available_now(spark, tmp_path):
     import time
 
