@@ -8,11 +8,22 @@ boundary, per modality:
   Python-stdlib ``wave`` module (sample rate, channels, PCM frames; body =
   raw PCM so downstream featurization runs on real samples). Generate test
   payloads with :func:`make_wav_payload` (also stdlib ``wave``).
-* **image/video — STUBBED**: Pillow/ffmpeg are NOT available in this
-  container, so only the deterministic synthetic container format below
-  decodes; any other payload raises ``NotImplementedError`` at the decode
-  boundary — swap ``_decode_payload``'s fallthrough for a real codec in
-  production.
+* **image — REAL public codec (uncompressed subset)**: Windows BMP
+  (``BM`` magic, BITMAPINFOHEADER-family DIB header, ``BI_RGB``) parses
+  via pure ``struct`` — width/height/bpp from the header, body = the raw
+  pixel array at the header's data offset. Compressed BMP (RLE/JPEG/PNG
+  embeddings) raises ``NotImplementedError`` honestly.
+* **video — REAL public codec (uncompressed subset)**: RIFF/AVI — a real
+  recursive RIFF chunk walk reads the ``avih`` main header for
+  width/height and collects the ``movi`` list's ``##db``/``##dc`` frame
+  chunks; ``sample_frames`` then samples EXACT per-frame chunk bytes
+  (not byte-slice approximations). Compressed codecs inside the container
+  decode at the container level only (frame bytes pass through opaque).
+* **everything else — STUBBED**: Pillow/ffmpeg are NOT available in this
+  container, so beyond WAV/BMP/AVI only the deterministic synthetic
+  container format below decodes; any other payload raises
+  ``NotImplementedError`` at the decode boundary — swap
+  ``_decode_payload``'s fallthrough for a full codec stack in production.
 
 Synthetic container format (deterministic, seeded):
     b"DXM1" | kind(1B: I/A/V) | width(2B) | height(2B) | n_frames(2B) | body
@@ -32,7 +43,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MAGIC = b"DXM1"
-WAV_MAGIC = b"RIFF"
+RIFF_MAGIC = b"RIFF"
+BMP_MAGIC = b"BM"
+# DIB header sizes of the BITMAPINFOHEADER family (COREHEADER excluded:
+# its field layout differs)
+_BMP_DIB_SIZES = {40, 52, 56, 108, 124}
 
 MEDIA_DDL = (
     "media_id long, kind string, payload binary, "
@@ -111,18 +126,174 @@ def synth_wav_media(spark: SparkSession, n: int = 20, seed: int = 42) -> DataFra
     return spark.createDataFrame(rows, MEDIA_DDL)
 
 
+def make_bmp_payload(width: int, height: int, seed: int = 0) -> bytes:
+    """A REAL uncompressed 24-bpp Windows BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER, bottom-up rows padded to 4 bytes) — deterministic
+    from the seed, decodable by any BMP reader."""
+    rng = np.random.default_rng(seed)
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    body = b"".join(
+        rng.integers(0, 256, size=row_bytes, dtype=np.uint8).tobytes() + b"\x00" * pad
+        for _ in range(height)
+    )
+    offset = 14 + 40
+    file_hdr = BMP_MAGIC + struct.pack("<IHHI", offset + len(body), 0, 0, offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return file_hdr + dib + body
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    """REAL image decode: pure-``struct`` parse of the BMP file header +
+    BITMAPINFOHEADER-family DIB header; body = the raw pixel array at the
+    header's declared data offset. Uncompressed (``BI_RGB``) only —
+    compressed BMPs fail loudly rather than pretend."""
+    data = bytes(payload)
+    _file_size, _r1, _r2, offset = struct.unpack("<IHHI", data[2:14])
+    dib_size = struct.unpack("<I", data[14:18])[0]
+    if dib_size not in _BMP_DIB_SIZES:
+        raise NotImplementedError(f"unsupported BMP DIB header size {dib_size}")
+    w, h, _planes, bpp, compression = struct.unpack("<iiHHI", data[18:34])
+    if compression != 0:  # BI_RGB
+        raise NotImplementedError(f"compressed BMP (method {compression}) not supported")
+    body = data[offset:]
+    return {
+        "kind": "I",
+        "width": w,
+        "height": abs(h),  # negative height = top-down row order
+        "n_frames": 1,
+        "n_bytes": len(body),
+        "mean_byte": float(np.frombuffer(body, dtype=np.uint8).mean()) if body else 0.0,
+        "body": body,
+        "bpp": bpp,
+    }
+
+
+def synth_bmp_media(spark: SparkSession, n: int = 12, seed: int = 42) -> DataFrame:
+    """Rows whose payloads are REAL uncompressed BMP images."""
+    rows = []
+    for i in range(n):
+        w, h = 4 + (i % 5) * 3, 3 + (i % 4) * 2
+        rows.append(
+            (i, "image", bytearray(make_bmp_payload(w, h, seed + i)), (w, h, 1, "image/bmp"))
+        )
+    return spark.createDataFrame(rows, MEDIA_DDL)
+
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    return fourcc + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+
+def make_avi_payload(
+    width: int, height: int, n_frames: int, fps: int = 10, seed: int = 0
+) -> bytes:
+    """A REAL uncompressed RIFF/AVI file: ``hdrl`` list (``avih`` main
+    header + a ``vids``/``DIB `` stream list with its BITMAPINFOHEADER)
+    and a ``movi`` list of ``00db`` uncompressed-frame chunks —
+    deterministic from the seed, standards-shaped chunk layout."""
+    rng = np.random.default_rng(seed)
+    frame_len = width * height * 3
+    frames = [
+        rng.integers(0, 256, size=frame_len, dtype=np.uint8).tobytes() for _ in range(n_frames)
+    ]
+
+    def lst(list_type: bytes, payload: bytes) -> bytes:
+        return _riff_chunk(b"LIST", list_type + payload)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, frame_len * fps, 0, 0x10, n_frames, 0, 1,
+        frame_len, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0,
+        n_frames, frame_len, 0xFFFFFFFF, 0, 0, 0, width, height,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_len, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + lst(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(_riff_chunk(b"00db", f) for f in frames))
+    return _riff_chunk(RIFF_MAGIC, b"AVI " + hdrl + movi)
+
+
+def _decode_avi(payload: bytes) -> dict:
+    """REAL video decode at the container level: recursive RIFF chunk walk
+    (the same walk any AVI demuxer does) — ``avih`` gives width/height,
+    the ``movi`` list's ``##db``/``##dc`` chunks give EXACT per-frame
+    bytes. Frame payloads pass through opaque (no pixel-codec here)."""
+    data = bytes(payload)
+    avih: tuple | None = None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal avih
+        pos = start
+        while pos + 8 <= end:
+            fourcc = data[pos : pos + 4]
+            size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+            body_start = pos + 8
+            if fourcc == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif fourcc == b"avih":
+                avih = struct.unpack("<14I", data[body_start : body_start + 56])
+            elif len(fourcc) == 4 and fourcc[2:4] in (b"db", b"dc"):
+                frames.append(data[body_start : body_start + size])
+            pos = body_start + size + (size & 1)
+
+    walk(12, len(data))
+    if avih is None:
+        raise NotImplementedError("RIFF/AVI without an avih main header")
+    body = b"".join(frames)
+    return {
+        "kind": "V",
+        "width": int(avih[8]),
+        "height": int(avih[9]),
+        "n_frames": len(frames),
+        "n_bytes": len(body),
+        "mean_byte": float(np.frombuffer(body, dtype=np.uint8).mean()) if body else 0.0,
+        "body": body,
+        "frames": frames,
+    }
+
+
+def synth_avi_media(spark: SparkSession, n: int = 12, seed: int = 42) -> DataFrame:
+    """Rows whose payloads are REAL uncompressed RIFF/AVI files."""
+    rows = []
+    for i in range(n):
+        w, h = 4 + (i % 4) * 2, 3 + (i % 3) * 2
+        n_frames = 3 + i % 6
+        rows.append(
+            (
+                i,
+                "video",
+                bytearray(make_avi_payload(w, h, n_frames, seed=seed + i)),
+                (w, h, n_frames, "video/x-msvideo"),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_DDL)
+
+
 def _decode_payload(payload: bytes) -> dict:
-    """Decode boundary: real WAV via stdlib ``wave``; DXM1 synthetic
-    container for the still-stubbed image/video modalities; anything else
-    fails LOUDLY. Real deployment: replace the fallthrough with
-    PIL/ffmpeg."""
-    if payload is not None and bytes(payload[:4]) == WAV_MAGIC:
-        return _decode_wav(payload)
+    """Decode boundary: real RIFF/WAVE audio (stdlib ``wave``), real
+    uncompressed BMP images and RIFF/AVI video (pure ``struct``), plus the
+    DXM1 synthetic container; anything else fails LOUDLY. Real deployment:
+    replace the fallthrough with a full PIL/ffmpeg stack."""
+    if payload is not None and bytes(payload[:4]) == RIFF_MAGIC:
+        form = bytes(payload[8:12])
+        if form == b"WAVE":
+            return _decode_wav(payload)
+        if form == b"AVI ":
+            return _decode_avi(payload)
+        raise NotImplementedError(f"unsupported RIFF form type {form!r}")
+    if payload is not None and bytes(payload[:2]) == BMP_MAGIC:
+        return _decode_bmp(payload)
     if payload is None or bytes(payload[:4]) != MAGIC:
         raise NotImplementedError(
-            "image/video codecs are not available in this environment; "
-            "only RIFF/WAVE audio (real, stdlib wave) and the DXM1 "
-            "synthetic container decode (see module docstring)"
+            "only RIFF/WAVE audio, uncompressed BMP, uncompressed RIFF/AVI "
+            "(all real, pure stdlib) and the DXM1 synthetic container "
+            "decode in this environment (see module docstring)"
         )
     kind = chr(payload[4])
     w, h, n_frames = struct.unpack(">HHH", bytes(payload[5:11]))
@@ -172,6 +343,12 @@ def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
                 if d["kind"] != "V":
                     continue
                 n = d["n_frames"]
+                frames = d.get("frames")
+                if frames is not None:  # container gave exact frame chunks (AVI)
+                    for fi in range(0, n, every):
+                        chunk = frames[fi]
+                        rows.append((int(mid), fi, bytearray(chunk), zlib.crc32(chunk)))
+                    continue
                 body = d["body"]
                 step = max(1, len(body) // max(n, 1))
                 for fi in range(0, n, every):

@@ -1079,8 +1079,10 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing (codec stubbed — deterministic fake container; the
-# Spark-side schema/batching/explosion is the real, tested part)
+# Multimodal plumbing. Real pure-stdlib codecs (WAV/BMP/AVI) cover the
+# decode boundary; the DXM1 deterministic synthetic container remains for
+# the golden trio below, and multimodal_real_codecs carries an
+# INDEPENDENT format-spec-derived oracle.
 # ---------------------------------------------------------------------------
 
 def _mm_golden(golden_file: str, cols: str) -> str:
@@ -1152,6 +1154,73 @@ def multimodal_feature_ann(spark, sf_dir):
 
     feats = media_features(synth_media(spark, n=60)).withColumnRenamed("media_id", "vec_id")
     return embedding_near_dups(feats, threshold=0.5, n_planes=4)
+
+
+@register(
+    "multimodal_real_codecs",
+    oracle="""
+    -- INDEPENDENT oracle (no golden): the synth payloads are REAL
+    -- WAV/BMP/AVI files whose structural decode facts are arithmetic
+    -- functions of the generation index, re-derived here from the format
+    -- specs themselves — WAV data bytes = frames*channels*2 (16-bit PCM),
+    -- BMP pixel array = height rows each padded to 4 bytes, AVI movi
+    -- bytes = w*h*3 per 00db frame chunk. The engine must parse actual
+    -- RIFF/DIB headers to reproduce these.
+    WITH wav AS (
+        SELECT i AS media_id, 'wav' AS src,
+               8000 * (1 + i % 3) AS dec_width,
+               1 + i % 2 AS dec_height,
+               64 + (i % 5) * 32 AS dec_n_frames,
+               (64 + (i % 5) * 32) * (1 + i % 2) * 2 AS dec_n_bytes
+        FROM generate_series(0, 19) t(i)
+    ), bmp_dims AS (
+        SELECT i, 4 + (i % 5) * 3 AS w, 3 + (i % 4) * 2 AS h
+        FROM generate_series(0, 11) t(i)
+    ), bmp AS (
+        SELECT i AS media_id, 'bmp' AS src, w AS dec_width, h AS dec_height,
+               1 AS dec_n_frames,
+               (w * 3 + (4 - (w * 3) % 4) % 4) * h AS dec_n_bytes
+        FROM bmp_dims
+    ), avi_dims AS (
+        SELECT i, 4 + (i % 4) * 2 AS w, 3 + (i % 3) * 2 AS h, 3 + i % 6 AS nf
+        FROM generate_series(0, 11) t(i)
+    ), avi AS (
+        SELECT i AS media_id, 'avi' AS src, w AS dec_width, h AS dec_height,
+               nf AS dec_n_frames, w * h * 3 * nf AS dec_n_bytes
+        FROM avi_dims
+    )
+    SELECT * FROM wav UNION ALL SELECT * FROM bmp UNION ALL SELECT * FROM avi
+    """,
+)
+def multimodal_real_codecs(spark, sf_dir):
+    """Decode REAL media containers (stdlib-codec WAV audio, uncompressed
+    BMP images, uncompressed RIFF/AVI video) through the same Arrow
+    decode stage; the oracle re-derives every structural field from the
+    format specifications independently of the engine."""
+    from deepex_spark.operators.multimodal import (
+        decode_media,
+        synth_avi_media,
+        synth_bmp_media,
+        synth_wav_media,
+    )
+
+    out = []
+    for src, df in (
+        ("wav", synth_wav_media(spark, n=20)),
+        ("bmp", synth_bmp_media(spark, n=12)),
+        ("avi", synth_avi_media(spark, n=12)),
+    ):
+        out.append(
+            decode_media(df).select(
+                "media_id",
+                F.lit(src).alias("src"),
+                F.col("decoded.width").alias("dec_width"),
+                F.col("decoded.height").alias("dec_height"),
+                F.col("decoded.n_frames").alias("dec_n_frames"),
+                F.col("decoded.n_bytes").alias("dec_n_bytes"),
+            )
+        )
+    return out[0].unionByName(out[1]).unionByName(out[2])
 
 
 # ---------------------------------------------------------------------------

@@ -80,3 +80,75 @@ def test_skewed_corpus_completes_balanced(spark):
     # determinism under different parallelism on the skewed input
     tri2 = extract_triples(pages.repartition(16), cfg)
     assert tri2.count() == n1
+
+
+def test_spark_submit_pyfiles_subprocess(spark, tmp_path):
+    """Run the literal north_rule deployment shape — a real ``spark-submit
+    --py-files deepex_spark.zip jobs/build_kg.py`` subprocess — from a cwd
+    that does NOT contain the package, so the import can only resolve
+    through the shipped zip."""
+    import json as _json
+    import os
+    import shutil
+    import subprocess
+    import sys
+    import zipfile
+
+    submit = shutil.which("spark-submit")
+    if submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from deepex_spark.sources.pages import synth_pages
+
+    src = tmp_path / "pages"
+    synth_pages(spark, n_docs=6, seed=3).write.parquet(str(src))
+
+    # package the library exactly as the docstring in jobs/build_kg.py says
+    zip_path = tmp_path / "deepex_spark.zip"
+    pkg = os.path.join(repo, "deepex_spark")
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                full = os.path.join(root, f)
+                z.write(full, os.path.relpath(full, repo))
+    job = tmp_path / "build_kg.py"
+    shutil.copy(os.path.join(repo, "jobs", "build_kg.py"), job)
+
+    out = tmp_path / "out"
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_MASTER": "local[2]",
+        "SPARK_DRIVER_MEM": "2g",
+        "PYSPARK_PYTHON": sys.executable,
+        "PYSPARK_DRIVER_PYTHON": sys.executable,
+    }
+    proc = subprocess.run(
+        [
+            submit,
+            "--master", "local[2]",
+            "--py-files", str(zip_path),
+            str(job),
+            "--input", str(src),
+            "--output", str(out),
+            "--run-id", "submit1",
+            "--dist-const", "2",
+        ],
+        cwd=str(tmp_path),  # repo root absent: deepex_spark only via zip
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    report = None
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"run_id"' in line:
+            report = _json.loads(line)
+    assert report is not None, proc.stdout[-4000:]
+    assert report["run_id"] == "submit1"
+    assert report["triples"] > 0 and report["vertices"] > 0 and report["edges"] > 0
+    assert (out / "edges").exists() and (out / "vertices").exists()

@@ -162,3 +162,104 @@ def test_stream_extract_foreachbatch(spark, tmp_path):
 
     batch = extract_triples(spark.read.parquet(str(src)), cfg)
     assert batch.count() == got.count()
+
+
+def test_bmp_decode_is_real():
+    """Image decode is a real BMP parser: a hand-crafted 1x1 24-bpp BMP
+    (bytes assembled independently in this test, not by the module's
+    writer) decodes to its known pixel bytes; compressed BMP fails
+    loudly."""
+    import struct
+
+    from deepex_spark.operators.multimodal import _decode_payload, make_bmp_payload
+
+    body = b"\x10\x20\x30\x00"  # one BGR pixel + row pad
+    hand = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, len(body), 0, 0, 0, 0)
+        + body
+    )
+    d = _decode_payload(hand)
+    assert (d["kind"], d["width"], d["height"], d["n_frames"]) == ("I", 1, 1, 1)
+    assert d["body"] == body and d["bpp"] == 24
+
+    # top-down variant (negative height)
+    neg = bytearray(hand)
+    neg[22:26] = struct.pack("<i", -1)
+    assert _decode_payload(bytes(neg))["height"] == 1
+
+    # compression method != BI_RGB must not silently mis-decode
+    comp = bytearray(hand)
+    comp[30] = 1  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        _decode_payload(bytes(comp))
+
+    # writer output round-trips with padded-row accounting
+    p = make_bmp_payload(5, 3, seed=9)
+    d = _decode_payload(p)
+    assert (d["width"], d["height"]) == (5, 3)
+    assert d["n_bytes"] == (5 * 3 + ((-5 * 3) % 4)) * 3
+
+
+def test_avi_decode_exact_frames():
+    """Video decode is a real RIFF walk: frame chunks come back as EXACT
+    bytes (including through odd-size chunk padding), matching an
+    independent regeneration from the same seed."""
+    import numpy as np
+
+    from deepex_spark.operators.multimodal import _decode_payload, make_avi_payload
+
+    p = make_avi_payload(3, 3, 4, seed=5)  # 27-byte frames -> odd chunks
+    d = _decode_payload(p)
+    rng = np.random.default_rng(5)
+    exp = [rng.integers(0, 256, size=27, dtype=np.uint8).tobytes() for _ in range(4)]
+    assert (d["kind"], d["width"], d["height"], d["n_frames"]) == ("V", 3, 3, 4)
+    assert d["frames"] == exp and d["body"] == b"".join(exp)
+
+    with pytest.raises(NotImplementedError):
+        _decode_payload(b"RIFF\x04\x00\x00\x00XXXX")  # unknown RIFF form
+
+
+def test_bmp_avi_through_spark_plumbing(spark):
+    """Real-BMP and real-AVI rows flow through the same Arrow
+    decode/frame-sample stages; AVI frame sampling returns exact chunk
+    bytes, verified against an independent regeneration."""
+    import zlib
+
+    import numpy as np
+
+    from deepex_spark.operators.multimodal import (
+        decode_media,
+        sample_frames,
+        synth_avi_media,
+        synth_bmp_media,
+    )
+
+    bmp = synth_bmp_media(spark, n=5)
+    dec = {r["media_id"]: r["decoded"] for r in decode_media(bmp).collect()}
+    assert len(dec) == 5
+    for i, d in dec.items():
+        w, h = 4 + (i % 5) * 3, 3 + (i % 4) * 2
+        assert (d["width"], d["height"], d["n_frames"]) == (w, h, 1)
+
+    avi = synth_avi_media(spark, n=4, seed=20)
+    frames = sample_frames(avi, every=2).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == {0, 1, 2, 3}
+    for i, rows in by_media.items():
+        w, h = 4 + (i % 4) * 2, 3 + (i % 3) * 2
+        n_frames = 3 + i % 6
+        rng = np.random.default_rng(20 + i)
+        exp = [
+            rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+            for _ in range(n_frames)
+        ]
+        assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == list(
+            range(0, n_frames, 2)
+        )
+        for r in rows:
+            assert bytes(r["frame_bytes"]) == exp[r["frame_idx"]]
+            assert r["frame_checksum"] == zlib.crc32(exp[r["frame_idx"]])
