@@ -67,3 +67,90 @@ def materialize_graph(canon_triples: DataFrame, catalog, run_id: str = "run0"):
     catalog.write(v, "vertices", partition_by=["bucket"])
     catalog.write(e, "edges", partition_by=["bucket"])
     return v, e
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list -> (v, comp) with
+    ``comp`` = the smallest vertex id in v's component (a deterministic,
+    partition-invariant fixpoint).
+
+    Algorithm: min-label propagation fused with pointer jumping — each
+    round every vertex takes the min label over {self} ∪ neighbors, then
+    shortcuts through its label's label (``comp <- comp(comp)``). The
+    jumping step collapses already-discovered chains geometrically, so
+    rounds are O(log diameter) rather than O(diameter); each round is two
+    key-partitioned shuffles (a neighbor groupBy-min and a label
+    self-join), the iterative pattern pre-GraphFrames Spark deployments
+    use for web-graph CC.
+
+    100 TB notes: state is one (v, comp) row per vertex and messages are
+    one row per edge — nothing is ever collected to the driver (the
+    convergence probe is a ``limit(1).count()`` on the changed-set, an
+    early-exit scan). A mega-component's hub key skews the groupBy; AQE's
+    skew handling splits it. ``localCheckpoint`` truncates each round's
+    lineage — without it the unioned plan doubles per iteration and the
+    optimizer, not the data, becomes the bottleneck.
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).where(F.col("u").isNotNull() & F.col("v").isNotNull())
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    labels = sym.select("u").distinct().withColumn("comp", F.col("u"))
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, on="u")
+            .groupBy(F.col("v").alias("u"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        prop = labels.join(nbr, on="u", how="left").select(
+            "u",
+            F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+        )
+        hop = prop.select(F.col("u").alias("c_u"), F.col("comp").alias("c_comp"))
+        jumped = (
+            prop.join(hop, prop["comp"] == hop["c_u"], "left")
+            .select(
+                "u",
+                F.least(F.col("comp"), F.coalesce("c_comp", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("v"), "comp")
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Near-duplicate cluster assignment: connected components over a
+    dup-pair graph (e.g. MinHash-LSH pairs), then every document joins its
+    cluster — ``cluster_id`` = smallest doc id in the cluster, docs with
+    no duplicate are their own cluster, ``is_canonical`` marks the one
+    row per cluster a keep-one-per-cluster dedup retains. The standard
+    training-data pipeline shape: transitive near-dups (A~B, B~C) land in
+    ONE cluster even when A and C never pair directly."""
+    cc = connected_components(pairs, src=pair_a, dst=pair_b)
+    ids = docs.select(F.col(id_col).cast("long").alias(id_col))
+    out = ids.join(cc, ids[id_col] == cc["v"], "left").select(
+        id_col,
+        F.coalesce("comp", F.col(id_col)).alias("cluster_id"),
+    )
+    return out.withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))

@@ -897,6 +897,47 @@ def dedup_minhash_pairs(spark, sf_dir):
 
 
 @register(
+    "dedup_clusters",
+    # INDEPENDENT oracle: transitive closure by a recursive CTE with the
+    # min-label pruning invariant — the component minimum m is smaller
+    # than every other member, so propagating only labels smaller than
+    # the target (r.lab < s.w) keeps every (vertex, m) pair reachable
+    # while bounding the closure; MIN(lab) per vertex is then exactly the
+    # component minimum the Spark pointer-jumping loop converges to.
+    oracle="WITH RECURSIVE pairs AS ("
+    + _minhash_pairs_oracle(8, 4, 1266, 0.5)
+    + """),
+    sym AS (
+      SELECT id_a AS u, id_b AS w FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS w FROM pairs
+    ),
+    reach(v, lab) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym) t
+      UNION
+        SELECT s.w, r.lab FROM reach r JOIN sym s ON s.u = r.v
+        WHERE r.lab < s.w
+    ),
+    cc AS (SELECT v, MIN(lab) AS comp FROM reach GROUP BY v)
+    SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS cluster_id,
+           COALESCE(cc.comp, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN cc ON cc.v = d.doc_id
+    """,
+)
+def dedup_clusters_query(spark, sf_dir):
+    """Near-dup cluster assignment: connected components (min-label
+    propagation + pointer jumping, operators/graph.py) over the
+    MinHash-LSH dup-pair graph; every doc gets cluster_id = min doc id in
+    its component, singletons are their own cluster."""
+    from deepex_spark.operators.dedup import minhash_dup_pairs
+    from deepex_spark.operators.graph import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_dup_pairs(docs, "text", "doc_id", n=3, k=8, bands=4, min_est_sim=0.5)
+    return dedup_clusters(docs, pairs)
+
+
+@register(
     "dedup_ngram_jaccard",
     # hot-shingle document-frequency cutoff (<= 50) encoded in BOTH sides:
     # boilerplate shingles shared by many docs are dropped before the pair

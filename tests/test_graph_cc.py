@@ -1,0 +1,96 @@
+"""Connected components + near-dup cluster assignment
+(operators/graph.py::connected_components / dedup_clusters).
+
+Verified against an independent union-find implementation written here
+(not shared with the operator), on adversarial shapes: a long chain (worst
+diameter — exercises pointer jumping), transitive dup chains, and a seeded
+random graph; plus partition-count invariance of the fixpoint.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _union_find(n_vertices, edges):
+    parent = list(range(n_vertices))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min member id
+    comp_min: dict[int, int] = {}
+    for v in range(n_vertices):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    return {v: comp_min[find(v)] for v in range(n_vertices)}
+
+
+def _cc_dict(spark, edges):
+    from deepex_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["v"]: r["comp"] for r in connected_components(df).collect()}
+
+
+def test_cc_chain_worst_diameter(spark):
+    """A 64-vertex chain: naive min-propagation needs 63 rounds; pointer
+    jumping must collapse it within the operator's max_iter."""
+    edges = [(i, i + 1) for i in range(63)]
+    got = _cc_dict(spark, edges)
+    assert got == {v: 0 for v in range(64)}
+
+
+def test_cc_matches_union_find_random(spark):
+    rnd = random.Random(1234)
+    n = 200
+    edges = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(150)]
+    exp = _union_find(n, edges)
+    got = _cc_dict(spark, edges)
+    # operator only labels vertices that appear in an edge
+    touched = {a for a, _ in edges} | {b for _, b in edges}
+    assert got == {v: exp[v] for v in touched}
+
+
+def test_cc_partition_invariance(spark):
+    from deepex_spark.operators.graph import connected_components
+
+    edges = [(i, i + 1) for i in range(40)] + [(100 + i, 100 + (i + 1) % 5) for i in range(5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, connected_components(df).collect()))
+    b = sorted(map(tuple, connected_components(df.repartition(13)).collect()))
+    assert a == b and len(a) == 41 + 5
+
+
+def test_dedup_clusters_transitive(spark):
+    """A~B and B~C (A never pairs with C directly) must land in ONE
+    cluster; untouched docs are their own canonical singleton."""
+    from deepex_spark.operators.graph import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 4), (4, 6), (2, 7)], "id_a long, id_b long"
+    )
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in
+            dedup_clusters(docs, pairs).collect()}
+    assert rows == {
+        0: (0, True),
+        1: (1, True),
+        2: (2, True),
+        3: (3, True),
+        4: (1, False),
+        5: (5, True),
+        6: (1, False),
+        7: (2, False),
+    }
+    # keep-one-per-cluster retains exactly one doc per cluster
+    canon = [d for d, (_, keep) in rows.items() if keep]
+    assert sorted(canon) == [0, 1, 2, 3, 5]
