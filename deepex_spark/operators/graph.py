@@ -154,3 +154,60 @@ def dedup_clusters(
         F.coalesce("comp", F.col(id_col)).alias("cluster_id"),
     )
     return out.withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list -> (v, r).
+
+    Power iteration in its standard distributed shape: each round joins
+    ranks to edges on the source key, splits rank over out-degree,
+    groupBy-sums contributions on the destination key, and redistributes
+    dangling mass uniformly — two key-partitioned shuffles per round, the
+    same join/agg pattern every Spark PageRank since the original RDD
+    example uses, expressed on DataFrames so AQE handles hub skew.
+
+    Driver traffic is one scalar per round (the dangling-mass sum — a
+    single aggregated double, not row data) plus the one-time vertex
+    count; ``localCheckpoint`` truncates the per-round lineage. Fixed
+    ``n_iter`` keeps the result a deterministic function of the graph
+    (and SQL-reproducible by unrolling), which a convergence-threshold
+    variant would not be.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+    ).distinct()
+    verts = e.select(F.col("s").alias("v")).union(e.select(F.col("d").alias("v"))).distinct()
+    n = verts.count()
+    out_deg = e.groupBy("s").agg(F.count("*").alias("deg"))
+    links = e.join(out_deg, "s")
+    ranks = verts.withColumn("r", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        dangling = (
+            ranks.join(out_deg, ranks["v"] == out_deg["s"], "left_anti")
+            .agg(F.sum("r"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contrib = links.join(ranks, links["s"] == ranks["v"]).select(
+            F.col("d").alias("v"), (F.col("r") / F.col("deg")).alias("c")
+        )
+        summed = contrib.groupBy("v").agg(F.sum("c").alias("csum"))
+        ranks = (
+            verts.join(summed, "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("csum", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -649,6 +649,64 @@ def kg_edges(spark, sf_dir):
     return edges.groupBy("src", "dst", "rel").agg(F.count("*").alias("n_evidence"))
 
 
+def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank in DuckDB SQL — one MATERIALIZED
+    CTE per power-iteration round (each r_i is referenced twice, by the
+    contribution join and the dangling-mass subquery; without
+    MATERIALIZED the inlining re-evaluates the whole prefix per reference
+    and goes exponential in n_iter). Independent of the engine: only the
+    o21 edge definition is shared."""
+    its = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        its.append(f"""
+    r{i} AS MATERIALIZED (
+      SELECT verts.v,
+             (1.0 - {damping}) / (SELECT nn FROM n)
+             + {damping} * (COALESCE(s.csum, 0)
+                 + (SELECT COALESCE(SUM(r), 0) FROM {prev}
+                    WHERE v NOT IN (SELECT s FROM deg)) / (SELECT nn FROM n)) AS r
+      FROM verts LEFT JOIN (
+        SELECT e.d AS v, SUM(p.r / dg.deg) AS csum
+        FROM e JOIN {prev} p ON p.v = e.s JOIN deg dg ON dg.s = e.s
+        GROUP BY e.d
+      ) s ON s.v = verts.v
+    )""")
+        prev = f"r{i}"
+    return (
+        _O21_BASE
+        + f""",
+    e AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS d FROM edges),
+    verts AS MATERIALIZED (
+      SELECT DISTINCT v FROM (SELECT s AS v FROM e UNION SELECT d AS v FROM e) t
+    ),
+    n AS MATERIALIZED (SELECT COUNT(*) AS nn FROM verts),
+    deg AS MATERIALIZED (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+    r0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT nn FROM n) AS r FROM verts),
+    {",".join(its)}
+    SELECT v AS entity_id, round((SELECT nn FROM n) * r, 6) AS pagerank
+    FROM {prev}
+    """
+    )
+
+
+@register("kg_pagerank", oracle=_pagerank_oracle(10, 0.85))
+def kg_pagerank(spark, sf_dir):
+    """Entity importance over the KG edge set: 10 power-iteration rounds
+    of PageRank (operators/graph.py::pagerank), reported N-scaled (mean
+    1.0) so 6-decimal rounding keeps real precision at any vertex count.
+    The oracle re-derives all 10 rounds in unrolled DuckDB SQL."""
+    from deepex_spark.operators.graph import pagerank
+
+    edges = o21_reverse_union(spark, sf_dir).select("src", "dst")
+    pr = pagerank(edges, "src", "dst", n_iter=10, damping=0.85)
+    n_df = pr.agg(F.count("*").alias("nn"))
+    return pr.crossJoin(F.broadcast(n_df)).select(
+        F.col("v").alias("entity_id"),
+        F.round(F.col("r") * F.col("nn"), 6).alias("pagerank"),
+    )
+
+
 @register(
     "canonicalize_entities",
     oracle="""

@@ -94,3 +94,33 @@ def test_dedup_clusters_transitive(spark):
     # keep-one-per-cluster retains exactly one doc per cluster
     canon = [d for d, (_, keep) in rows.items() if keep]
     assert sorted(canon) == [0, 1, 2, 3, 5]
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    """Independent dict-based power iteration (incl. dangling-node mass
+    redistribution) must match the distributed operator to float
+    precision on a small directed graph WITH a dangling vertex."""
+    from deepex_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 0), (1, 4)]  # 4 -> dangling
+    n_iter, d = 10, 0.85
+    verts = sorted({u for e in edges for u in e})
+    n = len(verts)
+    out = {}
+    for a, b in edges:
+        out.setdefault(a, set()).add(b)
+    r = {v: 1.0 / n for v in verts}
+    for _ in range(n_iter):
+        dang = sum(r[v] for v in verts if v not in out)
+        nxt = {}
+        for v in verts:
+            csum = sum(r[u] / len(out[u]) for u in verts if u in out and v in out[u])
+            nxt[v] = (1.0 - d) / n + d * (csum + dang / n)
+        r = nxt
+    assert abs(sum(r.values()) - 1.0) < 1e-9  # mass conserved
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {row["v"]: row["r"] for row in pagerank(df, n_iter=n_iter, damping=d).collect()}
+    assert set(got) == set(verts)
+    for v in verts:
+        assert got[v] == pytest.approx(r[v], abs=1e-12)
