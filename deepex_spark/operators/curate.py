@@ -1,0 +1,144 @@
+"""Training-data curation / event-log analytics operators.
+
+Three ops a 100 TB pipeline needs around the extraction core:
+
+* ``sessionize`` — gap-based sessionization of an event log (the classic
+  lag + conditional-cumsum window pattern), used to segment user/crawler
+  activity before per-session aggregation.
+* ``stratified_sample`` — deterministic per-stratum downsampling via an
+  md5 hash-prefix threshold: reproducible across engines, runs and
+  partitionings (no RNG state), the standard way to rebalance
+  over-represented languages/sources in a training corpus.
+* ``ngram_counts`` — corpus-level n-gram heavy hitters (vocab / LM
+  statistics): explode token n-grams, map-side-combined count, total-order
+  top-k.
+
+All three are pure column algebra (no UDFs, whole-stage codegen'd) and
+every computed column is deterministic, so each registers with an exact
+DuckDB oracle (queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    gap_seconds: int = 30 * 60,
+) -> DataFrame:
+    """Gap-based sessionization -> one row per (user, session) with
+    ``(n_events, sess_start, sess_end, total_value)``.
+
+    A new session starts when the micro-exact gap to the previous event
+    of the same user EXCEEDS ``gap_seconds`` (a gap of exactly
+    ``gap_seconds`` stays in the session). Session ids are the running
+    count of session starts per user (1-based), so they are dense and
+    deterministic; ordering ties on ``ts`` break by ``order_col``.
+
+    Scale: one window partitioned by user (the natural key — a user's
+    history fits a partition; AQE splits pathological bot keys), then a
+    groupBy on the same key with map-side partial aggregation. The gap
+    compare is timestamp SUBTRACTION against a day-time interval —
+    microsecond-exact and timezone-free (works on TIMESTAMP_NTZ without
+    ever interpreting a wall time in the session zone, so the result
+    cannot depend on ``spark.sql.session.timeZone``).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    ts = F.col(ts_col)
+    gap = F.expr(f"INTERVAL {int(gap_seconds)} SECONDS")
+    new_sess = F.when(ts - F.lag(ts).over(w) <= gap, F.lit(0)).otherwise(F.lit(1))
+    tagged = events.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return tagged.groupBy(user_col, "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("sess_start"),
+        F.max(ts_col).alias("sess_end"),
+        F.round(F.sum(value_col), 4).alias("total_value"),
+    )
+
+
+def _rate_to_hex4(rate: float) -> str:
+    """Map a keep-rate in [0, 1] to a 4-hex-digit md5-prefix threshold.
+
+    ``substr(md5(key), 1, 4) < threshold`` keeps ~rate of keys: the 4-char
+    lowercase-hex prefix is uniform over '0000'..'ffff' and string-compares
+    identically in every engine. rate >= 1 maps past 'ffff' so everything
+    passes; granularity is 1/65536.
+    """
+    if rate >= 1.0:
+        return "g"
+    return format(max(int(round(rate * 0x10000)), 0), "04x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep each row iff the 4-hex
+    md5 prefix of its key falls under its stratum's threshold.
+
+    Unlike ``df.sample()`` (seeded per-partition RNG — resultset changes
+    with partitioning), the decision is a pure function of the row key, so
+    the sample is stable across runs, partitionings and engines, and an
+    incremental re-run keeps exactly the same rows. Adds ``h`` (the hash
+    prefix) for auditability. Filter only — pushed down to the scan.
+    """
+    h = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+    thr = F.lit(_rate_to_hex4(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == stratum, F.lit(_rate_to_hex4(rate))).otherwise(thr)
+    return df.withColumn("h", h).where(F.col("h") < thr)
+
+
+def ngram_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    top_k: int = 500,
+) -> DataFrame:
+    """Corpus-level token n-gram heavy hitters -> top-k ``(ngram, n)``
+    rows under the total order (count DESC, ngram ASC) — deterministic
+    even when the k-th count ties.
+
+    Tokens are lowercase whitespace-split (ASCII ``\\s+``); n-grams are
+    built JVM-side by zipping ``n`` shifted slices of the token array
+    (no Python, no quadratic substring scan). The count is a groupBy with
+    map-side partial aggregation — the shuffle carries one partial row
+    per distinct n-gram per partition, not one per occurrence — and the
+    top-k is Spark's TakeOrdered (per-partition heaps + driver merge of
+    k-row heads), never a global sort of the full tail.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    width = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.slice(toks, 1, width)
+    for i in range(1, n):
+        nxt = F.slice(toks, i + 1, width)
+        grams = F.zip_with(
+            grams,
+            nxt,
+            lambda a, b: F.when(
+                (F.length(a) > 0) & (F.length(b) > 0), F.concat(a, F.lit(" "), b)
+            ),
+        )
+    exploded = docs.select(F.explode(grams).alias("ngram")).where(
+        F.col("ngram").isNotNull() & (F.length("ngram") > 0)
+    )
+    return (
+        exploded.groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(top_k)
+    )

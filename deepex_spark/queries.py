@@ -708,6 +708,62 @@ def kg_pagerank(spark, sf_dir):
 
 
 @register(
+    "kg_triangle_count",
+    oracle="""
+    WITH und AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                      greatest(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT x, count(*) AS deg FROM (
+        SELECT a AS x FROM und UNION ALL SELECT b AS x FROM und
+      ) t GROUP BY x
+    ),
+    o AS (
+      SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS lo,
+             CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS hi,
+             CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+                  THEN db.deg ELSE da.deg END AS dhi
+      FROM und u JOIN deg da ON da.x = u.a JOIN deg db ON db.x = u.b
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM o o1 JOIN o o2
+        ON o1.lo = o2.lo AND ((o1.dhi < o2.dhi) OR (o1.dhi = o2.dhi AND o1.hi < o2.hi))
+      JOIN o o3 ON o3.lo = o1.hi AND o3.hi = o2.hi
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+           (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+           n_triangles
+    FROM tri
+    """,
+)
+def kg_triangle_count(spark, sf_dir):
+    """Exact triangle count (degree-oriented wedge join,
+    operators/graph.py::triangle_count) over a part co-occurrence graph:
+    parts are linked when they appear in the same order (the market-basket
+    edge set — per-order fan-out is bounded by order size, so edge
+    generation never blows up on a hub). The oracle re-derives the same
+    orientation + wedge-close in DuckDB SQL; pytest additionally checks
+    the degree-oriented count against a naive all-wedges count on a tiny
+    graph (tests/test_curate.py)."""
+    from deepex_spark.operators.graph import triangle_count
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    return triangle_count(edges)
+
+
+@register(
     "canonicalize_entities",
     oracle="""
     SELECT trim(regexp_replace(regexp_replace(lower(c_mktsegment || ' ' || c_name),
@@ -870,6 +926,91 @@ def lang_id_heuristic(spark, sf_dir):
         "lang",
         F.when(F.col("en_signal") >= 0.05, "en").otherwise("other").alias("lang_guess"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation / event-log ops (operators/curate.py): sessionization,
+# deterministic stratified sampling, n-gram heavy hitters
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  <= 86400000000 THEN 0 ELSE 1 END AS new_sess
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS sess_start, max(ts) AS sess_end,
+           round(sum(value), 4) AS total_value
+    FROM tagged GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Gap sessionization (24 h gap — the synthetic event log is sparse,
+    ~2.2 events/user/day, so a web-style 30 min gap would make every
+    session a singleton and leave the cumsum untested). Micro-exact gap
+    arithmetic on both sides: Spark compares NTZ timestamp differences
+    against a day-time interval (timezone-free), DuckDB epoch_us."""
+    from deepex_spark.operators.curate import sessionize
+
+    ev = load(spark, sf_dir, "events")
+    return sessionize(ev, gap_seconds=24 * 3600)
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+          < CASE lang WHEN 'en' THEN '4000' WHEN 'de' THEN '8000' ELSE 'c000' END
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic md5-prefix stratified sampling: downsample
+    over-represented languages (en 25 %, de 50 %, rest 75 %). The row set
+    is a pure function of doc_id — identical under any partitioning, any
+    engine, any run."""
+    from deepex_spark.operators.curate import stratified_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "doc_id", "lang", {"en": 0.25, "de": 0.5}, 0.75)
+
+
+@register(
+    "ngram_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split_regex(lower(text), '\\s+') AS l FROM documents
+    ),
+    grams AS (
+      SELECT l[i] || ' ' || l[i+1] AS ngram
+      FROM toks, unnest(generate_series(1, len(l) - 1)) AS t(i)
+      WHERE l[i] <> '' AND l[i+1] <> ''
+    )
+    SELECT ngram, CAST(count(*) AS BIGINT) AS n
+    FROM grams GROUP BY ngram ORDER BY n DESC, ngram LIMIT 500
+    """,
+)
+def ngram_topk(spark, sf_dir):
+    """Corpus bigram heavy hitters, top-500 under the (count DESC, ngram
+    ASC) total order — at sf0.01 the corpus has ~916 distinct bigrams, so
+    the LIMIT cuts inside a tie run and the deterministic tie-break is
+    actually exercised."""
+    from deepex_spark.operators.curate import ngram_counts
+
+    return ngram_counts(load(spark, sf_dir, "documents"), "text", n=2, top_k=500)
 
 
 # -- MinHash / SimHash / n-gram Jaccard dedup (oracle SQL is generated with

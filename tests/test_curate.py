@@ -1,0 +1,181 @@
+"""Curation / graph-analytics operators: sessionize, stratified sampling,
+n-gram heavy hitters (operators/curate.py) and triangle counting
+(operators/graph.py). The sf-level oracle equivalence is covered by
+queries.py (events_sessionize / sample_stratified / ngram_topk /
+kg_triangle_count); these tests pin the semantic edge cases the oracles
+can't isolate."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepex_spark.operators.curate import (
+    _rate_to_hex4,
+    ngram_counts,
+    sessionize,
+    stratified_sample,
+)
+from deepex_spark.operators.graph import triangle_count
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, uid, float(v)) for i, (ts, uid, v) in enumerate(rows)],
+        "event_id long, ts timestamp_ntz, user_id long, value double",
+    )
+
+
+class TestSessionize:
+    def test_gap_boundary_inclusive(self, spark):
+        # gaps: exactly 60s (same session), 61s (new session)
+        ev = _events(
+            spark,
+            [
+                (T0, 1, 1.0),
+                (T0 + timedelta(seconds=60), 1, 2.0),
+                (T0 + timedelta(seconds=121), 1, 4.0),
+            ],
+        )
+        out = {
+            r["session_id"]: (r["n_events"], r["total_value"])
+            for r in sessionize(ev, gap_seconds=60).collect()
+        }
+        assert out == {1: (2, 3.0), 2: (1, 4.0)}
+
+    def test_sessions_per_user_independent(self, spark):
+        ev = _events(
+            spark,
+            [
+                (T0, 1, 1.0),
+                (T0 + timedelta(hours=2), 1, 1.0),
+                (T0 + timedelta(minutes=5), 2, 1.0),
+                (T0 + timedelta(minutes=10), 2, 1.0),
+            ],
+        )
+        out = sessionize(ev, gap_seconds=1800).collect()
+        per_user = {}
+        for r in out:
+            per_user.setdefault(r["user_id"], []).append(r["session_id"])
+        assert sorted(per_user[1]) == [1, 2]
+        assert sorted(per_user[2]) == [1]
+
+    def test_tie_on_ts_breaks_by_event_id(self, spark):
+        # two events at the identical timestamp: one session, start == end
+        ev = _events(spark, [(T0, 1, 1.0), (T0, 1, 2.0)])
+        [r] = sessionize(ev, gap_seconds=1).collect()
+        assert r["n_events"] == 2 and r["sess_start"] == r["sess_end"] == T0
+
+    def test_micro_exact_gap(self, spark):
+        # 1s + 1us exceeds a 1s gap — the comparison must not truncate to s
+        ev = _events(spark, [(T0, 1, 1.0), (T0 + timedelta(seconds=1, microseconds=1), 1, 1.0)])
+        assert sessionize(ev, gap_seconds=1).count() == 2
+
+
+class TestStratifiedSample:
+    def test_rate_bounds(self, spark):
+        df = spark.range(200).select(
+            F.col("id").alias("k"), (F.col("id") % 2 == 0).cast("string").alias("s")
+        )
+        assert stratified_sample(df, "k", "s", {}, default_rate=1.0).count() == 200
+        assert stratified_sample(df, "k", "s", {}, default_rate=0.0).count() == 0
+
+    def test_partitioning_invariant_and_stratum_scoped(self, spark):
+        df = spark.range(500).select(
+            F.col("id").alias("k"), F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("s")
+        )
+        kept1 = {
+            (r["k"], r["s"])
+            for r in stratified_sample(df, "k", "s", {"a": 0.3}, 0.9).collect()
+        }
+        kept2 = {
+            (r["k"], r["s"])
+            for r in stratified_sample(df.repartition(7), "k", "s", {"a": 0.3}, 0.9).collect()
+        }
+        assert kept1 == kept2
+        n_a = sum(1 for _, s in kept1 if s == "a")
+        n_b = sum(1 for _, s in kept1 if s == "b")
+        assert 0.15 * 167 < n_a < 0.45 * 167      # ~0.3 of the 167 'a' rows
+        assert 0.8 * 333 < n_b <= 333             # ~0.9 of the 333 'b' rows
+
+    def test_rate_to_hex4(self):
+        assert _rate_to_hex4(0.0) == "0000"
+        assert _rate_to_hex4(0.25) == "4000"
+        assert _rate_to_hex4(0.5) == "8000"
+        assert _rate_to_hex4(1.0) > "ffff"
+
+
+class TestNgramCounts:
+    def test_bigrams(self, spark):
+        docs = spark.createDataFrame(
+            [("a b c a b",), ("A  b",)], "text string"
+        )
+        got = {(r["ngram"], r["n"]) for r in ngram_counts(docs, n=2, top_k=10).collect()}
+        assert got == {("a b", 3), ("b c", 1), ("c a", 1)}
+
+    def test_unigrams_and_trigrams(self, spark):
+        docs = spark.createDataFrame([("x y z",)], "text string")
+        uni = {(r["ngram"], r["n"]) for r in ngram_counts(docs, n=1, top_k=10).collect()}
+        assert uni == {("x", 1), ("y", 1), ("z", 1)}
+        tri = {(r["ngram"], r["n"]) for r in ngram_counts(docs, n=3, top_k=10).collect()}
+        assert tri == {("x y z", 1)}
+
+    def test_short_doc_and_edge_whitespace(self, spark):
+        # one-token docs emit no bigrams; doc-edge whitespace no phantom tokens
+        docs = spark.createDataFrame([("solo",), ("  lead trail  ",)], "text string")
+        got = {(r["ngram"], r["n"]) for r in ngram_counts(docs, n=2, top_k=10).collect()}
+        assert got == {("lead trail", 1)}
+
+    def test_topk_tiebreak(self, spark):
+        docs = spark.createDataFrame([("b a b a c a",)], "text string")
+        rows = ngram_counts(docs, n=1, top_k=2).collect()
+        assert [(r["ngram"], r["n"]) for r in rows] == [("a", 3), ("b", 2)]
+
+
+class TestTriangleCount:
+    def _count(self, spark, edge_list):
+        edges = spark.createDataFrame(edge_list, "src long, dst long")
+        [row] = triangle_count(edges).collect()
+        return row
+
+    def test_k4_plus_pendant(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        row = self._count(spark, k4 + [(3, 9)])
+        assert (row["n_vertices"], row["n_edges"], row["n_triangles"]) == (5, 7, 4)
+
+    def test_dupes_self_loops_direction_ignored(self, spark):
+        row = self._count(
+            spark, [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (1, 2)]
+        )
+        assert (row["n_vertices"], row["n_edges"], row["n_triangles"]) == (3, 3, 1)
+
+    def test_triangle_free(self, spark):
+        # star graph: many wedges, zero triangles
+        row = self._count(spark, [(0, i) for i in range(1, 6)])
+        assert row["n_triangles"] == 0
+
+    def test_matches_naive_on_random_graph(self, spark):
+        # seeded random graph vs the naive ordered-ids triple enumeration
+        import random
+
+        rng = random.Random(1266)
+        n = 20
+        edge_list = sorted(
+            {
+                (min(u, v), max(u, v))
+                for u, v in ((rng.randrange(n), rng.randrange(n)) for _ in range(90))
+                if u != v
+            }
+        )
+        row = self._count(spark, edge_list)
+        und = {frozenset(e) for e in edge_list}
+        naive = sum(
+            1
+            for x in range(n)
+            for y in range(x + 1, n)
+            for z in range(y + 1, n)
+            if {frozenset((x, y)), frozenset((y, z)), frozenset((x, z))} <= und
+        )
+        assert row["n_triangles"] == naive > 0
