@@ -101,6 +101,79 @@ def stratified_sample(
     return df.withColumn("h", h).where(F.col("h") < thr)
 
 
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-ordered funnel on first occurrences -> one row of per-stage
+    user counts (``n_users, n_stage1, n_stage1_2, ...``).
+
+    A user converts through stage k iff their FIRST stage-k event is at
+    or after their first stage-(k-1) event, recursively — the standard
+    product-analytics funnel on an unordered event log. One groupBy
+    per user with conditional-min aggregates (map-side combined), then a
+    single global count row: no self-joins, no per-stage passes over the
+    log, and nothing driver-side — the shape survives any log size.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    firsts = events.groupBy(user_col).agg(
+        *[
+            F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"t{i}")
+            for i, s in enumerate(stages)
+        ]
+    )
+    reached = F.col("t0").isNotNull()
+    aggs = [
+        F.count("*").alias("n_users"),
+        F.sum(reached.cast("long")).alias("n_stage1"),
+    ]
+    for i in range(1, len(stages)):
+        reached = reached & F.col(f"t{i}").isNotNull() & (
+            F.col(f"t{i}") >= F.col(f"t{i-1}")
+        )
+        aggs.append(F.sum(reached.cast("long")).alias(f"n_stage1_{i + 1}"))
+    return firsts.agg(*aggs)
+
+
+def tfidf_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms -> ``(doc_id, term, tf, df, tfidf,
+    rk)`` with ``tfidf = tf * ln(N / df)`` rounded to 6 decimals BEFORE
+    ranking, so the (tfidf DESC, term ASC) order — and therefore the
+    top-k row set — is identical across engines even when their ln()
+    differs in the last ulp.
+
+    Scale: tf is a (doc, term) groupBy with map-side combine; df derives
+    from tf (one row per distinct (doc, term), so counting rows per term
+    IS the document frequency); the df side is vocabulary-sized and
+    broadcast into the join; the final window partitions by doc (bounded
+    by doc length). N is the one driver-side scalar (a count, not rows).
+    """
+    terms = docs.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term")
+    ).where(F.length("term") > 0)
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(id_col).distinct().count()
+    scored = tf.join(F.broadcast(df), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rk")
+    )
+
+
 def ngram_counts(
     docs: DataFrame,
     text_col: str = "text",

@@ -1013,6 +1013,98 @@ def ngram_topk(spark, sf_dir):
     return ngram_counts(load(spark, sf_dir, "documents"), "text", n=2, top_k=500)
 
 
+@register(
+    "o_quantiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def o_quantiles(spark, sf_dir):
+    """EXACT linear-interpolation percentiles per group (Spark
+    ``percentile`` == DuckDB ``quantile_cont`` bit-for-bit on this data;
+    rounded to 6 as a guard). The scale path for wide-cardinality columns
+    is ``approx_percentile`` (t-digest) — sketch values are
+    engine-specific, so the exact variant is what the oracle pins."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.25), 6).alias("p25"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_stage1,
+           CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 >= t0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_stage1_2,
+           CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 >= t0 AND t2 >= t1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stage1_3
+    FROM firsts
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """view -> click -> purchase funnel on first occurrences
+    (operators/curate.py::funnel). NULL stage timestamps drop out of the
+    >= comparison on both engines (NULL comparison is not TRUE), so the
+    CASE/when guards agree without explicit IS NOT NULL on every leg."""
+    from deepex_spark.operators.curate import funnel
+
+    ev = load(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "tfidf_topk",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, lower(unnest(string_split_regex(text, '\\s+'))) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM terms WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * ln((SELECT n_docs FROM n) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def tfidf_topk(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (operators/curate.py::tfidf_terms).
+    tfidf is rounded BEFORE the rank window on both sides, so last-ulp
+    ln() differences between engines cannot flip the top-k row set."""
+    from deepex_spark.operators.curate import tfidf_terms
+
+    return tfidf_terms(load(spark, sf_dir, "documents"), "doc_id", "text", top_k=5)
+
+
 # -- MinHash / SimHash / n-gram Jaccard dedup (oracle SQL is generated with
 #    the same seeded hash constants the Spark operators use) ----------------
 

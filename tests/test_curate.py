@@ -12,9 +12,11 @@ from pyspark.sql import functions as F
 
 from deepex_spark.operators.curate import (
     _rate_to_hex4,
+    funnel,
     ngram_counts,
     sessionize,
     stratified_sample,
+    tfidf_terms,
 )
 from deepex_spark.operators.graph import triangle_count
 
@@ -132,6 +134,68 @@ class TestNgramCounts:
         docs = spark.createDataFrame([("b a b a c a",)], "text string")
         rows = ngram_counts(docs, n=1, top_k=2).collect()
         assert [(r["ngram"], r["n"]) for r in rows] == [("a", 3), ("b", 2)]
+
+
+def _typed_events(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, uid, et) for i, (ts, uid, et) in enumerate(rows)],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+    )
+
+
+class TestFunnel:
+    def test_order_matters(self, spark):
+        sec = lambda s: T0 + timedelta(seconds=s)
+        ev = _typed_events(
+            spark,
+            [
+                # u1: full ordered funnel
+                (sec(0), 1, "a"), (sec(1), 1, "b"), (sec(2), 1, "c"),
+                # u2: b BEFORE a — reaches stage 1 only
+                (sec(1), 2, "b"), (sec(2), 2, "a"),
+                # u3: never does a — reaches nothing
+                (sec(0), 3, "b"), (sec(1), 3, "c"),
+                # u4: a and b at the SAME ts (>= admits), no c
+                (sec(5), 4, "a"), (sec(5), 4, "b"),
+            ],
+        )
+        [r] = funnel(ev, ["a", "b", "c"]).collect()
+        assert (r["n_users"], r["n_stage1"], r["n_stage1_2"], r["n_stage1_3"]) == (
+            4, 3, 2, 1,
+        )
+
+    def test_first_occurrence_semantics(self, spark):
+        # u1's first b precedes its first a; a later b does NOT rescue it
+        sec = lambda s: T0 + timedelta(seconds=s)
+        ev = _typed_events(
+            spark, [(sec(0), 1, "b"), (sec(1), 1, "a"), (sec(2), 1, "b")]
+        )
+        [r] = funnel(ev, ["a", "b"]).collect()
+        assert (r["n_stage1"], r["n_stage1_2"]) == (1, 0)
+
+
+class TestTfidf:
+    def test_idf_zero_for_ubiquitous_term(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "common alpha"), (2, "common beta")], "doc_id long, text string"
+        )
+        rows = {
+            (r["doc_id"], r["term"]): (r["tf"], r["df"], r["tfidf"], r["rk"])
+            for r in tfidf_terms(docs, top_k=5).collect()
+        }
+        # 'common' appears in every doc -> idf = ln(1) = 0, ranked last
+        assert rows[(1, "common")][2] == 0.0 and rows[(1, "common")][3] == 2
+        # unique terms score ln(2) and rank first
+        assert rows[(1, "alpha")][2] == pytest.approx(0.693147, abs=1e-6)
+        assert rows[(1, "alpha")][3] == 1 and rows[(1, "alpha")][2] > 0
+
+    def test_topk_cut_and_tf_weighting(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x x x y z"), (2, "w")], "doc_id long, text string"
+        )
+        got = tfidf_terms(docs, top_k=2).where(F.col("doc_id") == 1).collect()
+        assert [r["term"] for r in sorted(got, key=lambda r: r["rk"])] == ["x", "y"]
+        assert all(r["rk"] <= 2 for r in got)
 
 
 class TestTriangleCount:
