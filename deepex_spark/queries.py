@@ -969,6 +969,43 @@ def events_sessionize(spark, sf_dir):
 
 
 @register(
+    "events_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  <= 86400000000 THEN 0 ELSE 1 END AS new_sess
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           min(ts) AS w_start,
+           max(ts) + INTERVAL 24 HOUR AS w_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM tagged GROUP BY user_id, session_id
+    """,
+)
+def events_session_window(spark, sf_dir):
+    """Spark's NATIVE merging session window (streaming/sessions.py,
+    the streaming-capable path) run in batch mode, pinned against the
+    first-principles lag-cumsum sessionization re-derived in DuckDB —
+    proving session_window's inclusive gap boundary and window bounds
+    (start = first event, end = last event + gap) match the batch
+    operator exactly."""
+    from deepex_spark.streaming.sessions import session_agg
+
+    ev = load(spark, sf_dir, "events")
+    return session_agg(ev, gap="24 hours")
+
+
+@register(
     "sample_stratified",
     oracle="""
     SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
