@@ -8,6 +8,8 @@ can't isolate."""
 from datetime import datetime, timedelta
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from deepex_spark.operators.curate import (
@@ -141,6 +143,79 @@ def _typed_events(spark, rows):
         [(i, ts, uid, et) for i, (ts, uid, et) in enumerate(rows)],
         "event_id long, ts timestamp_ntz, user_id long, event_type string",
     )
+
+
+class TestSessionizeProperty:
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=500_000_000),  # us offset
+                st.integers(min_value=1, max_value=3),            # user
+                st.integers(min_value=0, max_value=9),            # value
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+        st.integers(min_value=1, max_value=120),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_matches_python_reference(self, spark, raw, gap_s):
+        ev = _events(
+            spark,
+            [(T0 + timedelta(microseconds=us), uid, float(v)) for us, uid, v in raw],
+        )
+        got = {
+            (r["user_id"], r["session_id"], r["n_events"], r["total_value"])
+            for r in sessionize(ev, gap_seconds=gap_s).collect()
+        }
+        # pure-python reference: sort per user by (ts, event_id), split on
+        # micro-exact gap > gap_s, aggregate
+        per_user = {}
+        for eid, (us, uid, v) in enumerate(raw):
+            per_user.setdefault(uid, []).append((us, eid, v))
+        expect = set()
+        for uid, evs in per_user.items():
+            evs.sort()
+            sid, n, tot, prev = 0, 0, 0.0, None
+            out = []
+            for us, _, v in evs:
+                if prev is None or us - prev > gap_s * 1_000_000:
+                    if n:
+                        out.append((uid, sid, n, round(tot, 4)))
+                    sid, n, tot = sid + 1, 0, 0.0
+                n, tot, prev = n + 1, tot + v, us
+            out.append((uid, sid, n, round(tot, 4)))
+            expect.update(out)
+        assert got == expect
+
+
+class TestTriangleProperty:
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),
+                st.integers(min_value=0, max_value=9),
+            ),
+            min_size=0,
+            max_size=30,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_matches_naive(self, spark, pairs):
+        edges = spark.createDataFrame(
+            [(int(u), int(v)) for u, v in pairs] or [(0, 0)], "src long, dst long"
+        )
+        [row] = triangle_count(edges).collect()
+        und = {frozenset((u, v)) for u, v in pairs if u != v}
+        naive = sum(
+            1
+            for x in range(10)
+            for y in range(x + 1, 10)
+            for z in range(y + 1, 10)
+            if {frozenset((x, y)), frozenset((y, z)), frozenset((x, z))} <= und
+        )
+        assert row["n_triangles"] == naive
+        assert row["n_edges"] == len(und)
 
 
 class TestFunnel:
