@@ -174,6 +174,41 @@ def tfidf_terms(
     )
 
 
+# ASCII-only patterns in the common Java-regex / RE2 subset, so Spark
+# (java.util.regex) and DuckDB (RE2) match the same spans: no backrefs,
+# no lookarounds, \b as the ASCII word boundary.
+REDACTION_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def redact(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    token: str = "[REDACTED]",
+) -> DataFrame:
+    """Policy scrubbing for a training corpus: replace every match of
+    each named pattern with ``token`` and count what was removed.
+
+    Adds ``scrubbed`` (the redacted text) and one ``n_<name>`` count per
+    pattern (counted on the ORIGINAL text, so chained replacements can't
+    hide earlier matches from later counts). Patterns apply in sorted
+    name order for determinism. Pure ``regexp_replace``/``regexp_count``
+    column algebra — JVM-side, codegen'd, no UDF — and row-local, so it
+    scales embarrassingly (no shuffle at all).
+    """
+    pats = patterns if patterns is not None else REDACTION_PATTERNS
+    scrubbed = F.col(text_col)
+    out = df
+    for name in sorted(pats):
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pats[name])))
+        scrubbed = F.regexp_replace(scrubbed, pats[name], token)
+    return out.withColumn("scrubbed", scrubbed)
+
+
 def ngram_counts(
     docs: DataFrame,
     text_col: str = "text",

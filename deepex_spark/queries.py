@@ -1026,6 +1026,55 @@ def sample_stratified(spark, sf_dir):
 
 
 @register(
+    "text_redact",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@example.com via http://h' || CAST(doc_id AS VARCHAR)
+                  || '.example/p?q=1 at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7 end' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS INT) AS n_url,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+             '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[REDACTED]', 'g'),
+             'https?://[^\\s]+', '[REDACTED]', 'g') AS scrubbed
+    FROM aug
+    """,
+)
+def text_redact(spark, sf_dir):
+    """PII-style corpus scrubbing (operators/curate.py::redact): email /
+    IPv4 / URL patterns in the common Java-regex + RE2 subset. The
+    word-salad corpus contains no PII, so each doc's text is first
+    augmented with a deterministic doc_id-derived email, URL and IP —
+    making every replacement and count real rather than a vacuous no-op
+    match between engines."""
+    from deepex_spark.operators.curate import redact
+
+    aug = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via http://h"),
+            F.col("doc_id").cast("string"),
+            F.lit(".example/p?q=1 at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 end"),
+        ).alias("text"),
+    )
+    return redact(aug).select("doc_id", "n_email", "n_ipv4", "n_url", "scrubbed")
+
+
+@register(
     "ngram_topk",
     oracle="""
     WITH toks AS (

@@ -1,0 +1,136 @@
+"""spark-submit entry point: end-to-end training-corpus curation.
+
+Composes the curation operators into the standard pre-training data
+pipeline shape:
+
+    scrub (PII redaction) -> quality gate -> exact dedup -> MinHash-LSH
+    near-dup clustering (keep one canonical doc per cluster) ->
+    deterministic stratified sampling -> partitioned parquet corpus
+
+    zip -r deepex_spark.zip deepex_spark
+    spark-submit --py-files deepex_spark.zip jobs/curate_corpus.py \\
+        --input /data/documents --output /data/clean \\
+        --rates-json rates.json --min-words 5 --buckets 512
+
+Every stage is shuffle-minimal: redact and the quality gate are
+row-local; exact dedup and MinHash are key-partitioned groupBys; the
+near-dup candidate join is LSH-banded (never all-pairs); sampling is a
+pushed-down filter. The one driver-side structure is the per-stage count
+report (scalar aggregates). On N vs 4N executors the job is identical —
+only --buckets (and the cluster) changes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def curate(
+    docs,
+    min_words: int = 3,
+    max_stop_ratio: float = 1.0,
+    rates: dict | None = None,
+    default_rate: float = 1.0,
+    no_redact: bool = False,
+    minhash_sim: float = 0.5,
+):
+    """documents(doc_id, text, lang, ...) -> (clean DataFrame, stage-count
+    callables). Returned counts are lazy so the caller controls actions."""
+    from pyspark.sql import functions as F
+
+    from deepex_spark.operators.curate import redact, stratified_sample
+    from deepex_spark.operators.dedup import minhash_dup_pairs
+    from deepex_spark.operators.graph import dedup_clusters
+
+    if not no_redact:
+        docs = redact(docs).withColumn("text", F.col("scrubbed")).drop("scrubbed")
+
+    words = F.split(F.col("text"), r"\s+")
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "an", "and", "or", "of", "to", "in", "is", "was"]])
+    n_words = F.size(F.filter(words, lambda w: F.length(w) > 0))
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+    stop_ratio = n_stop / F.greatest(n_words, F.lit(1))
+    gated = docs.withColumn("n_words", n_words).where(
+        (F.col("n_words") >= min_words) & (stop_ratio <= max_stop_ratio)
+    )
+
+    # exact dedup: one survivor per byte-identical text (smallest doc_id)
+    from pyspark.sql import Window
+
+    w_exact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = gated.withColumn("_rn", F.row_number().over(w_exact)).where(F.col("_rn") == 1).drop("_rn")
+
+    # near-dup: LSH candidate pairs -> connected components -> canonical
+    pairs = minhash_dup_pairs(exact, "text", "doc_id", min_est_sim=minhash_sim)
+    clusters = dedup_clusters(exact, pairs)
+    near = exact.join(
+        clusters.where(F.col("is_canonical")).select("doc_id"), "doc_id", "inner"
+    )
+
+    sampled = (
+        stratified_sample(near, "doc_id", "lang", rates or {}, default_rate)
+        if (rates or default_rate < 1.0)
+        else near
+    )
+    return {
+        "input": docs,
+        "quality": gated,
+        "exact": exact,
+        "near": near,
+        "clean": sampled,
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="documents parquet (doc_id, text, lang, ...)")
+    p.add_argument("--output", required=True, help="output dir for the clean corpus")
+    p.add_argument("--min-words", type=int, default=3)
+    p.add_argument("--max-stop-ratio", type=float, default=1.0)
+    p.add_argument("--rates-json", default=None, help='JSON {lang: keep_rate}; e.g. {"en": 0.5}')
+    p.add_argument("--default-rate", type=float, default=1.0)
+    p.add_argument("--minhash-sim", type=float, default=0.5, help="near-dup est-Jaccard threshold")
+    p.add_argument("--no-redact", action="store_true")
+    p.add_argument("--buckets", type=int, default=None, help="output files: repartition by hash(doc_id)")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from deepex_spark.session import build_session
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = build_session(app_name="deepex-curate")
+    rates = json.loads(open(args.rates_json).read()) if args.rates_json else None
+
+    docs = spark.read.parquet(args.input)
+    t0 = time.time()
+    stages = curate(
+        docs,
+        min_words=args.min_words,
+        max_stop_ratio=args.max_stop_ratio,
+        rates=rates,
+        default_rate=args.default_rate,
+        no_redact=args.no_redact,
+        minhash_sim=args.minhash_sim,
+    )
+    clean = stages["clean"].persist()
+    out = clean
+    if args.buckets:
+        out = clean.repartition(args.buckets, F.xxhash64("doc_id"))
+    out.write.mode("overwrite").parquet(args.output)
+    report = {name: df.count() for name, df in stages.items() if name != "clean"}
+    report["clean"] = clean.count()
+    report["wall_sec"] = round(time.time() - t0, 2)
+    clean.unpersist()
+    print(json.dumps(report))
+    if not preexisting:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -16,6 +16,7 @@ from deepex_spark.operators.curate import (
     _rate_to_hex4,
     funnel,
     ngram_counts,
+    redact,
     sessionize,
     stratified_sample,
     tfidf_terms,
@@ -271,6 +272,40 @@ class TestTfidf:
         got = tfidf_terms(docs, top_k=2).where(F.col("doc_id") == 1).collect()
         assert [r["term"] for r in sorted(got, key=lambda r: r["rk"])] == ["x", "y"]
         assert all(r["rk"] <= 2 for r in got)
+
+
+class TestRedact:
+    def test_all_patterns_and_counts(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "mail a@b.io and b@c.org, site https://x.y/z?a=1, ip 10.0.0.1 done")],
+            "doc_id long, text string",
+        )
+        [r] = redact(docs).collect()
+        assert (r["n_email"], r["n_url"], r["n_ipv4"]) == (2, 1, 1)
+        # the greedy url pattern [^\s]+ swallows the comma after the URL
+        assert r["scrubbed"] == (
+            "mail [REDACTED] and [REDACTED], site [REDACTED] ip [REDACTED] done"
+        )
+
+    def test_counts_on_original_not_chained(self, spark):
+        # the URL contains an @-pattern; email count must still see it even
+        # though the email pass (sorted first) rewrites the text first
+        docs = spark.createDataFrame(
+            [(1, "see http://u@host.com/x")], "doc_id long, text string"
+        )
+        [r] = redact(docs).collect()
+        assert r["n_email"] == 1 and r["n_url"] == 1
+
+    def test_no_match_passthrough(self, spark):
+        docs = spark.createDataFrame([(1, "plain words only")], "doc_id long, text string")
+        [r] = redact(docs).collect()
+        assert r["scrubbed"] == "plain words only"
+        assert r["n_email"] == r["n_url"] == r["n_ipv4"] == 0
+
+    def test_custom_patterns_and_token(self, spark):
+        docs = spark.createDataFrame([(1, "id=1234 ok")], "doc_id long, text string")
+        [r] = redact(docs, patterns={"num": r"\d+"}, token="#").collect()
+        assert r["scrubbed"] == "id=# ok" and r["n_num"] == 1
 
 
 class TestTriangleCount:

@@ -1,0 +1,77 @@
+"""End-to-end corpus-curation job (jobs/curate_corpus.py)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from jobs.curate_corpus import curate, main
+
+
+def test_stage_semantics(spark):
+    rows = [
+        # exact dups: 1 and 2 byte-identical -> keep 1
+        (1, "alpha beta gamma delta shared words here", "en"),
+        (2, "alpha beta gamma delta shared words here", "en"),
+        # near-dup of 1 (one word changed) -> same cluster, dropped
+        (3, "alpha beta gamma delta shared words there", "en"),
+        # distinct doc, survives
+        (4, "completely different content with many unique tokens inside", "de"),
+        # too short -> quality-gated
+        (5, "tiny", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    stages = curate(docs, min_words=3, no_redact=True, minhash_sim=0.3)
+    assert stages["quality"].count() == 4
+    kept_exact = {r["doc_id"] for r in stages["exact"].select("doc_id").collect()}
+    assert kept_exact == {1, 3, 4}
+    kept_near = {r["doc_id"] for r in stages["near"].select("doc_id").collect()}
+    assert kept_near == {1, 4}
+    assert {r["doc_id"] for r in stages["clean"].select("doc_id").collect()} == {1, 4}
+
+
+def test_redact_applied_to_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "reach me at someone@example.com for more details today", "en")],
+        "doc_id long, text string, lang string",
+    )
+    stages = curate(docs, min_words=1)
+    [r] = stages["clean"].select("text").collect()
+    assert "[REDACTED]" in r["text"] and "@" not in r["text"]
+
+
+def test_job_cli(spark, tmp_path):
+    src, out = str(tmp_path / "docs"), str(tmp_path / "clean")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(src)
+    rates = tmp_path / "rates.json"
+    rates.write_text(json.dumps({"en": 0.5}))
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            [
+                "--input", src,
+                "--output", out,
+                "--rates-json", str(rates),
+                "--min-words", "3",
+                "--buckets", "4",
+            ]
+        )
+    assert rc == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    # monotone pipeline: each stage keeps a subset of the previous
+    assert (
+        report["input"]
+        >= report["quality"]
+        >= report["exact"]
+        >= report["near"]
+        >= report["clean"]
+        > 0
+    )
+    written = spark.read.parquet(out)
+    assert written.count() == report["clean"]
+    # 'en' stratum visibly downsampled vs the cleaned set
+    en_near = report["near"]
+    en_clean = written.where(F.col("lang") == "en").count()
+    assert en_clean < en_near
