@@ -219,6 +219,60 @@ def triangle_count(
     return nv.crossJoin(ne).crossJoin(tri)
 
 
+def kcore(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    n_rounds: int = 8,
+) -> DataFrame:
+    """Fixed-iteration k-core peel over an undirected graph ->
+    ``(entity_id, core_deg)`` for every vertex surviving ``n_rounds`` of
+    "drop vertices with degree < k, recompute degrees" — the standard
+    dense-subgraph / spam-farm filter. Fixed rounds (not
+    run-to-convergence) keep the result a deterministic function of the
+    graph and SQL-reproducible by unrolling, exactly like ``pagerank``;
+    pick ``n_rounds`` past the measured convergence horizon for the
+    target K (the queries.py registration converges in 5 rounds at its K
+    and runs 8).
+
+    Scale: each round is one degree groupBy plus two semi-join-shaped
+    equi-joins on the endpoint keys — all key-partitioned, nothing
+    driver-side; ``localCheckpoint`` truncates the per-round lineage so
+    the optimizer doesn't choke on an 8-deep join tree. Peeling only
+    shrinks the edge set, so later rounds get cheaper, and AQE re-plans
+    each round on the observed (smaller) sizes.
+    """
+    e = edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+    live = (
+        e.where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+    )
+    for _ in range(n_rounds):
+        keep = (
+            live.select(F.col("a").alias("x"))
+            .union(live.select(F.col("b").alias("x")))
+            .groupBy("x")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("x")
+        )
+        ka, kb = keep.alias("ka"), keep.alias("kb")
+        live = (
+            live.join(ka, live["a"] == F.col("ka.x"))
+            .join(kb, live["b"] == F.col("kb.x"))
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        live.select(F.col("a").alias("x"))
+        .union(live.select(F.col("b").alias("x")))
+        .groupBy(F.col("x").alias("entity_id"))
+        .agg(F.count("*").alias("core_deg"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

@@ -21,7 +21,7 @@ from deepex_spark.operators.curate import (
     stratified_sample,
     tfidf_terms,
 )
-from deepex_spark.operators.graph import triangle_count
+from deepex_spark.operators.graph import kcore, triangle_count
 
 T0 = datetime(2024, 1, 1, 12, 0, 0)
 
@@ -306,6 +306,37 @@ class TestRedact:
         docs = spark.createDataFrame([(1, "id=1234 ok")], "doc_id long, text string")
         [r] = redact(docs, patterns={"num": r"\d+"}, token="#").collect()
         assert r["scrubbed"] == "id=# ok" and r["n_num"] == 1
+
+
+class TestKCore:
+    def _core(self, spark, edge_list, k, n_rounds=8):
+        edges = spark.createDataFrame(edge_list, "src long, dst long")
+        return {
+            r["entity_id"]: r["core_deg"]
+            for r in kcore(edges, k=k, n_rounds=n_rounds).collect()
+        }
+
+    def test_pendant_chain_cascade(self, spark):
+        # K4 (nodes 0-3) with a chain 3-10-11-12: every chain node has
+        # deg >= 1 initially but the 2-core must peel the WHOLE chain via
+        # the cascade (12 falls, then 11, then 10), needing 3 rounds
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        chain = [(3, 10), (10, 11), (11, 12)]
+        got = self._core(spark, k4 + chain, k=2)
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_insufficient_rounds_leave_chain(self, spark):
+        # with only 1 round the cascade hasn't reached node 10 yet
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        chain = [(3, 10), (10, 11), (11, 12)]
+        got = self._core(spark, k4 + chain, k=2, n_rounds=1)
+        assert 10 in got and 12 not in got
+
+    def test_cycle_survives_tree_dies(self, spark):
+        cycle = [(0, 1), (1, 2), (2, 0)]
+        tree = [(5, 6), (5, 7), (6, 8), (6, 9)]
+        got = self._core(spark, cycle + tree, k=2)
+        assert got == {0: 2, 1: 2, 2: 2}
 
 
 class TestTriangleCount:
