@@ -69,6 +69,51 @@ def materialize_graph(canon_triples: DataFrame, catalog, run_id: str = "run0"):
     return v, e
 
 
+def merge_vertices(existing: DataFrame, delta: DataFrame, run_id: str = "merge") -> DataFrame:
+    """Fold a delta vertex table (``build_vertices`` over a NEW batch of
+    docs) into an existing one. All vertex statistics are decomposable
+    given the catalog's resume contract — each docid is processed by
+    exactly ONE run, so batches are doc-disjoint and per-batch
+    ``n_docs``/``n_mentions`` counts add without double counting (the
+    associativity ``merge(build(A), build(B)) == build(A ∪ B)`` is pinned
+    by tests/test_graph_merge.py). One groupBy on the merge key; at scale
+    both sides arrive bucketed by entity_id (plans/bucketed.py) so the
+    union aggregates without a full re-shuffle."""
+    both = existing.unionByName(delta)
+    return (
+        both.groupBy("entity_id", "canonical")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_mentions").alias("n_mentions"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("surfaces")))).alias(
+                "surfaces"
+            ),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("src_partition", F.spark_partition_id())
+    )
+
+
+def merge_edges(existing: DataFrame, delta: DataFrame, run_id: str = "merge") -> DataFrame:
+    """Fold a delta edge table into an existing one (same doc-disjoint
+    contract as ``merge_vertices``): counts and score sums add, max/min
+    statistics combine, so incremental crawls maintain the KG without
+    ever re-reading old batches."""
+    both = existing.unionByName(delta)
+    return (
+        both.groupBy("subj_id", "obj_id", "pred_id", "pred_canon")
+        .agg(
+            F.sum("n_evidence").alias("n_evidence"),
+            F.sum("n_docs").alias("n_docs"),
+            F.round(F.max("max_score"), 9).alias("max_score"),
+            F.round(F.sum("sum_score"), 9).alias("sum_score"),
+            F.min("sample_docid").alias("sample_docid"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("src_partition", F.spark_partition_id())
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

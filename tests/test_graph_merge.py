@@ -1,0 +1,77 @@
+"""Incremental KG maintenance (operators/graph.py::merge_vertices /
+merge_edges): folding doc-disjoint batches must equal the single-batch
+build — the associativity that makes incremental crawls safe."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepex_spark.config import DeepExConfig
+from deepex_spark.operators.canonicalize import canonicalize_triples
+from deepex_spark.operators.graph import (
+    build_edges,
+    build_vertices,
+    merge_edges,
+    merge_vertices,
+)
+from deepex_spark.pipeline import extract_triples
+
+
+@pytest.fixture(scope="module")
+def canon_halves(spark):
+    from deepex_spark.sources.pages import synth_pages
+
+    cfg = DeepExConfig.small()
+    pages = synth_pages(spark, n_docs=24, seed=3).persist()
+    half_a = pages.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    half_b = pages.where(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+    out = tuple(
+        canonicalize_triples(extract_triples(p, cfg)).persist()
+        for p in (pages, half_a, half_b)
+    )
+    yield out
+    pages.unpersist()
+
+
+def _vrows(df):
+    return {
+        (r["entity_id"], r["canonical"], r["n_docs"], r["n_mentions"], tuple(r["surfaces"]))
+        for r in df.collect()
+    }
+
+
+def _erows(df):
+    return {
+        (
+            r["subj_id"], r["obj_id"], r["pred_id"], r["pred_canon"],
+            r["n_evidence"], r["n_docs"],
+            round(r["max_score"], 6), round(r["sum_score"], 6),
+            r["sample_docid"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_vertex_merge_equals_single_batch(canon_halves):
+    full, a, b = canon_halves
+    merged = merge_vertices(build_vertices(a), build_vertices(b))
+    assert _vrows(merged) == _vrows(build_vertices(full))
+
+
+def test_edge_merge_equals_single_batch(canon_halves):
+    full, a, b = canon_halves
+    merged = merge_edges(build_edges(a), build_edges(b))
+    assert _erows(merged) == _erows(build_edges(full))
+
+
+def test_merge_is_order_insensitive(canon_halves):
+    _, a, b = canon_halves
+    ab = _erows(merge_edges(build_edges(a), build_edges(b)))
+    ba = _erows(merge_edges(build_edges(b), build_edges(a)))
+    assert ab == ba
+
+
+def test_empty_delta_is_identity(spark, canon_halves):
+    _, a, _ = canon_halves
+    va = build_vertices(a)
+    empty = va.limit(0)
+    assert _vrows(merge_vertices(va, empty)) == _vrows(va)
