@@ -1180,6 +1180,59 @@ def o_quantiles(spark, sf_dir):
 
 
 @register(
+    "o_approx_quantile",
+    # same convention as o_approx_distinct: sketch values are
+    # engine-specific (Spark KLL/GK vs DuckDB t-digest), so the checkable
+    # projection is each engine's own sketch-vs-exact tolerance boolean;
+    # tests/test_properties.py pins the Spark boolean to literally True.
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS exact_p50,
+           abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+             <= 0.05 * quantile_cont(value, 0.5) AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def o_approx_quantile(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    exact = F.percentile("value", 0.5)
+    approx = F.approx_percentile("value", 0.5, 10000)
+    return ev.groupBy("event_type").agg(
+        F.round(exact, 6).alias("exact_p50"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("within_5pct"),
+    )
+
+
+@register(
+    "o_pivot",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def o_pivot(spark, sf_dir):
+    """Pivot (long -> wide) with an EXPLICIT value list — the scale form:
+    without it Spark runs an extra distinct-collect job over the pivot
+    column and the output schema depends on the data. Counts fill 0 for
+    absent combinations (coalesce), matching the CASE-sum oracle."""
+    ev = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types]
+    )
+
+
+@register(
     "events_funnel",
     oracle="""
     WITH firsts AS (

@@ -93,3 +93,16 @@ def test_reverse_emission_symmetry():
     assert fwd["rel"] == rev["rel"]
     assert fwd["score"] == rev["score"]
     assert fwd["sentence"] == rev["sentence"]
+
+
+def test_approx_sketch_booleans_pinned_true(spark):
+    """o_approx_distinct / o_approx_quantile hash-compare a tolerance
+    BOOLEAN (sketches are engine-specific), which would also 'match' if
+    both engines' sketches were insane (false == false). Pin the
+    Spark-side booleans to literally True so that degenerate pass is
+    impossible."""
+    from deepex_spark.queries import REGISTRY
+
+    for q in ("o_approx_distinct", "o_approx_quantile"):
+        rows = REGISTRY[q].spark_fn(spark, "/root/testdata/sf0.001").collect()
+        assert rows and all(r["within_5pct"] is True for r in rows), q
