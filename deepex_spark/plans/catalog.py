@@ -110,6 +110,60 @@ class Catalog:
         done_df = spark.createDataFrame([(b,) for b in done], "bucket int")
         return bucketed.join(F.broadcast(done_df), "bucket", "left_anti")
 
+    # -- maintenance ------------------------------------------------------
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        target_bytes: int = 128 << 20,
+    ) -> dict:
+        """Small-file compaction for a (possibly bucket-partitioned)
+        parquet table: rewrite every partition whose file count exceeds
+        ``ceil(bytes / target_bytes)`` down to that many files.
+
+        The small-file problem is the dominant operational failure of
+        long-lived incremental tables at scale — every resume append adds
+        (tasks x buckets) files, and a 100 TB table with millions of
+        8 MB files spends more time in listing + open() than in IO.
+        Compaction is value-neutral (read -> coalesce -> rewrite, no
+        shuffle: coalesce only merges co-located splits), idempotent
+        (re-running is a no-op once each partition is at target), and
+        leaves the resume manifest untouched. Each partition swaps via
+        rewrite-to-temp + rename; run it offline like any table
+        maintenance job (readers racing the swap can see a partial
+        partition — Iceberg's snapshot commit is the online answer, and
+        the ``fmt='iceberg'`` catalog branch gets that for free).
+        Returns ``{partition: (files_before, files_after)}``.
+        """
+        import math
+        import shutil
+
+        base = self.path(table)
+        parts = [d for d in sorted(os.listdir(base)) if d.startswith("bucket=")]
+        report: dict[str, tuple[int, int]] = {}
+        for d in parts or [""]:
+            pdir = os.path.join(base, d) if d else base
+            files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+            size = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+            n_out = max(1, math.ceil(size / target_bytes))
+            if len(files) <= n_out:
+                continue
+            # sibling of the dir being swapped — NEVER inside it (the
+            # rmtree below would delete the fresh rewrite) — and
+            # underscore-prefixed so a crash-left temp is invisible to
+            # Spark's file listing / partition discovery
+            tmp = os.path.join(
+                os.path.dirname(pdir), f"_compact_{table}_{d or 'root'}"
+            )
+            spark.read.parquet(pdir).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(pdir)
+            os.replace(tmp, pdir)
+            report[d or "."] = (
+                len(files),
+                len([f for f in os.listdir(pdir) if f.endswith(".parquet")]),
+            )
+        return report
+
     # -- metrics ----------------------------------------------------------
     def log_metric(self, spark: SparkSession, stage: str, rows: int, wall_s: float, run_id: str = "run0"):
         df = spark.createDataFrame(
