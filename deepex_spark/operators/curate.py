@@ -93,8 +93,15 @@ def stratified_sample(
     the sample is stable across runs, partitionings and engines, and an
     incremental re-run keeps exactly the same rows. Adds ``h`` (the hash
     prefix) for auditability. Filter only — pushed down to the scan.
+
+    NULL keys hash as the empty string (md5(NULL) is NULL and a NULL
+    ``h < thr`` predicate would silently DROP those rows even at
+    keep-rate 1.0); they therefore share one deterministic bucket and
+    follow their stratum's rate like any other key.
     """
-    h = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+    h = F.substring(
+        F.md5(F.coalesce(F.col(key_col).cast("string"), F.lit(""))), 1, 4
+    )
     thr = F.lit(_rate_to_hex4(default_rate))
     for stratum, rate in sorted(rates.items()):
         thr = F.when(F.col(strata_col) == stratum, F.lit(_rate_to_hex4(rate))).otherwise(thr)
@@ -201,11 +208,15 @@ def redact(
     scales embarrassingly (no shuffle at all).
     """
     pats = patterns if patterns is not None else REDACTION_PATTERNS
+    # regexp_replace's replacement slot interprets $N and \ as group
+    # references (java.util.regex.Matcher) — quote them so a literal
+    # token like '<$1>' can't throw or substitute match groups
+    quoted = token.replace("\\", "\\\\").replace("$", "\\$")
     scrubbed = F.col(text_col)
     out = df
     for name in sorted(pats):
         out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pats[name])))
-        scrubbed = F.regexp_replace(scrubbed, pats[name], token)
+        scrubbed = F.regexp_replace(scrubbed, pats[name], quoted)
     return out.withColumn("scrubbed", scrubbed)
 
 

@@ -98,7 +98,11 @@ def merge_edges(existing: DataFrame, delta: DataFrame, run_id: str = "merge") ->
     """Fold a delta edge table into an existing one (same doc-disjoint
     contract as ``merge_vertices``): counts and score sums add, max/min
     statistics combine, so incremental crawls maintain the KG without
-    ever re-reading old batches."""
+    ever re-reading old batches. Counts, max_score and sample_docid merge
+    EXACTLY; ``sum_score`` sums per-batch values that ``build_edges``
+    already rounded to 9 dp, so it matches the single-batch build only to
+    ~1e-9 per merge (pinned at 6 dp by tests/test_graph_merge.py) — not
+    bit-for-bit."""
     both = existing.unionByName(delta)
     return (
         both.groupBy("subj_id", "obj_id", "pred_id", "pred_canon")
@@ -201,6 +205,17 @@ def dedup_clusters(
     return out.withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
 
 
+def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical undirected edge set: NULL endpoints and self-loops
+    dropped, each edge once as (a, b) with a < b."""
+    e = edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+    return (
+        e.where(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+    )
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "src",
@@ -225,12 +240,7 @@ def triangle_count(
     wedge join and the closing join share the ``lo``/``(lo, hi)`` key
     space so AQE coalesces/splits them by observed sizes.
     """
-    e = edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
-    und = (
-        e.where(F.col("u") != F.col("v"))
-        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
-        .distinct()
-    )
+    und = _undirected(edges, src, dst)
     deg = (
         und.select(F.col("a").alias("x"))
         .union(und.select(F.col("b").alias("x")))
@@ -288,12 +298,7 @@ def kcore(
     shrinks the edge set, so later rounds get cheaper, and AQE re-plans
     each round on the observed (smaller) sizes.
     """
-    e = edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
-    live = (
-        e.where(F.col("u") != F.col("v"))
-        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
-        .distinct()
-    )
+    live = _undirected(edges, src, dst)
     for _ in range(n_rounds):
         keep = (
             live.select(F.col("a").alias("x"))

@@ -138,6 +138,12 @@ class Catalog:
         import math
         import shutil
 
+        if self.fmt == "iceberg":  # pragma: no cover - jars absent in sandbox
+            raise NotImplementedError(
+                "compact() rewrites raw parquet partition dirs; for an "
+                "iceberg catalog use the engine's snapshot-committing "
+                "rewrite instead (CALL system.rewrite_data_files)"
+            )
         base = self.path(table)
         parts = [d for d in sorted(os.listdir(base)) if d.startswith("bucket=")]
         report: dict[str, tuple[int, int]] = {}
@@ -148,16 +154,29 @@ class Catalog:
             n_out = max(1, math.ceil(size / target_bytes))
             if len(files) <= n_out:
                 continue
-            # sibling of the dir being swapped — NEVER inside it (the
-            # rmtree below would delete the fresh rewrite) — and
-            # underscore-prefixed so a crash-left temp is invisible to
-            # Spark's file listing / partition discovery
-            tmp = os.path.join(
-                os.path.dirname(pdir), f"_compact_{table}_{d or 'root'}"
+            # temp dirs are SIBLINGS of the dir being swapped — never
+            # inside it — and underscore-prefixed so a crash-left temp is
+            # invisible to Spark's file listing / partition discovery.
+            # mergeSchema: a long-lived incremental table may carry schema
+            # drift across appended files; inferring from one footer would
+            # silently drop later columns from the rewrite.
+            tmp = os.path.join(os.path.dirname(pdir), f"_compact_{table}_{d or 'root'}")
+            old = tmp + ".old"
+            (
+                spark.read.option("mergeSchema", "true")
+                .parquet(pdir)
+                .coalesce(n_out)
+                .write.mode("overwrite")
+                .parquet(tmp)
             )
-            spark.read.parquet(pdir).coalesce(n_out).write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(pdir)
+            # swap order narrows the unreadable window to two renames
+            # (microseconds, vs spanning a whole rmtree): live dir aside,
+            # rewrite into place, THEN delete. A crash at any point leaves
+            # the data intact under `pdir`, `old` or `tmp` — recoverable,
+            # never silently lost.
+            os.replace(pdir, old)
             os.replace(tmp, pdir)
+            shutil.rmtree(old)
             report[d or "."] = (
                 len(files),
                 len([f for f in os.listdir(pdir) if f.endswith(".parquet")]),

@@ -707,6 +707,19 @@ def kg_pagerank(spark, sf_dir):
     )
 
 
+def _part_cooccurrence_edges(spark, sf_dir):
+    """Market-basket edge set shared by kg_triangle_count / kg_kcore:
+    parts linked when they appear in the same order. Per-order fan-out is
+    bounded by order size, so edge generation never blows up on a hub."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+
+
 @register(
     "kg_triangle_count",
     oracle="""
@@ -753,14 +766,7 @@ def kg_triangle_count(spark, sf_dir):
     graph (tests/test_curate.py)."""
     from deepex_spark.operators.graph import triangle_count
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-    return triangle_count(edges)
+    return triangle_count(_part_cooccurrence_edges(spark, sf_dir))
 
 
 def _kcore_oracle(k: int, n_rounds: int) -> str:
@@ -809,14 +815,7 @@ def kg_kcore(spark, sf_dir):
     DuckDB CTEs."""
     from deepex_spark.operators.graph import kcore
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-    return kcore(edges, k=80, n_rounds=8)
+    return kcore(_part_cooccurrence_edges(spark, sf_dir), k=80, n_rounds=8)
 
 
 @register(

@@ -117,6 +117,10 @@ def main(argv=None):
         no_redact=args.no_redact,
         minhash_sim=args.minhash_sim,
     )
+    # persist the two expensive shared prefixes so the per-stage count
+    # report doesn't re-run redact + the quality gate + the dedup window
+    # once per downstream count (4 redundant full corpus passes otherwise)
+    exact = stages["exact"].persist()
     clean = stages["clean"].persist()
     out = clean
     if args.buckets:
@@ -126,6 +130,7 @@ def main(argv=None):
     report["clean"] = clean.count()
     report["wall_sec"] = round(time.time() - t0, 2)
     clean.unpersist()
+    exact.unpersist()
     print(json.dumps(report))
     if not preexisting:
         spark.stop()

@@ -105,6 +105,13 @@ class TestStratifiedSample:
         assert 0.15 * 167 < n_a < 0.45 * 167      # ~0.3 of the 167 'a' rows
         assert 0.8 * 333 < n_b <= 333             # ~0.9 of the 333 'b' rows
 
+    def test_null_keys_kept_not_silently_dropped(self, spark):
+        # md5(NULL) is NULL — without the coalesce a NULL h < thr predicate
+        # would drop NULL-key rows even at keep-rate 1.0
+        df = spark.createDataFrame([(None, "a"), (7, "a")], "k long, s string")
+        kept = stratified_sample(df, "k", "s", {}, default_rate=1.0).collect()
+        assert len(kept) == 2
+
     def test_rate_to_hex4(self):
         assert _rate_to_hex4(0.0) == "0000"
         assert _rate_to_hex4(0.25) == "4000"
@@ -306,6 +313,12 @@ class TestRedact:
         docs = spark.createDataFrame([(1, "id=1234 ok")], "doc_id long, text string")
         [r] = redact(docs, patterns={"num": r"\d+"}, token="#").collect()
         assert r["scrubbed"] == "id=# ok" and r["n_num"] == 1
+
+    def test_token_with_regex_replacement_specials(self, spark):
+        # '$1' / backslashes in the token must be literal, not group refs
+        docs = spark.createDataFrame([(1, "id=42 ok")], "doc_id long, text string")
+        [r] = redact(docs, patterns={"num": r"(\d+)"}, token="<$1\\x>").collect()
+        assert r["scrubbed"] == "id=<$1\\x> ok"
 
 
 class TestKCore:
