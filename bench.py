@@ -34,6 +34,23 @@ HEADLINE = [
     "dedup_exact",
 ]
 
+# round-5 curation/analytics layer — measured by `--curation` as a SEPARATE
+# suite (own metric name) so BENCH_r* headline numbers stay comparable
+# across rounds; snapshot in BENCH/CURATION.md
+CURATION = [
+    "events_sessionize",
+    "events_session_window",
+    "events_funnel",
+    "sample_stratified",
+    "ngram_topk",
+    "tfidf_topk",
+    "text_redact",
+    "o_quantiles",
+    "o_pivot",
+    "kg_triangle_count",
+    "kg_kcore",
+]
+
 
 def _sf_label(sf_dir: str) -> float:
     try:
@@ -42,9 +59,11 @@ def _sf_label(sf_dir: str) -> float:
         return -1.0
 
 
-def run_headline() -> dict:
+def run_headline(suite: list[str] | None = None, metric: str = "headline_suite_sec") -> dict:
     from deepex_spark.queries import REGISTRY
     from deepex_spark.session import build_session
+
+    suite = suite if suite is not None else HEADLINE
 
     # host-health stamps measured BEFORE the suite: the canary catches
     # hypervisor degradation that /proc/stat steal under-reports (observed:
@@ -65,7 +84,7 @@ def run_headline() -> dict:
     per_query_steal: dict[str, float] = {}
     n_triples = 0
     triples_sec = 0.0
-    for name in HEADLINE:
+    for name in suite:
         spec = REGISTRY[name]
         s0 = _read_steal()
         t0 = time.time()
@@ -79,7 +98,7 @@ def run_headline() -> dict:
     spark.stop()
     total = round(sum(per_query.values()), 3)
     return {
-        "metric": "headline_suite_sec",
+        "metric": metric,
         "value": total,
         "unit": "sec",
         "queries": per_query,
@@ -318,5 +337,7 @@ def run_scaling(n_docs: int = 240000) -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--curation" in sys.argv:
+        print(json.dumps(run_headline(CURATION, "curation_suite_sec")))
     else:
         print(json.dumps(run_headline()))

@@ -151,6 +151,7 @@ def tfidf_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     top_k: int = 5,
+    broadcast_df: bool = True,
 ) -> DataFrame:
     """Per-document top-k TF-IDF terms -> ``(doc_id, term, tf, df, tfidf,
     rk)`` with ``tfidf = tf * ln(N / df)`` rounded to 6 decimals BEFORE
@@ -160,9 +161,14 @@ def tfidf_terms(
 
     Scale: tf is a (doc, term) groupBy with map-side combine; df derives
     from tf (one row per distinct (doc, term), so counting rows per term
-    IS the document frequency); the df side is vocabulary-sized and
-    broadcast into the join; the final window partitions by doc (bounded
-    by doc length). N is the one driver-side scalar (a count, not rows).
+    IS the document frequency); the final window partitions by doc
+    (bounded by doc length, and compiled to WindowGroupLimit so at most
+    k rows per doc cross the shuffle). N is the one driver-side scalar
+    (a count, not rows). ``broadcast_df=True`` ships the
+    vocabulary-sized df side to every executor — right for word vocabs
+    (≤ a few M terms); pass False for open vocabularies (raw n-grams,
+    URLs) where the term table outgrows executor memory and the join
+    should shuffle on ``term`` instead.
     """
     terms = docs.select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term")
@@ -170,7 +176,8 @@ def tfidf_terms(
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.select(id_col).distinct().count()
-    scored = tf.join(F.broadcast(df), "term").withColumn(
+    df_side = F.broadcast(df) if broadcast_df else df
+    scored = tf.join(df_side, "term").withColumn(
         "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
