@@ -286,7 +286,14 @@ def run_scaling(n_docs: int = 240000) -> dict:
         "detail": results,
     }
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # BENCH/BASELINE.md is curated by hand once clean pairs exist; never
+    # clobber it from this template — fall back to an _auto sidecar
+    md_path = (
+        "BENCH/BASELINE.md"
+        if not os.path.exists("BENCH/BASELINE.md")
+        else "BENCH/BASELINE_auto.md"
+    )
+    with open(md_path, "w") as f:
         f.write(
             "# BENCH/BASELINE — measured throughput & scaling\n\n"
             "Protocol (BASELINE.md): identical end-to-end triple-extraction "

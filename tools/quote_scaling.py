@@ -29,6 +29,13 @@ LOG = "BENCH/scaling_attempts.jsonl"
 def main():
     args = sys.argv[1:]
     n_docs = 240000
+    # BENCH/BASELINE.md is a CURATED document (clean-pair tables, 960k
+    # corpus-robustness notes, per-round provenance); regenerating it from
+    # this template DESTROYS that curation, so overwriting is opt-in —
+    # without --write this tool only prints the quote JSON.
+    write_md = "--write" in args
+    if write_md:
+        args.remove("--write")
     if "--n-docs" in args:
         i = args.index("--n-docs")
         n_docs = int(args[i + 1])
@@ -131,6 +138,9 @@ def main():
         "n_samples": n_samples,
         "detail": {"8": b8, "32": b32},
     }
+    if not write_md:
+        print(json.dumps(out))
+        return
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH/BASELINE — measured throughput & scaling\n\n"
