@@ -434,6 +434,77 @@ def o_rollup_agg(spark, sf_dir):
 
 
 @register(
+    "o_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus), ())
+    """,
+)
+def o_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with GROUPING() markers — the markers
+    disambiguate a real NULL group key from a rolled-up one, which the
+    bare NULL-filled output cannot."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+               count(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus), ())
+    """)
+
+
+@register(
+    "o_cube",
+    oracle="""
+    SELECT event_type, user_id % 4 AS ub, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY CUBE(event_type, user_id % 4)
+    """,
+)
+def o_cube(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type", (F.col("user_id") % 4).alias("ub"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "dedup_keep_newest",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def dedup_keep_newest(spark, sf_dir):
+    """CDC-style dedup: latest record per (user, event_type) by event
+    time, ties broken by event_id — the keep-newest upsert compaction
+    every incremental ingest needs. Compiles to WindowGroupLimit
+    (partial per-partition top-1 before the shuffle), so the exchange
+    carries one row per key per partition, not the full log."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+@register(
     "o_json_extract",
     oracle="""
     SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
