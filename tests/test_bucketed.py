@@ -58,6 +58,28 @@ def test_sorted_buckets_skip_per_task_sort(spark, bucket_db):
         spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
 
 
+def test_point_lookup_prunes_to_one_bucket(spark, bucket_db):
+    # entity point lookups on a bucketed table read 1/n_buckets of the
+    # files. autoBucketedScan (on by default) downgrades a bare filter
+    # scan to a regular file scan — bucket PRUNING only happens on the
+    # bucketed scan path, so pin it on for the lookup.
+    import re
+
+    df = spark.range(1000).select(
+        F.col("id").alias("entity_id"), (F.col("id") * 2).alias("v")
+    )
+    write_bucketed(df, f"{bucket_db}.pl", "entity_id", n_buckets=8)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        q = spark.table(f"{bucket_db}.pl").where(F.col("entity_id") == 421)
+        assert [(r["entity_id"], r["v"]) for r in q.collect()] == [(421, 842)]
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m and (m.group(1), m.group(2)) == ("1", "8")
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+
+
 def test_bucketed_values_match_plain_join(spark, bucket_db):
     verts = spark.range(100).select(F.col("id").alias("entity_id"), (F.col("id") % 3).alias("tag"))
     edges = spark.range(400).select((F.col("id") % 100).alias("entity_id"), F.col("id").alias("e"))
