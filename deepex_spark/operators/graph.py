@@ -240,7 +240,11 @@ def triangle_count(
     wedge join and the closing join share the ``lo``/``(lo, hi)`` key
     space so AQE coalesces/splits them by observed sizes.
     """
-    und = _undirected(edges, src, dst)
+    # the canonical edge set feeds FIVE consumers (degree counting twice,
+    # the orientation join, both scalar counts) and the oriented table
+    # feeds three self-join legs — materialize each once instead of
+    # letting Spark re-derive the upstream self-join per consumer
+    und = _undirected(edges, src, dst).localCheckpoint(eager=True)
     deg = (
         und.select(F.col("a").alias("x"))
         .union(und.select(F.col("b").alias("x")))
@@ -259,6 +263,7 @@ def triangle_count(
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
             F.when(a_first, F.col("db.deg")).otherwise(F.col("da.deg")).alias("dhi"),
         )
+        .localCheckpoint(eager=True)
     )
     o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
     hi_lt = (F.col("o1.dhi") < F.col("o2.dhi")) | (
@@ -298,7 +303,10 @@ def kcore(
     shrinks the edge set, so later rounds get cheaper, and AQE re-plans
     each round on the observed (smaller) sizes.
     """
-    live = _undirected(edges, src, dst)
+    # materialize the initial edge set: round 1 otherwise re-derives the
+    # upstream (e.g. a co-occurrence self-join) for each of its three
+    # consumers (both degree scans + the filter join)
+    live = _undirected(edges, src, dst).localCheckpoint(eager=True)
     for _ in range(n_rounds):
         keep = (
             live.select(F.col("a").alias("x"))
