@@ -149,6 +149,28 @@ def _make_dedup_fn(ttl_ms: int | None):
 _dedup_fn = _make_dedup_fn(None)
 
 
+def dedup_within_watermark(
+    events_stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native event-time streaming dedup: drop any row whose key was
+    already seen within the watermark horizon
+    (``dropDuplicatesWithinWatermark``). The built-in complement to
+    ``dedup_new_triples``: state evicts automatically as the watermark
+    advances (no custom TTL code, exact within the horizon, late
+    duplicates beyond it pass through), while the custom
+    applyInPandasWithState path gives FOREVER-dedup under an explicitly
+    bounded exact+bloom state. Pick by contract: bounded-lateness event
+    streams -> this; global crawl-output dedup -> the custom op.
+    ``ts_col`` must be a TIMESTAMP (cast NTZ upstream, see
+    sessions.stream_sessionize)."""
+    return events_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def dedup_new_triples(triples_stream: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """(docid, triple_key, score) stream -> only rows whose (docid,
     triple_key) was never emitted before, across all micro-batches and

@@ -83,3 +83,33 @@ def test_append_mode_emits_only_watermark_closed_sessions(spark, tmp_path):
         (1, T0, T0 + timedelta(minutes=30), 1, 1.0),
         (2, T0 + timedelta(days=2), T0 + timedelta(days=2, minutes=30), 1, 1.0),
     }
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    """Native streaming dedup: duplicate keys within the watermark horizon
+    drop; state evicts as the watermark advances."""
+    from deepex_spark.streaming.stateful import dedup_within_watermark
+
+    rows = [
+        (1, T0, 10, 1.0),
+        (2, T0 + timedelta(minutes=5), 10, 2.0),   # dup of user 10 in-horizon
+        (3, T0 + timedelta(minutes=9), 11, 3.0),
+        (4, T0 + timedelta(minutes=2), 10, 4.0),   # another in-horizon dup
+    ]
+    src = str(tmp_path / "dsrc")
+    _write(spark, rows, src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    typed = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    q = (
+        dedup_within_watermark(typed, ["user_id"], watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["user_id"], r["event_id"]) for r in spark.sql("SELECT * FROM dedup_wm").collect()}
+    # one survivor per user within the horizon (first arrival in batch order)
+    assert {u for u, _ in got} == {10, 11} and len(got) == 2
