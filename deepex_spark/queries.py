@@ -505,6 +505,36 @@ def dedup_keep_newest(spark, sf_dir):
 
 
 @register(
+    "o_window_analytics",
+    oracle="""
+    SELECT event_id, user_id,
+           lead(event_id) OVER w AS next_event,
+           lag(event_id) OVER w AS prev_event,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def o_window_analytics(spark, sf_dir):
+    """Analytic-window family over a deterministic total order
+    (ts, event_id) per user: lead/lag navigation, ntile bucketing,
+    percent_rank and cume_dist — one user_id exchange serves all five."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lead("event_id").over(w).alias("next_event"),
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
     "o_json_extract",
     oracle="""
     SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
