@@ -535,6 +535,109 @@ def o_window_analytics(spark, sf_dir):
 
 
 @register(
+    "o_window_frames",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING), 6) AS run_sum,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW), 6)
+               AS sum_10min
+    FROM events
+    """,
+)
+def o_window_frames(spark, sf_dir):
+    """Window FRAME family: sliding ROWS moving average, running
+    cumulative sum, and an event-time RANGE frame (trailing 10 minutes
+    per user). The RANGE key is exact integer microseconds on both
+    engines — ``timestampdiff(MICROSECOND, NTZ epoch, ts)`` on Spark
+    (pure wall-clock arithmetic on TIMESTAMP_NTZ, tz-free; Spark's
+    ``unix_micros`` rejects NTZ and casting through TIMESTAMP would make
+    the key depend on ``spark.sql.session.timeZone``) and DuckDB
+    ``epoch_us`` (same naive-to-micros map) — second-granularity
+    ``epoch()``/``cast(long)`` would disagree on sub-second timestamps.
+    One user_id exchange serves all three frames; the sort on
+    (ts, event_id) is reused by the two ROWS frames (the RANGE frame
+    re-sorts on the derived key only)."""
+    ev = load(spark, sf_dir, "events")
+    ts_us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = Window.partitionBy("user_id").orderBy(ts_us)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(wo.rowsBetween(-2, 0)), 6).alias("mov_avg3"),
+        F.round(
+            F.sum("value").over(wo.rowsBetween(Window.unboundedPreceding, 0)), 6
+        ).alias("run_sum"),
+        F.round(
+            F.sum("value").over(wr.rangeBetween(-600_000_000, 0)), 6
+        ).alias("sum_10min"),
+    )
+
+
+@register(
+    "o_semi_join_exists",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    """,
+)
+def o_semi_join_exists(spark, sf_dir):
+    """Correlated-EXISTS semi-join: orders with at least one high-quantity
+    line. LEFT SEMI keeps the probe row at most once (no post-join
+    distinct) and prunes the build side to the join key before the
+    exchange — the filter on l_quantity is pushed into the lineitem scan."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"], "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "o_array_hof",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))), 6) AS elem_sum,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2
+    FROM embeddings
+    """,
+)
+def o_array_hof(spark, sf_dir):
+    """Higher-order array functions over the embedding column — size,
+    filter-count, elementwise fold (sum), and L2 norm — all JVM-side
+    (no UDF, no explode): the per-row fold never shuffles and the scan
+    reads only (vec_id, embedding). Floats are upcast to double INSIDE
+    the lambda on both engines so the left-to-right accumulation is
+    bit-identical."""
+    emb = load(spark, sf_dir, "embeddings")
+    acc = F.aggregate(
+        "embedding", F.lit(0.0), lambda a, x: a + x.cast("double")
+    )
+    acc2 = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(acc, 6).alias("elem_sum"),
+        F.round(F.sqrt(acc2), 6).alias("l2"),
+    )
+
+
+@register(
     "o_json_extract",
     oracle="""
     SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
