@@ -1466,6 +1466,38 @@ def events_funnel(spark, sf_dir):
 
 
 @register(
+    "events_attribution",
+    oracle="""
+    SELECT i.user_id,
+           i.event_id AS imp_event_id,
+           c.event_id AS conv_event_id,
+           i.ts AS imp_ts,
+           c.ts AS conv_ts
+    FROM events i JOIN events c
+      ON i.user_id = c.user_id
+     AND i.event_type = 'view' AND c.event_type = 'purchase'
+     AND i.ts <= c.ts AND i.ts > c.ts - INTERVAL 4 HOUR
+    """,
+)
+def events_attribution(spark, sf_dir):
+    """Time-range attribution join (streaming/joins.py
+    ``attribute_conversions``, the batch == stream body): every purchase
+    matched to the same user's views in the trailing 4 hours. The
+    interval bound is timestamp subtraction on TIMESTAMP_NTZ —
+    microsecond-exact and tz-free on both engines. The streaming twin
+    (watermarked StreamingSymmetricHashJoin) is pinned batch == stream
+    by tests/test_streaming_joins.py."""
+    from deepex_spark.streaming.joins import attribute_conversions
+
+    ev = load(spark, sf_dir, "events")
+    return attribute_conversions(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+        window="4 hours",
+    )
+
+
+@register(
     "tfidf_topk",
     oracle="""
     WITH terms AS (
