@@ -149,15 +149,6 @@ def sentencize(
         return _explode_pieces(df, docid_col, pieces)
     if mode != "scan":
         raise ValueError("sentencize mode must be 'scan', 'reconstruct' or 'auto'")
-    marked = F.regexp_replace(F.col(text_col), SENT_BOUNDARY_SRC, "$1" + SENT_MARKER)
-    exploded = df.select(
-        F.col(docid_col).alias("docid"),
-        F.col(text_col).alias("_doc_text"),
-        F.posexplode(F.split(marked, SENT_MARKER)).alias("sent_pos", "_raw_sent"),
-    )
-    return (
-        exploded.withColumn("sent_text", F.trim(F.col("_raw_sent")))
-        .filter(F.length("sent_text") > 0)
-        .withColumn("sent_offset", F.instr(F.col("_doc_text"), F.col("sent_text")) - F.lit(1))
-        .select("docid", "sent_pos", "sent_offset", "sent_text")
-    )
+    # the scan branch IS auto's short-doc arm — one definition of the
+    # semantics (_scan_pieces), so the two modes cannot silently diverge
+    return _explode_pieces(df, docid_col, _scan_pieces(text_col))

@@ -75,7 +75,14 @@ def _rate_to_hex4(rate: float) -> str:
     """
     if rate >= 1.0:
         return "g"
-    return format(max(int(round(rate * 0x10000)), 0), "04x")
+    v = int(round(rate * 0x10000))
+    if v >= 0x10000:
+        # rates within half a bucket of 1.0 round UP to the whole range:
+        # format(65536, '04x') would be the 5-char '10000', which compares
+        # LESS than most 4-char prefixes and silently kept only ~6 % of
+        # rows — return the keep-everything sentinel instead
+        return "g"
+    return format(max(v, 0), "04x")
 
 
 def stratified_sample(
@@ -99,6 +106,11 @@ def stratified_sample(
     keep-rate 1.0); they therefore share one deterministic bucket and
     follow their stratum's rate like any other key.
     """
+    if "h" in df.columns:
+        raise ValueError(
+            "stratified_sample writes its audit hash to column 'h', which "
+            "already exists on the input — rename or drop it first"
+        )
     h = F.substring(
         F.md5(F.coalesce(F.col(key_col).cast("string"), F.lit(""))), 1, 4
     )

@@ -12,6 +12,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_INTEGRAL_ID_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _id_cast_type(*dtypes) -> str:
+    """Common cast target for graph vertex-id columns: all-integral ids
+    widen to ``long``; anything involving strings compares/aggregates as
+    ``string`` (min-label propagation only needs a total order, which
+    lexicographic string comparison provides). Anything else (binary,
+    struct, float keys) raises loudly — a silent ``cast('long')`` turned
+    UUID doc_ids into NULLs and produced an EMPTY deduped corpus."""
+    if all(isinstance(t, _INTEGRAL_ID_TYPES) for t in dtypes):
+        return "long"
+    if all(isinstance(t, (T.StringType, *_INTEGRAL_ID_TYPES)) for t in dtypes):
+        return "string"
+    raise TypeError(f"graph vertex ids must be integral or string, got {dtypes}")
 
 
 def build_vertices(canon_triples: DataFrame, run_id: str = "run0") -> DataFrame:
@@ -145,10 +162,19 @@ def connected_components(
     lineage — without it the unioned plan doubles per iteration and the
     optimizer, not the data, becomes the bottleneck.
     """
+    idt = _id_cast_type(edges.schema[src].dataType, edges.schema[dst].dataType)
     sym = edges.select(
-        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        F.col(src).cast(idt).alias("u"), F.col(dst).cast(idt).alias("v")
     ).where(F.col("u").isNotNull() & F.col("v").isNotNull())
-    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # materialize the static edge set once: every round runs TWO actions
+    # (the eager checkpoint + the convergence probe) and each would
+    # otherwise re-derive sym's upstream — e.g. the MinHash-LSH banding
+    # self-join — from scratch, ~2x per round
+    sym = (
+        sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = sym.select("u").distinct().withColumn("comp", F.col("u"))
     for _ in range(max_iter):
         nbr = (
@@ -196,8 +222,17 @@ def dedup_clusters(
     row per cluster a keep-one-per-cluster dedup retains. The standard
     training-data pipeline shape: transitive near-dups (A~B, B~C) land in
     ONE cluster even when A and C never pair directly."""
-    cc = connected_components(pairs, src=pair_a, dst=pair_b)
-    ids = docs.select(F.col(id_col).cast("long").alias(id_col))
+    idt = _id_cast_type(
+        docs.schema[id_col].dataType,
+        pairs.schema[pair_a].dataType,
+        pairs.schema[pair_b].dataType,
+    )
+    cc = connected_components(
+        pairs.select(F.col(pair_a).cast(idt).alias(pair_a), F.col(pair_b).cast(idt).alias(pair_b)),
+        src=pair_a,
+        dst=pair_b,
+    )
+    ids = docs.select(F.col(id_col).cast(idt).alias(id_col))
     out = ids.join(cc, ids[id_col] == cc["v"], "left").select(
         id_col,
         F.coalesce("comp", F.col(id_col)).alias("cluster_id"),
@@ -208,7 +243,8 @@ def dedup_clusters(
 def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Canonical undirected edge set: NULL endpoints and self-loops
     dropped, each edge once as (a, b) with a < b."""
-    e = edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+    idt = _id_cast_type(edges.schema[src].dataType, edges.schema[dst].dataType)
+    e = edges.select(F.col(src).cast(idt).alias("u"), F.col(dst).cast(idt).alias("v"))
     return (
         e.where(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
         .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
@@ -362,13 +398,25 @@ def pagerank(
     (and SQL-reproducible by unrolling), which a convergence-threshold
     variant would not be.
     """
-    e = edges.select(
-        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
-    ).distinct()
-    verts = e.select(F.col("s").alias("v")).union(e.select(F.col("d").alias("v"))).distinct()
+    idt = _id_cast_type(edges.schema[src].dataType, edges.schema[dst].dataType)
+    e = (
+        edges.select(F.col(src).cast(idt).alias("s"), F.col(dst).cast(idt).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # verts / out_deg / links are static across rounds but feed THREE
+    # actions per round (dangling probe, contrib join, rank rebuild) —
+    # materialize each once instead of re-deriving the upstream edge
+    # build (e.g. o21_reverse_union's join tree) 30x over 10 rounds
+    verts = (
+        e.select(F.col("s").alias("v"))
+        .union(e.select(F.col("d").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n = verts.count()
-    out_deg = e.groupBy("s").agg(F.count("*").alias("deg"))
-    links = e.join(out_deg, "s")
+    out_deg = e.groupBy("s").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
+    links = e.join(out_deg, "s").localCheckpoint(eager=True)
     ranks = verts.withColumn("r", F.lit(1.0 / n))
     for _ in range(n_iter):
         dangling = (

@@ -108,12 +108,77 @@ _O3_ORACLE = """
 
 @register("o3_sentences", oracle=_O3_ORACLE)
 def o3_sentences(spark, sf_dir):
+    """Reference-parity sentence segmentation: mode='scan' is pinned
+    EXPLICITLY because _O3_ORACLE computes the first-occurrence strpos
+    offset (text_handler.py:59 semantics). The pipeline default is
+    'auto', whose long-doc arm deviates by design on duplicate/embedded
+    sentences — the reconstruct arm has its own independent oracle
+    (o3_sentences_reconstruct below), so a corpus crossing the 64 KiB
+    threshold can't silently fail this parity check."""
     from deepex_spark.functions.sentencize import sentencize
 
     docs = load(spark, sf_dir, "documents").select(
         F.lpad(F.col("doc_id").cast("string"), 40, "0").alias("docid"), "text"
     )
-    return sentencize(docs).select("docid", "sent_offset", "sent_text")
+    return sentencize(docs, mode="scan").select("docid", "sent_offset", "sent_text")
+
+
+# reconstruct-mode oracle: re-derives the linear aligned-offset algorithm
+# (functions/sentencize.py _reconstruct_doc) from first principles in SQL.
+# RE2 has no lookahead, so the boundary keeps its whitespace by replacing
+# '([.!?])(\s)' with '\1' || chr(1) || '\2' — the marker lands between the
+# punctuation and the \s run, which is exactly what the Python lookahead
+# '([.!?])(?=\s)' produces. Offsets are a running sum of raw piece lengths
+# plus each piece's stripped-prefix width; pieces after the first drop the
+# consumed boundary run (full ASCII \s class), then trim ONLY ' ' (0x20)
+# on both ends, matching F.trim / SPARK-17299.
+_O3_RECON_ORACLE = """
+    WITH marked AS (
+        SELECT lpad(CAST(doc_id AS VARCHAR), 40, '0') AS docid,
+               regexp_replace(
+                   text,
+                   '([.!?])([ ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11) || '])',
+                   '\\1' || chr(1) || '\\2', 'g') AS m
+        FROM documents
+    ),
+    pieces AS (
+        -- positional zip of two unnests = explode with ordinality
+        SELECT docid,
+               unnest(string_split(m, chr(1))) AS piece,
+               unnest(generate_series(1, len(string_split(m, chr(1))))) AS ord
+        FROM marked
+    ),
+    shaped AS (
+        SELECT docid, ord, piece,
+               ltrim(CASE WHEN ord = 1 THEN piece
+                          ELSE ltrim(piece, ' ' || chr(9) || chr(10) || chr(13)
+                                            || chr(12) || chr(11)) END,
+                     ' ') AS lt,
+               COALESCE(SUM(length(piece)) OVER (
+                   PARTITION BY docid ORDER BY ord
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+        FROM pieces
+    )
+    SELECT docid,
+           CAST(pos + (length(piece) - length(lt)) AS INT) AS sent_offset,
+           rtrim(lt, ' ') AS sent_text
+    FROM shaped
+    WHERE length(rtrim(lt, ' ')) > 0
+"""
+
+
+@register("o3_sentences_reconstruct", oracle=_O3_RECON_ORACLE)
+def o3_sentences_reconstruct(spark, sf_dir):
+    """The linear mega-doc sentencize arm (auto mode's >64 KiB branch,
+    forced here for the whole corpus) against an independent SQL
+    re-derivation of the aligned-offset algorithm — so the scale path is
+    hash-verified, not just unit-tested against the Python original."""
+    from deepex_spark.functions.sentencize import sentencize
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.lpad(F.col("doc_id").cast("string"), 40, "0").alias("docid"), "text"
+    )
+    return sentencize(docs, mode="reconstruct").select("docid", "sent_offset", "sent_text")
 
 
 @register(

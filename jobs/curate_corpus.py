@@ -45,6 +45,7 @@ def curate(
     from deepex_spark.operators.dedup import minhash_dup_pairs
     from deepex_spark.operators.graph import dedup_clusters
 
+    input_cols = list(docs.columns)
     if not no_redact:
         docs = redact(docs).withColumn("text", F.col("scrubbed")).drop("scrubbed")
 
@@ -75,6 +76,11 @@ def curate(
         if (rates or default_rate < 1.0)
         else near
     )
+    # the written corpus carries ONLY the input schema: the audit columns
+    # (quality's n_words, redact's n_<pattern> counts, sampling's h) are
+    # intermediate — at 100 TB they are real storage/IO and a schema
+    # surprise for downstream consumers
+    sampled = sampled.select(*input_cols)
     return {
         "input": docs,
         "quality": gated,

@@ -117,6 +117,27 @@ class TestStratifiedSample:
         assert _rate_to_hex4(0.25) == "4000"
         assert _rate_to_hex4(0.5) == "8000"
         assert _rate_to_hex4(1.0) > "ffff"
+        # rates that ROUND to 65536 must map to keep-everything, not the
+        # 5-char '10000' (which string-compares below most 4-char prefixes
+        # and silently kept ~6 % of the stratum)
+        assert _rate_to_hex4(0.999996) > "ffff"
+        assert _rate_to_hex4(65535.6 / 65536) > "ffff"
+        assert _rate_to_hex4(65534.9 / 65536) == "ffff"  # still representable
+
+    def test_near_one_rate_keeps_nearly_everything(self, spark):
+        df = spark.range(400).select(
+            F.col("id").alias("k"), F.lit("en").alias("s")
+        )
+        kept = stratified_sample(df, "k", "s", {"en": 0.999996}, 1.0).count()
+        assert kept == 400
+
+    def test_preexisting_hash_column_raises(self, spark):
+        import pytest
+
+        df = spark.range(4).select(F.col("id").alias("k"), F.lit("x").alias("s"),
+                                   F.lit("keep-me").alias("h"))
+        with pytest.raises(ValueError, match="'h'"):
+            stratified_sample(df, "k", "s", {}, 0.5)
 
 
 class TestNgramCounts:

@@ -39,6 +39,20 @@ def test_redact_applied_to_text(spark):
     assert "[REDACTED]" in r["text"] and "@" not in r["text"]
 
 
+def test_string_doc_ids_survive(spark):
+    """UUID-style string doc_ids: the near-dup clustering must not cast
+    them to NULL longs and silently empty the corpus."""
+    rows = [
+        ("doc-aaa", "alpha beta gamma delta shared words here", "en"),
+        ("doc-bbb", "alpha beta gamma delta shared words there", "en"),
+        ("doc-ccc", "completely different content with many unique tokens inside", "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, lang string")
+    stages = curate(docs, min_words=3, no_redact=True, minhash_sim=0.3)
+    kept = {r["doc_id"] for r in stages["clean"].select("doc_id").collect()}
+    assert kept == {"doc-aaa", "doc-ccc"}
+
+
 def test_job_cli(spark, tmp_path):
     src, out = str(tmp_path / "docs"), str(tmp_path / "clean")
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(src)
@@ -71,6 +85,9 @@ def test_job_cli(spark, tmp_path):
     )
     written = spark.read.parquet(out)
     assert written.count() == report["clean"]
+    # the clean corpus carries ONLY the input schema — no audit columns
+    # (n_words, n_email/n_ipv4/n_url, sampling hash h) leak into storage
+    assert sorted(written.columns) == sorted(spark.read.parquet(src).columns)
     # the en 0.5 sampling rule really applied: every surviving en doc's
     # md5 prefix is under the threshold (hashlib.md5 == Spark md5 on the
     # same string), and the corpus contains en docs on the other side of

@@ -96,6 +96,35 @@ def test_dedup_clusters_transitive(spark):
     assert sorted(canon) == [0, 1, 2, 3, 5]
 
 
+def test_dedup_clusters_string_ids(spark):
+    """String doc_ids (UUID/url-hash corpora) must cluster, not silently
+    cast to NULL longs and mark every row non-canonical (which emptied the
+    curate job's output corpus)."""
+    from deepex_spark.operators.graph import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [("u-a",), ("u-b",), ("u-c",), ("u-d",)], "doc_id string"
+    )
+    pairs = spark.createDataFrame([("u-b", "u-d")], "id_a string, id_b string")
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in
+            dedup_clusters(docs, pairs).collect()}
+    assert rows == {
+        "u-a": ("u-a", True),
+        "u-b": ("u-b", True),
+        "u-c": ("u-c", True),
+        "u-d": ("u-b", False),
+    }
+
+
+def test_graph_id_type_guard(spark):
+    """Unsupported id types fail loudly instead of casting to NULL."""
+    from deepex_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame([(1.5, 2.5)], "src double, dst double")
+    with pytest.raises(TypeError, match="integral or string"):
+        connected_components(df)
+
+
 def test_pagerank_matches_reference_power_iteration(spark):
     """Independent dict-based power iteration (incl. dangling-node mass
     redistribution) must match the distributed operator to float
