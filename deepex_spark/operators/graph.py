@@ -208,6 +208,65 @@ def connected_components(
     return labels.select(F.col("u").alias("v"), "comp")
 
 
+def khop_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+) -> DataFrame:
+    """Fixed-k BFS from a seed vertex set -> ``(v, hops)`` with ``hops`` =
+    the minimum hop count (0 for seeds, up to ``k``); vertices further
+    than ``k`` hops are absent. The standard KG neighborhood query
+    ("everything within k hops of these entities") for subgraph export,
+    blast-radius analysis, and negative-sampling horizons.
+
+    Each round is ONE key-partitioned join (frontier -> out-neighbors) +
+    distinct + an anti-join against the visited set — the frontier only
+    ever carries NEW vertices, so a vertex is expanded exactly once no
+    matter how many paths reach it (the property that keeps BFS linear in
+    edges, not paths). State is one row per reached vertex; nothing is
+    collected to the driver. ``localCheckpoint`` truncates each round's
+    lineage; fixed ``k`` keeps the result a deterministic function of the
+    graph and SQL-reproducible by unrolling (like ``pagerank``/``kcore``).
+    Hub vertices skew the expansion join's key distribution — AQE's skew
+    split handles them, and the per-round ``distinct`` collapses the
+    fan-in before it crosses the next shuffle.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    seed_col = seeds.columns[0]
+    idt = _id_cast_type(
+        edges.schema[src].dataType, edges.schema[dst].dataType, seeds.schema[seed_col].dataType
+    )
+    e = (
+        edges.select(F.col(src).cast(idt).alias("s"), F.col(dst).cast(idt).alias("d"))
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(seed_col).cast(idt).alias("v"))
+        .where(F.col("v").isNotNull())
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("v")
+    for i in range(1, k + 1):
+        nxt = (
+            e.join(frontier, e["s"] == frontier["v"])
+            .select(F.col("d").alias("v"))
+            .distinct()
+            .join(dist.select("v"), "v", "left_anti")
+            .withColumn("hops", F.lit(i))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(nxt)
+        frontier = nxt.select("v")
+    return dist
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,

@@ -918,6 +918,102 @@ def kg_edges(spark, sf_dir):
     return edges.groupBy("src", "dst", "rel").agg(F.count("*").alias("n_evidence"))
 
 
+@register(
+    "kg_khop",
+    # unrolled fixed-k BFS: level sets f1..f3 exclude everything already
+    # reached, so each vertex appears once at its MINIMUM hop count —
+    # independent of the engine's frontier/anti-join implementation
+    oracle=_O21_BASE
+    + """,
+    e AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS d FROM edges),
+    d0 AS MATERIALIZED (SELECT DISTINCT s AS v FROM e WHERE s % 1000 = 0),
+    f1 AS MATERIALIZED (
+      SELECT DISTINCT e.d AS v FROM e JOIN d0 ON e.s = d0.v
+      WHERE e.d NOT IN (SELECT v FROM d0)
+    ),
+    f2 AS MATERIALIZED (
+      SELECT DISTINCT e.d AS v FROM e JOIN f1 ON e.s = f1.v
+      WHERE e.d NOT IN (SELECT v FROM d0 UNION ALL SELECT v FROM f1)
+    ),
+    f3 AS MATERIALIZED (
+      SELECT DISTINCT e.d AS v FROM e JOIN f2 ON e.s = f2.v
+      WHERE e.d NOT IN (SELECT v FROM d0 UNION ALL SELECT v FROM f1
+                        UNION ALL SELECT v FROM f2)
+    )
+    SELECT v, 0 AS hops FROM d0
+    UNION ALL SELECT v, 1 AS hops FROM f1
+    UNION ALL SELECT v, 2 AS hops FROM f2
+    UNION ALL SELECT v, 3 AS hops FROM f3
+    """,
+)
+def kg_khop(spark, sf_dir):
+    """K-hop neighborhood over the KG edge set: min-hop BFS distances
+    (operators/graph.py::khop_distances, k=3) from a deterministic seed
+    set (entity ids divisible by 1000). The edge set already carries the
+    reverse emission (O21), so the BFS explores both edge directions."""
+    from deepex_spark.operators.graph import khop_distances
+
+    edges = o21_reverse_union(spark, sf_dir).select("src", "dst")
+    seeds = edges.select("src").where(F.col("src") % 1000 == 0)
+    return khop_distances(edges, seeds, k=3)
+
+
+@register(
+    "kg_relpath2",
+    # independent NAIVE oracle: materialize every 2-hop path and count —
+    # the engine must match it WITHOUT ever materializing the path set
+    oracle=_O21_BASE
+    + """
+    SELECT e1.rel AS rel_a, e2.rel AS rel_b,
+           count(*) AS n_paths
+    FROM edges e1 JOIN edges e2
+      ON e1.dst = e2.src AND e2.dst <> e1.src
+    GROUP BY e1.rel, e2.rel
+    """,
+)
+def kg_relpath2(spark, sf_dir):
+    """Relation-composition statistics (the AMIE-style rule-mining
+    primitive): for every ordered relation pair (rel_a, rel_b), how many
+    2-hop paths a-[rel_a]->b-[rel_b]->c (c != a) exist in the KG.
+
+    Scale design: the naive shape (the oracle's) self-joins the edge
+    table on the shared vertex and GROUPs the exploded path set —
+    sum-of-degree-squared rows, ruinous on hub vertices at crawl scale.
+    This plan never materializes a path: per-vertex in/out degree vectors
+    per relation (two map-side-combined groupBys), a bounded join on the
+    vertex key (at most |rels|^2 rows per vertex), and a SUM of
+    ``n_in * n_out`` products; the immediate-backtrack paths (c == a)
+    the definition excludes are counted exactly by one edge-keyed
+    equi-join against the reversed edge set (output bounded by |E|, not
+    by paths) and subtracted. Hub skew hits only the degree groupBys,
+    which partial-aggregate map-side."""
+    ed = o21_reverse_union(spark, sf_dir).select("src", "dst", "rel")
+    ind = ed.groupBy(F.col("dst").alias("b"), F.col("rel").alias("rel_a")).agg(
+        F.count("*").alias("n_in")
+    )
+    outd = ed.groupBy(F.col("src").alias("b"), F.col("rel").alias("rel_b")).agg(
+        F.count("*").alias("n_out")
+    )
+    prod = (
+        ind.join(outd, "b")
+        .groupBy("rel_a", "rel_b")
+        .agg(F.sum(F.col("n_in") * F.col("n_out")).alias("n_all"))
+    )
+    rev = ed.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("rel").alias("rel_b")
+    )
+    bt = (
+        ed.join(rev, ["src", "dst"])
+        .groupBy(F.col("rel").alias("rel_a"), "rel_b")
+        .agg(F.count("*").alias("n_bt"))
+    )
+    return prod.join(bt, ["rel_a", "rel_b"], "left").select(
+        "rel_a",
+        "rel_b",
+        (F.col("n_all") - F.coalesce("n_bt", F.lit(0))).alias("n_paths"),
+    )
+
+
 def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
     """Unrolled fixed-iteration PageRank in DuckDB SQL — one MATERIALIZED
     CTE per power-iteration round (each r_i is referenced twice, by the

@@ -125,6 +125,46 @@ def test_graph_id_type_guard(spark):
         connected_components(df)
 
 
+def test_khop_matches_reference_bfs(spark):
+    """Fixed-k BFS min-hop distances vs an independent dict-based BFS on
+    a seeded random directed graph; vertices beyond k hops absent."""
+    from collections import deque
+
+    from deepex_spark.operators.graph import khop_distances
+
+    rnd = random.Random(77)
+    n = 60
+    edges = list({(rnd.randrange(n), rnd.randrange(n)) for _ in range(120)})
+    seeds = [0, 7, 13]
+    k = 3
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    exp = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if exp[u] >= k:
+            continue
+        for w in adj.get(u, []):
+            if w not in exp:
+                exp[w] = exp[u] + 1
+                q.append(w)
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "v long")
+    got = {r["v"]: r["hops"] for r in khop_distances(edf, sdf, k=k).collect()}
+    assert got == exp
+
+
+def test_khop_zero_rounds_is_seed_set(spark):
+    from deepex_spark.operators.graph import khop_distances
+
+    edf = spark.createDataFrame([(1, 2)], "src long, dst long")
+    sdf = spark.createDataFrame([(1,), (9,)], "v long")
+    got = {(r["v"], r["hops"]) for r in khop_distances(edf, sdf, k=0).collect()}
+    assert got == {(1, 0), (9, 0)}
+
+
 def test_pagerank_matches_reference_power_iteration(spark):
     """Independent dict-based power iteration (incl. dangling-node mass
     redistribution) must match the distributed operator to float
