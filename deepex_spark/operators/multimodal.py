@@ -8,11 +8,14 @@ boundary, per modality:
   Python-stdlib ``wave`` module (sample rate, channels, PCM frames; body =
   raw PCM so downstream featurization runs on real samples). Generate test
   payloads with :func:`make_wav_payload` (also stdlib ``wave``).
-* **image — REAL public codec (uncompressed subset)**: Windows BMP
-  (``BM`` magic, BITMAPINFOHEADER-family DIB header, ``BI_RGB``) parses
-  via pure ``struct`` — width/height/bpp from the header, body = the raw
-  pixel array at the header's data offset. Compressed BMP (RLE/JPEG/PNG
-  embeddings) raises ``NotImplementedError`` honestly.
+* **image — REAL public codecs**: (a) PNG — chunk walk + stdlib ``zlib``
+  inflate + full scanline unfiltering (all five RFC 2083 filter types);
+  supported subset is 8-bit non-interlaced gray/RGB/LA/RGBA, body = the
+  raw unfiltered pixel array; palette/16-bit/Adam7 raise
+  ``NotImplementedError`` honestly. (b) Windows BMP (``BM`` magic,
+  BITMAPINFOHEADER-family DIB header, ``BI_RGB``) via pure ``struct`` —
+  width/height/bpp from the header, body = the raw pixel array at the
+  header's data offset; compressed BMP (RLE/JPEG) raises.
 * **video — REAL public codec (uncompressed subset)**: RIFF/AVI — a real
   recursive RIFF chunk walk reads the ``avih`` main header for
   width/height and collects the ``movi`` list's ``##db``/``##dc`` frame
@@ -20,7 +23,7 @@ boundary, per modality:
   (not byte-slice approximations). Compressed codecs inside the container
   decode at the container level only (frame bytes pass through opaque).
 * **everything else — STUBBED**: Pillow/ffmpeg are NOT available in this
-  container, so beyond WAV/BMP/AVI only the deterministic synthetic
+  container, so beyond WAV/PNG/BMP/AVI only the deterministic synthetic
   container format below decodes; any other payload raises
   ``NotImplementedError`` at the decode boundary — swap
   ``_decode_payload``'s fallthrough for a full codec stack in production.
@@ -45,6 +48,9 @@ from pyspark.sql import functions as F
 MAGIC = b"DXM1"
 RIFF_MAGIC = b"RIFF"
 BMP_MAGIC = b"BM"
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (3 = palette, unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 # DIB header sizes of the BITMAPINFOHEADER family (COREHEADER excluded:
 # its field layout differs)
 _BMP_DIB_SIZES = {40, 52, 56, 108, 124}
@@ -169,6 +175,162 @@ def _decode_bmp(payload: bytes) -> dict:
     }
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): pick the neighbor (left,
+    above, upper-left) closest to the linear estimate a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_pixels(width: int, height: int, channels: int, seed: int) -> bytes:
+    """Deterministic synthetic raster (formula, not RNG — identical on
+    every platform and re-derivable by the tests byte-for-byte)."""
+    return bytes(
+        (x * 7 + y * 13 + c * 31 + seed) & 0xFF
+        for y in range(height)
+        for x in range(width)
+        for c in range(channels)
+    )
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", zlib.crc32(typ + data))
+
+
+def make_png_payload(width: int, height: int, seed: int = 0, color_type: int = 2) -> bytes:
+    """A REAL PNG (8-bit, non-interlaced; gray/RGB/gray+alpha/RGBA) with
+    the row filter type cycling 0..4 — every PNG filter (None/Sub/Up/
+    Average/Paeth) appears for heights >= 5 — and stdlib ``zlib``
+    compression, decodable by any PNG reader."""
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    raw = _png_pixels(width, height, channels, seed)
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = raw[y * stride : (y + 1) * stride]
+        f = y % 5
+        out.append(f)
+        for i in range(stride):
+            left = line[i - channels] if i >= channels else 0
+            up = prev[i]
+            ul = prev[i - channels] if i >= channels else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) >> 1
+            else:
+                pred = _paeth(left, up, ul)
+            out.append((line[i] - pred) & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> dict:
+    """REAL image decode: PNG chunk walk + stdlib ``zlib`` inflate + full
+    scanline UNFILTERING (all five filter types, RFC 2083 §6). Supported
+    subset: 8-bit depth, non-interlaced, gray/RGB/gray+alpha/RGBA; palette,
+    16-bit and Adam7 fail loudly rather than pretend. ``body`` is the raw
+    unfiltered pixel array (width * height * channels bytes)."""
+    data = bytes(payload)
+    pos = 8
+    ihdr = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack(">I4s", data[pos : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise NotImplementedError("PNG without IHDR/IDAT chunks")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    channels = _PNG_CHANNELS.get(color_type)
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0 or channels is None:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color_type} interlace={interlace} "
+            "not supported (8-bit non-interlaced gray/RGB/LA/RGBA only)"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise NotImplementedError("PNG scanline data length mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _y in range(h):
+        f = raw[p]
+        p += 1
+        line = bytearray(raw[p : p + stride])
+        p += stride
+        if f == 1:
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif f != 0:
+            raise NotImplementedError(f"PNG filter type {f}")
+        out += line
+        prev = line
+    body = bytes(out)
+    return {
+        "kind": "I",
+        "width": w,
+        "height": h,
+        "n_frames": 1,
+        "n_bytes": len(body),
+        "mean_byte": float(np.frombuffer(body, dtype=np.uint8).mean()) if body else 0.0,
+        "body": body,
+        "channels": channels,
+    }
+
+
+def synth_png_media(spark: SparkSession, n: int = 12, seed: int = 42) -> DataFrame:
+    """Rows whose payloads are REAL PNGs (color type cycling gray/RGB/RGBA)."""
+    rows = []
+    ctypes = [0, 2, 6]
+    for i in range(n):
+        w, h = 4 + (i % 5) * 3, 3 + (i % 4) * 2
+        rows.append(
+            (
+                i,
+                "image",
+                bytearray(make_png_payload(w, h, seed + i, color_type=ctypes[i % 3])),
+                (w, h, 1, "image/png"),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_DDL)
+
+
 def synth_bmp_media(spark: SparkSession, n: int = 12, seed: int = 42) -> DataFrame:
     """Rows whose payloads are REAL uncompressed BMP images."""
     rows = []
@@ -289,11 +451,14 @@ def _decode_payload(payload: bytes) -> dict:
         raise NotImplementedError(f"unsupported RIFF form type {form!r}")
     if payload is not None and bytes(payload[:2]) == BMP_MAGIC:
         return _decode_bmp(payload)
+    if payload is not None and bytes(payload[:8]) == PNG_MAGIC:
+        return _decode_png(payload)
     if payload is None or bytes(payload[:4]) != MAGIC:
         raise NotImplementedError(
-            "only RIFF/WAVE audio, uncompressed BMP, uncompressed RIFF/AVI "
-            "(all real, pure stdlib) and the DXM1 synthetic container "
-            "decode in this environment (see module docstring)"
+            "only RIFF/WAVE audio, PNG + uncompressed BMP images, "
+            "uncompressed RIFF/AVI video (all real, pure stdlib) and the "
+            "DXM1 synthetic container decode in this environment (see "
+            "module docstring)"
         )
     kind = chr(payload[4])
     w, h, n_frames = struct.unpack(">HHH", bytes(payload[5:11]))

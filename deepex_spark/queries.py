@@ -2111,19 +2111,33 @@ def multimodal_feature_ann(spark, sf_dir):
         SELECT i AS media_id, 'avi' AS src, w AS dec_width, h AS dec_height,
                nf AS dec_n_frames, w * h * 3 * nf AS dec_n_bytes
         FROM avi_dims
+    ), png_dims AS (
+        -- PNG decode yields the raw UNFILTERED pixel array: w*h*channels
+        -- bytes, channels from the color-type cycle gray/RGB/RGBA
+        SELECT i, 4 + (i % 5) * 3 AS w, 3 + (i % 4) * 2 AS h,
+               CASE i % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+        FROM generate_series(0, 11) t(i)
+    ), png AS (
+        SELECT i AS media_id, 'png' AS src, w AS dec_width, h AS dec_height,
+               1 AS dec_n_frames, w * h * ch AS dec_n_bytes
+        FROM png_dims
     )
-    SELECT * FROM wav UNION ALL SELECT * FROM bmp UNION ALL SELECT * FROM avi
+    SELECT * FROM wav UNION ALL SELECT * FROM bmp
+    UNION ALL SELECT * FROM avi UNION ALL SELECT * FROM png
     """,
 )
 def multimodal_real_codecs(spark, sf_dir):
-    """Decode REAL media containers (stdlib-codec WAV audio, uncompressed
-    BMP images, uncompressed RIFF/AVI video) through the same Arrow
-    decode stage; the oracle re-derives every structural field from the
-    format specifications independently of the engine."""
+    """Decode REAL media containers (stdlib-codec WAV audio, PNG +
+    uncompressed BMP images, uncompressed RIFF/AVI video) through the
+    same Arrow decode stage; the oracle re-derives every structural field
+    from the format specifications independently of the engine (for PNG:
+    decoded body = the unfiltered w*h*channels pixel array, which the
+    engine only reproduces by actually inflating and unfiltering)."""
     from deepex_spark.operators.multimodal import (
         decode_media,
         synth_avi_media,
         synth_bmp_media,
+        synth_png_media,
         synth_wav_media,
     )
 
@@ -2132,6 +2146,7 @@ def multimodal_real_codecs(spark, sf_dir):
         ("wav", synth_wav_media(spark, n=20)),
         ("bmp", synth_bmp_media(spark, n=12)),
         ("avi", synth_avi_media(spark, n=12)),
+        ("png", synth_png_media(spark, n=12)),
     ):
         out.append(
             decode_media(df).select(
@@ -2143,7 +2158,7 @@ def multimodal_real_codecs(spark, sf_dir):
                 F.col("decoded.n_bytes").alias("dec_n_bytes"),
             )
         )
-    return out[0].unionByName(out[1]).unionByName(out[2])
+    return out[0].unionByName(out[1]).unionByName(out[2]).unionByName(out[3])
 
 
 # ---------------------------------------------------------------------------

@@ -164,6 +164,81 @@ def test_stream_extract_foreachbatch(spark, tmp_path):
     assert batch.count() == got.count()
 
 
+class TestPngCodec:
+    def test_roundtrip_all_filters_and_color_types(self):
+        """Encoder cycles filter types 0..4 per row; the decoder must
+        unfilter back to the exact formula raster for every color type."""
+        from deepex_spark.operators.multimodal import (
+            _decode_png,
+            _png_pixels,
+            make_png_payload,
+        )
+
+        for ctype, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+            w, h = 7, 6  # h >= 5 -> every filter type appears
+            d = _decode_png(make_png_payload(w, h, seed=ctype + 3, color_type=ctype))
+            assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+            assert d["n_bytes"] == w * h * ch
+            assert d["body"] == _png_pixels(w, h, ch, ctype + 3)
+
+    def test_hand_built_png_decodes(self):
+        """A PNG assembled by hand (1x2 grayscale, Up filter on row 2) —
+        not via make_png_payload — pins the decoder against the spec, not
+        against our own encoder."""
+        import struct
+        import zlib
+
+        from deepex_spark.operators.multimodal import PNG_MAGIC, _decode_payload
+
+        def chunk(typ, data):
+            return struct.pack(">I", len(data)) + typ + data + struct.pack(
+                ">I", zlib.crc32(typ + data)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 1, 2, 8, 0, 0, 0, 0)
+        # row 1: filter 0, pixel 0x40; row 2: filter 2 (Up), delta 0x05
+        scan = bytes([0, 0x40, 2, 0x05])
+        png = PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(scan)) + chunk(
+            b"IEND", b""
+        )
+        d = _decode_payload(png)
+        assert d["body"] == bytes([0x40, 0x45])
+        assert (d["width"], d["height"], d["n_frames"]) == (1, 2, 1)
+
+    def test_unsupported_pngs_fail_loudly(self):
+        import struct
+        import zlib
+
+        from deepex_spark.operators.multimodal import PNG_MAGIC, _decode_png
+
+        def chunk(typ, data):
+            return struct.pack(">I", len(data)) + typ + data + struct.pack(
+                ">I", zlib.crc32(typ + data)
+            )
+
+        for depth, ctype, inter in [(16, 0, 0), (8, 3, 0), (8, 0, 1)]:
+            ihdr = struct.pack(">IIBBBBB", 1, 1, depth, ctype, 0, 0, inter)
+            png = (
+                PNG_MAGIC
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+                + chunk(b"IEND", b"")
+            )
+            with pytest.raises(NotImplementedError):
+                _decode_png(png)
+
+    def test_png_through_spark_plumbing(self, spark):
+        from deepex_spark.operators.multimodal import decode_media, synth_png_media
+
+        rows = decode_media(synth_png_media(spark, n=6)).select(
+            "media_id", "decoded.width", "decoded.height", "decoded.n_bytes"
+        ).collect()
+        assert len(rows) == 6
+        chans = {0: 1, 1: 3, 2: 4}
+        for r in rows:
+            assert r["n_bytes"] == r["width"] * r["height"] * chans[r["media_id"] % 3]
+
+
 def test_bmp_decode_is_real():
     """Image decode is a real BMP parser: a hand-crafted 1x1 24-bpp BMP
     (bytes assembled independently in this test, not by the module's
