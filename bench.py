@@ -49,6 +49,8 @@ CURATION = [
     "o_pivot",
     "kg_triangle_count",
     "kg_kcore",
+    "kg_khop",
+    "kg_relpath2",
 ]
 
 
