@@ -438,10 +438,11 @@ def synth_avi_media(spark: SparkSession, n: int = 12, seed: int = 42) -> DataFra
 
 
 def _decode_payload(payload: bytes) -> dict:
-    """Decode boundary: real RIFF/WAVE audio (stdlib ``wave``), real
-    uncompressed BMP images and RIFF/AVI video (pure ``struct``), plus the
-    DXM1 synthetic container; anything else fails LOUDLY. Real deployment:
-    replace the fallthrough with a full PIL/ffmpeg stack."""
+    """Decode boundary: real RIFF/WAVE audio (stdlib ``wave``), real PNG
+    (zlib inflate + unfilter) and uncompressed BMP images, real RIFF/AVI
+    video (pure ``struct``), plus the DXM1 synthetic container; anything
+    else fails LOUDLY. Real deployment: replace the fallthrough with a
+    full PIL/ffmpeg stack."""
     if payload is not None and bytes(payload[:4]) == RIFF_MAGIC:
         form = bytes(payload[8:12])
         if form == b"WAVE":

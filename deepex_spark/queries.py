@@ -1007,10 +1007,16 @@ def kg_relpath2(spark, sf_dir):
         .groupBy(F.col("rel").alias("rel_a"), "rel_b")
         .agg(F.count("*").alias("n_bt"))
     )
-    return prod.join(bt, ["rel_a", "rel_b"], "left").select(
-        "rel_a",
-        "rel_b",
-        (F.col("n_all") - F.coalesce("n_bt", F.lit(0))).alias("n_paths"),
+    return (
+        prod.join(bt, ["rel_a", "rel_b"], "left")
+        .select(
+            "rel_a",
+            "rel_b",
+            (F.col("n_all") - F.coalesce("n_bt", F.lit(0))).alias("n_paths"),
+        )
+        # the oracle's COUNT(*) GROUP BY can never emit 0 — a pair whose
+        # only 2-hop paths are backtracks must be ABSENT, not a zero row
+        .where(F.col("n_paths") > 0)
     )
 
 
@@ -2083,7 +2089,7 @@ def multimodal_feature_ann(spark, sf_dir):
     "multimodal_real_codecs",
     oracle="""
     -- INDEPENDENT oracle (no golden): the synth payloads are REAL
-    -- WAV/BMP/AVI files whose structural decode facts are arithmetic
+    -- WAV/BMP/AVI/PNG files whose structural decode facts are arithmetic
     -- functions of the generation index, re-derived here from the format
     -- specs themselves — WAV data bytes = frames*channels*2 (16-bit PCM),
     -- BMP pixel array = height rows each padded to 4 bytes, AVI movi

@@ -165,6 +165,20 @@ def test_khop_zero_rounds_is_seed_set(spark):
     assert got == {(1, 0), (9, 0)}
 
 
+def test_relpath2_backtrack_only_pairs_absent(spark, tmp_path):
+    """A single order produces edges (c,o) and (o,c) whose only 2-hop
+    paths are immediate backtracks: the oracle's COUNT(*) GROUP BY emits
+    no row for that relation pair, so the engine must emit NONE either —
+    not a zero row (row-count parity on degenerate graphs)."""
+    from deepex_spark.queries import REGISTRY
+
+    spark.createDataFrame(
+        [(1, 2, "1-URGENT")], "o_custkey long, o_orderkey long, o_orderpriority string"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    out = REGISTRY["kg_relpath2"].spark_fn(spark, str(tmp_path))
+    assert out.count() == 0
+
+
 def test_pagerank_matches_reference_power_iteration(spark):
     """Independent dict-based power iteration (incl. dangling-node mass
     redistribution) must match the distributed operator to float

@@ -164,6 +164,15 @@ def test_stream_extract_foreachbatch(spark, tmp_path):
     assert batch.count() == got.count()
 
 
+def _raw_png_chunk(typ: bytes, data: bytes) -> bytes:
+    """Hand-rolled chunk framing (length + type + data + crc32), kept
+    independent of the production _png_chunk encoder on purpose."""
+    import struct
+    import zlib
+
+    return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", zlib.crc32(typ + data))
+
+
 class TestPngCodec:
     def test_roundtrip_all_filters_and_color_types(self):
         """Encoder cycles filter types 0..4 per row; the decoder must
@@ -190,16 +199,14 @@ class TestPngCodec:
 
         from deepex_spark.operators.multimodal import PNG_MAGIC, _decode_payload
 
-        def chunk(typ, data):
-            return struct.pack(">I", len(data)) + typ + data + struct.pack(
-                ">I", zlib.crc32(typ + data)
-            )
-
         ihdr = struct.pack(">IIBBBBB", 1, 2, 8, 0, 0, 0, 0)
         # row 1: filter 0, pixel 0x40; row 2: filter 2 (Up), delta 0x05
         scan = bytes([0, 0x40, 2, 0x05])
-        png = PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(scan)) + chunk(
-            b"IEND", b""
+        png = (
+            PNG_MAGIC
+            + _raw_png_chunk(b"IHDR", ihdr)
+            + _raw_png_chunk(b"IDAT", zlib.compress(scan))
+            + _raw_png_chunk(b"IEND", b"")
         )
         d = _decode_payload(png)
         assert d["body"] == bytes([0x40, 0x45])
@@ -211,18 +218,13 @@ class TestPngCodec:
 
         from deepex_spark.operators.multimodal import PNG_MAGIC, _decode_png
 
-        def chunk(typ, data):
-            return struct.pack(">I", len(data)) + typ + data + struct.pack(
-                ">I", zlib.crc32(typ + data)
-            )
-
         for depth, ctype, inter in [(16, 0, 0), (8, 3, 0), (8, 0, 1)]:
             ihdr = struct.pack(">IIBBBBB", 1, 1, depth, ctype, 0, 0, inter)
             png = (
                 PNG_MAGIC
-                + chunk(b"IHDR", ihdr)
-                + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
-                + chunk(b"IEND", b"")
+                + _raw_png_chunk(b"IHDR", ihdr)
+                + _raw_png_chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+                + _raw_png_chunk(b"IEND", b"")
             )
             with pytest.raises(NotImplementedError):
                 _decode_png(png)
