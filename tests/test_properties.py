@@ -106,3 +106,26 @@ def test_approx_sketch_booleans_pinned_true(spark):
     for q in ("o_approx_distinct", "o_approx_quantile"):
         rows = REGISTRY[q].spark_fn(spark, "/root/testdata/sf0.001").collect()
         assert rows and all(r["within_5pct"] is True for r in rows), q
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([0, 2, 4, 6]),
+    st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=80, deadline=None)
+def test_png_roundtrip_property(w, h, ctype, seed):
+    """PNG codec: decode(encode(raster)) == raster for every size, color
+    type and seed — all five filter types appear once h >= 5, and 1-pixel
+    edge shapes exercise the first-row/first-pixel zero predictors."""
+    from deepex_spark.operators.multimodal import (
+        _PNG_CHANNELS,
+        _decode_png,
+        _png_pixels,
+        make_png_payload,
+    )
+
+    d = _decode_png(make_png_payload(w, h, seed=seed, color_type=ctype))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["body"] == _png_pixels(w, h, _PNG_CHANNELS[ctype], seed)
