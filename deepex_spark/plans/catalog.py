@@ -110,6 +110,84 @@ class Catalog:
         done_df = spark.createDataFrame([(b,) for b in done], "bucket int")
         return bucketed.join(F.broadcast(done_df), "bucket", "left_anti")
 
+    # -- snapshots (time travel) -------------------------------------------
+    def _snapshot_manifest_path(self, table: str) -> str:
+        return os.path.join(self.base_dir, f"_{table}_snapshots.json")
+
+    def _snapshot_manifest(self, table: str) -> dict:
+        sp = self._snapshot_manifest_path(table)
+        if not os.path.exists(sp):
+            return {"table": table, "current": 0, "versions": {}}
+        with open(sp) as f:
+            return json.load(f)
+
+    def write_snapshot(self, df: DataFrame, table: str, partition_by=None) -> int:
+        """Iceberg-snapshot-style versioned overwrite for the parquet
+        shim (write-audit-publish): data lands in ``<table>/_v<N>`` and
+        the current-version pointer flips via ``os.replace`` only AFTER
+        the write finishes — a reader of the current snapshot never sees
+        a partial overwrite, and every prior version stays readable
+        (``read_snapshot(..., version=K)``) until explicitly expired.
+        This is what lets incremental KG maintenance publish a rebuilt
+        vertices/edges table while queries keep running against the old
+        one. With ``fmt='iceberg'`` the engine's own snapshot commit
+        subsumes this (``VERSION AS OF`` time travel). Returns the new
+        version number."""
+        if self.fmt == "iceberg":  # pragma: no cover - jars absent in sandbox
+            df.writeTo(table).createOrReplace()
+            return -1
+        man = self._snapshot_manifest(table)
+        v = int(man["current"]) + 1
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(os.path.join(self.path(table), f"_v{v}"))
+        man["current"] = v
+        man["versions"][str(v)] = {"written_at": time.time()}
+        sp = self._snapshot_manifest_path(table)
+        tmp = sp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, sp)
+        return v
+
+    def read_snapshot(
+        self, spark: SparkSession, table: str, version: int | None = None
+    ) -> DataFrame:
+        """Read a snapshot table at the current (default) or a pinned
+        version — the shim's ``VERSION AS OF``."""
+        if self.fmt == "iceberg":  # pragma: no cover
+            r = spark.read.format("iceberg")
+            if version is not None:
+                r = r.option("snapshot-id", str(version))
+            return r.load(table)
+        man = self._snapshot_manifest(table)
+        v = int(man["current"]) if version is None else int(version)
+        if str(v) not in man["versions"]:
+            raise ValueError(f"table {table!r} has no snapshot version {v}")
+        return spark.read.parquet(os.path.join(self.path(table), f"_v{v}"))
+
+    def expire_snapshots(self, table: str, keep: int = 2) -> list[int]:
+        """Drop all but the newest ``keep`` versions (the current one is
+        always kept) — the shim's ``expire_snapshots`` maintenance job.
+        Returns the expired version numbers."""
+        import shutil
+
+        if keep < 1:
+            raise ValueError("keep must be >= 1")
+        man = self._snapshot_manifest(table)
+        versions = sorted(int(x) for x in man["versions"])
+        drop = [v for v in versions[:-keep] if v != int(man["current"])]
+        for v in drop:
+            shutil.rmtree(os.path.join(self.path(table), f"_v{v}"), ignore_errors=True)
+            del man["versions"][str(v)]
+        sp = self._snapshot_manifest_path(table)
+        tmp = sp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, sp)
+        return drop
+
     # -- maintenance ------------------------------------------------------
     def compact(
         self,

@@ -58,3 +58,37 @@ def test_compact_unpartitioned_table(spark, tmp_path):
     report = cat.compact(spark, "u")
     assert report == {".": (12, 1)}
     assert cat.read(spark, "u").count() == 1000
+
+
+def test_snapshot_write_read_time_travel(spark, tmp_path):
+    """Versioned overwrite: current pointer flips only after the write,
+    prior versions stay readable (time travel), expire keeps the tail."""
+    import pytest
+
+    cat = Catalog(str(tmp_path))
+    v1 = cat.write_snapshot(spark.range(5).withColumn("gen", F.lit(1)), "verts")
+    v2 = cat.write_snapshot(spark.range(3).withColumn("gen", F.lit(2)), "verts")
+    assert (v1, v2) == (1, 2)
+    cur = cat.read_snapshot(spark, "verts")
+    assert cur.count() == 3 and cur.select(F.max("gen")).first()[0] == 2
+    old = cat.read_snapshot(spark, "verts", version=1)
+    assert old.count() == 5 and old.select(F.max("gen")).first()[0] == 1
+    with pytest.raises(ValueError, match="no snapshot version"):
+        cat.read_snapshot(spark, "verts", version=9)
+
+
+def test_snapshot_expire_keeps_current(spark, tmp_path):
+    import pytest
+
+    cat = Catalog(str(tmp_path))
+    for g in (1, 2, 3, 4):
+        cat.write_snapshot(spark.range(g).withColumn("gen", F.lit(g)), "t")
+    dropped = cat.expire_snapshots("t", keep=2)
+    assert dropped == [1, 2]
+    # survivors readable, expired gone
+    assert cat.read_snapshot(spark, "t", version=3).count() == 3
+    assert cat.read_snapshot(spark, "t").count() == 4
+    with pytest.raises(ValueError):
+        cat.read_snapshot(spark, "t", version=1)
+    with pytest.raises(ValueError):
+        cat.expire_snapshots("t", keep=0)
