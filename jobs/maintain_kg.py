@@ -1,0 +1,112 @@
+"""spark-submit entry point: incremental KG maintenance.
+
+Folds a DELTA vertices/edges build (a ``build_kg.py`` run over a NEW,
+doc-disjoint crawl batch) into the live KG and publishes the result as a
+new catalog SNAPSHOT — the previous graph version stays readable while
+(and after) the merge lands (write-audit-publish; see
+``plans/catalog.py::write_snapshot``):
+
+    zip -r deepex_spark.zip deepex_spark
+    spark-submit --py-files deepex_spark.zip jobs/maintain_kg.py \\
+        --catalog /warehouse/kg --delta /warehouse/kg_batch42 \\
+        --run-id merge42
+
+Correctness contract: batches must be doc-disjoint (the catalog resume
+manifest guarantees each docid is processed by exactly one run), under
+which ``merge(build(A), build(B)) == build(A ∪ B)`` for every vertex and
+edge statistic (pinned by tests/test_graph_merge.py). The merge itself is
+one groupBy per table on the entity/edge key — at scale both sides arrive
+bucketed by id (plans/bucketed.py) so the fold costs a partial
+aggregation, never a rebuild over old batches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _read_graph_table(cat, spark, table: str):
+    """Current snapshot if the table is snapshot-versioned; otherwise the
+    plain table (first maintenance run migrates a materialize_graph
+    layout into snapshot v1)."""
+    try:
+        return cat.read_snapshot(spark, table)
+    except ValueError:
+        return cat.read(spark, table)
+
+
+def maintain(spark, catalog, delta_catalog, run_id: str = "merge"):
+    """Merge delta vertices/edges into the live KG and publish one new
+    snapshot per table. Returns {table: (version, row_count)}."""
+    from pyspark.sql import functions as F
+
+    from deepex_spark.operators.graph import merge_edges, merge_vertices
+
+    report = {}
+    merge_cols = {
+        "vertices": ("entity_id", merge_vertices),
+        "edges": (None, merge_edges),
+    }
+    for table, (bucket_key, merge_fn) in merge_cols.items():
+        existing = _read_graph_table(catalog, spark, table)
+        delta = _read_graph_table(delta_catalog, spark, table)
+        cols = [c for c in existing.columns if c != "bucket"]
+        merged = merge_fn(existing.select(*cols), delta.select(*cols), run_id=run_id)
+        if bucket_key:
+            merged = merged.withColumn(
+                "bucket", F.pmod(F.col(bucket_key), F.lit(32)).cast("int")
+            )
+        else:
+            merged = merged.withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("subj_id", "obj_id", "pred_id"), F.lit(32)).cast("int"),
+            )
+        v = catalog.write_snapshot(merged, table, partition_by=["bucket"])
+        report[table] = (v, catalog.read_snapshot(spark, table).count())
+    return report
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--catalog", required=True, help="live KG catalog base dir")
+    p.add_argument("--delta", required=True, help="catalog dir of the delta batch build")
+    p.add_argument("--output-format", default="parquet", choices=["parquet", "iceberg"])
+    p.add_argument("--run-id", default="merge")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from deepex_spark.plans.catalog import Catalog
+    from deepex_spark.session import build_session
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = build_session(app_name=f"deepex-kg-maintain-{args.run_id}")
+    t0 = time.time()
+    report = maintain(
+        spark,
+        Catalog(args.catalog, fmt=args.output_format),
+        Catalog(args.delta, fmt=args.output_format),
+        run_id=args.run_id,
+    )
+    print(
+        json.dumps(
+            {
+                "run_id": args.run_id,
+                "vertices_version": report["vertices"][0],
+                "n_vertices": report["vertices"][1],
+                "edges_version": report["edges"][0],
+                "n_edges": report["edges"][1],
+                "wall_sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+    if not preexisting:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

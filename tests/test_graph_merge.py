@@ -75,3 +75,29 @@ def test_empty_delta_is_identity(spark, canon_halves):
     va = build_vertices(a)
     empty = va.limit(0)
     assert _vrows(merge_vertices(va, empty)) == _vrows(va)
+
+
+def test_maintain_job_snapshot_merge(spark, tmp_path, canon_halves):
+    """End-to-end incremental maintenance: materialize batch A as the live
+    KG, batch B as a delta catalog, run jobs/maintain_kg.maintain — the
+    published snapshot must equal the single-batch build over A ∪ B, and
+    the table is now snapshot-versioned (v1)."""
+    from deepex_spark.operators.graph import materialize_graph
+    from deepex_spark.plans.catalog import Catalog
+    from jobs.maintain_kg import maintain
+
+    full, a, b = canon_halves
+    live = Catalog(str(tmp_path / "live"))
+    delta = Catalog(str(tmp_path / "delta"))
+    materialize_graph(a, live, run_id="runA")
+    materialize_graph(b, delta, run_id="runB")
+
+    report = maintain(spark, live, delta, run_id="m1")
+    assert report["vertices"][0] == 1 and report["edges"][0] == 1
+
+    merged_v = live.read_snapshot(spark, "vertices")
+    assert _vrows(merged_v) == _vrows(build_vertices(full))
+    merged_e = live.read_snapshot(spark, "edges")
+    assert _erows(merged_e) == _erows(build_edges(full))
+    # lineage columns present and bucketed layout preserved
+    assert {"run_id", "src_partition", "bucket"} <= set(merged_v.columns)
