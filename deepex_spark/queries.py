@@ -870,6 +870,66 @@ def o_approx_distinct(spark, sf_dir):
     )
 
 
+@register(
+    "o_hll_mergeable",
+    # same tolerance-boolean pattern as o_approx_distinct, but exercising
+    # the MERGEABLE-sketch workflow (DataSketches HLL): per-batch sketches
+    # unioned with hll_union_agg, estimated once — the shape that lets
+    # incremental crawls maintain per-language distinct-doc counts without
+    # ever re-scanning old batches. tests/test_properties.py pins the
+    # Spark-side boolean to literally True.
+    oracle="""
+    SELECT lang,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_docs,
+           TRUE AS within_5pct
+    FROM documents GROUP BY lang
+    """,
+)
+def o_hll_mergeable(spark, sf_dir):
+    """Split the corpus into two doc-disjoint batches, build a per-lang
+    HLL sketch per batch, MERGE the sketches, and assert the merged
+    estimate lands within 5 % of the exact distinct count — sketch
+    mergeability is the whole point at 100 TB (re-aggregation costs one
+    tiny sketch union per batch, not a re-scan)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    sketches = half_a.groupBy("lang").agg(
+        F.hll_sketch_agg("doc_id").alias("sk")
+    ).unionByName(half_b.groupBy("lang").agg(F.hll_sketch_agg("doc_id").alias("sk")))
+    merged = sketches.groupBy("lang").agg(F.hll_union_agg("sk").alias("sk"))
+    exact = docs.groupBy("lang").agg(F.countDistinct("doc_id").alias("exact_docs"))
+    return merged.join(exact, "lang").select(
+        "lang",
+        "exact_docs",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_docs"))
+            <= 0.05 * F.col("exact_docs")
+        ).alias("within_5pct"),
+    )
+
+
+@register(
+    "o_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'price' AS metric, o_totalprice AS val FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'cust' AS metric, CAST(o_custkey AS DOUBLE) AS val
+    FROM orders
+    """,
+)
+def o_unpivot(spark, sf_dir):
+    """Wide -> long via ``stack`` (Spark's UNPIVOT): the generator runs
+    inside the project (one pass, no join/union re-scan per metric —
+    at 100 TB a UNION ALL of N metric scans reads the table N times,
+    stack reads it once)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.selectExpr(
+        "o_orderkey",
+        "stack(2, 'price', o_totalprice, 'cust', CAST(o_custkey AS DOUBLE)) AS (metric, val)",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Graph materialization patterns (vertices/edges over the O21 edge set)
 # ---------------------------------------------------------------------------

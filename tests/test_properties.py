@@ -103,7 +103,7 @@ def test_approx_sketch_booleans_pinned_true(spark):
     impossible."""
     from deepex_spark.queries import REGISTRY
 
-    for q in ("o_approx_distinct", "o_approx_quantile"):
+    for q in ("o_approx_distinct", "o_approx_quantile", "o_hll_mergeable"):
         rows = REGISTRY[q].spark_fn(spark, "/root/testdata/sf0.001").collect()
         assert rows and all(r["within_5pct"] is True for r in rows), q
 
