@@ -84,6 +84,18 @@ TINY2 = dict(
     search_score_threshold=0.0,
     search_ranking_type="sum",
 )
+# variant 3 (round 5): another step toward the production knobs (beam 6,
+# dist 2048, max_len 256) — dist_const=3 needs 4+-entity segments so
+# distance-3 bounds exist, beam_size=4 exercises 4-way prunes,
+# search_max_len=8 admits the longest SQL-checkable survivors.
+TINY3 = dict(
+    dist_const=3,
+    beam_size=4,
+    search_max_len=8,
+    search_min_len=3,
+    search_score_threshold=0.0,
+    search_ranking_type="sum",
+)
 MAX_PRUNED = 12   # max pruned-window tokens admitted into the fixture
 ROUNDS = 12       # unrolled expansion rounds; >= MAX_PRUNED covers any path
 
@@ -94,9 +106,11 @@ _FIXTURES_ROOT = os.path.join(
 VARIANTS = {
     1: (TINY, os.path.join(_FIXTURES_ROOT, "kernel_tiny")),
     2: (TINY2, os.path.join(_FIXTURES_ROOT, "kernel_tiny2")),
+    3: (TINY3, os.path.join(_FIXTURES_ROOT, "kernel_tiny3")),
 }
 FIXTURE_DIR = VARIANTS[1][1]
 FIXTURE_DIR2 = VARIANTS[2][1]
+FIXTURE_DIR3 = VARIANTS[3][1]
 
 
 def tiny_cfg(variant: int = 1):

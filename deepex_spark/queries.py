@@ -2287,6 +2287,30 @@ def kernel_tiny2_sql(spark, sf_dir):
     return run_kernel_tiny(spark, sentences, variant=2)
 
 
+def _kernel_tiny3_oracle() -> str:
+    from deepex_spark.kernel.tiny_oracle import kernel_tiny_oracle_sql
+
+    return kernel_tiny_oracle_sql(variant=3)
+
+
+@register("kernel_tiny3_sql", oracle=_kernel_tiny3_oracle())
+def kernel_tiny3_sql(spark, sf_dir):
+    """Third independent kernel oracle, another step toward the
+    production knobs: ``dist_const=3, beam_size=4, search_max_len=8`` —
+    4-way hop/beam prunes, distance-3 bound enumeration (every fixture
+    sentence has a 4+-entity segment), and the longest SQL-checkable
+    survivors. 4,695 sequences over the committed 50-sentence slice
+    (vs 2,132 at variant 2, 582 at variant 1), exact float equality
+    against the DuckDB re-derivation. Regenerate + self-check with
+    ``python tools/make_kernel_tiny.py 3``."""
+    import os as _os
+
+    from deepex_spark.kernel.tiny_oracle import FIXTURE_DIR3, run_kernel_tiny
+
+    sentences = spark.read.parquet(_os.path.join(FIXTURE_DIR3, "sentences.parquet"))
+    return run_kernel_tiny(spark, sentences, variant=3)
+
+
 # ---------------------------------------------------------------------------
 # Pipeline queries (beam-search kernel — not SQL-expressible; rows-only)
 # ---------------------------------------------------------------------------

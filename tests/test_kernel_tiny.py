@@ -84,3 +84,48 @@ def test_kernel_tiny2_exercises_distance_2_pairs(spark):
     rows = REGISTRY["kernel_tiny2_sql"].spark_fn(spark, "unused").collect()
     lens = {len(r["path_str"].split("-")) for r in rows}
     assert {3, 4, 5} <= lens, lens
+
+
+def test_kernel_tiny3_spark_matches_independent_sql(spark):
+    """Variant 3 (dist_const=3, beam_size=4, search_max_len=8): 4-way
+    hop/beam prunes, distance-3 bound enumeration, longest SQL-checkable
+    survivors — exact float equality against the DuckDB re-derivation."""
+    from deepex_spark.kernel.tiny_oracle import kernel_tiny_oracle_sql
+    from deepex_spark.queries import REGISTRY
+
+    sql = kernel_tiny_oracle_sql(variant=3)
+    assert "goldens" not in sql
+
+    got = {
+        (int(r["sent_id"]), int(r["seq_rank"]), r["path_str"], float(r["score"]))
+        for r in REGISTRY["kernel_tiny3_sql"].spark_fn(spark, "unused").collect()
+    }
+    want = {
+        (int(a), int(b), c, float(d)) for a, b, c, d in duckdb.sql(sql).fetchall()
+    }
+    assert got, "fixture produced no sequences"
+    assert got == want
+
+
+def test_kernel_tiny3_exercises_distance_3_pairs(spark):
+    """Every variant-3 fixture sentence has a 4+-entity segment (so
+    distance-3 bounds exist), and the longer max_len is really used:
+    paths up to length 7 appear."""
+    import os
+
+    import duckdb as dk
+
+    from deepex_spark.kernel.tiny_oracle import FIXTURE_DIR3
+    from deepex_spark.queries import REGISTRY
+
+    segs = os.path.join(FIXTURE_DIR3, "segments.parquet")
+    n4 = dk.sql(
+        f"""SELECT count(*) FROM (
+              SELECT sent_id, seg_id FROM read_parquet('{segs}')
+              GROUP BY sent_id, seg_id HAVING count(*) >= 4)"""
+    ).fetchone()[0]
+    assert n4 >= 50  # at least one 4+-entity segment per sentence
+
+    rows = REGISTRY["kernel_tiny3_sql"].spark_fn(spark, "unused").collect()
+    lens = {len(r["path_str"].split("-")) for r in rows}
+    assert {3, 4, 5, 6} <= lens, lens

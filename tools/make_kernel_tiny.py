@@ -5,6 +5,7 @@ deepex_spark/kernel/tiny_oracle.py). Usage:
 
     python tools/make_kernel_tiny.py      # variant 1 (kernel_tiny)
     python tools/make_kernel_tiny.py 2    # variant 2 (kernel_tiny2)
+    python tools/make_kernel_tiny.py 3    # variant 3 (kernel_tiny3)
 
 Selection (documented, does not bias correctness — both engines run on
 the final set): sentences from the deterministic synthetic corpus whose
@@ -76,7 +77,12 @@ def main(variant: int = 1) -> None:
                 continue
             if not any(len(seg) >= 2 for seg in segs):
                 continue
-            if variant == 2 and not any(len(seg) >= 3 for seg in segs):
+            # larger-variant gates: dist_const=D enumeration order is only
+            # exercised when distance-D bounds exist, i.e. a (D+1)-entity
+            # segment appears in the window
+            if variant >= 2 and not any(len(seg) >= 3 for seg in segs):
+                continue
+            if variant >= 3 and not any(len(seg) >= 4 for seg in segs):
                 continue
             att = provider.attention(feat.tokens)
             seqs = beam_search_ie(att, feat, cfg)
