@@ -72,15 +72,31 @@ def build_edges(canon_triples: DataFrame, run_id: str = "run0") -> DataFrame:
     )
 
 
+GRAPH_N_BUCKETS = 32
+
+
+def with_vertex_bucket(df: DataFrame, n_buckets: int = GRAPH_N_BUCKETS) -> DataFrame:
+    """The ONE definition of the vertex-table bucket layout — fresh
+    builds (materialize_graph) and incremental maintenance
+    (jobs/maintain_kg.py) must cluster identically or bucket-pruned
+    reads/co-bucketed joins silently lose their layout guarantee."""
+    return df.withColumn("bucket", F.pmod(F.col("entity_id"), F.lit(n_buckets)).cast("int"))
+
+
+def with_edge_bucket(df: DataFrame, n_buckets: int = GRAPH_N_BUCKETS) -> DataFrame:
+    """The ONE definition of the edge-table bucket layout (see
+    with_vertex_bucket)."""
+    return df.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("subj_id", "obj_id", "pred_id"), F.lit(n_buckets)).cast("int"),
+    )
+
+
 def materialize_graph(canon_triples: DataFrame, catalog, run_id: str = "run0"):
     """Write vertices/edges via the catalog (Iceberg or parquet shim),
     bucketed by entity/edge id for pruning + balanced layout."""
-    v = build_vertices(canon_triples, run_id).withColumn(
-        "bucket", F.pmod(F.col("entity_id"), F.lit(32)).cast("int")
-    )
-    e = build_edges(canon_triples, run_id).withColumn(
-        "bucket", F.pmod(F.xxhash64("subj_id", "obj_id", "pred_id"), F.lit(32)).cast("int")
-    )
+    v = with_vertex_bucket(build_vertices(canon_triples, run_id))
+    e = with_edge_bucket(build_edges(canon_triples, run_id))
     catalog.write(v, "vertices", partition_by=["bucket"])
     catalog.write(e, "edges", partition_by=["bucket"])
     return v, e

@@ -45,6 +45,13 @@ class Catalog:
             w = df.writeTo(table)
             (w.createOrReplace() if mode == "overwrite" else w.append())
             return
+        if self._snapshot_manifest(table)["versions"]:
+            # a plain write into a snapshot-versioned table would land in
+            # the root while read() serves the current _vN — silently
+            # invisible data. Fail loudly instead.
+            raise ValueError(
+                f"table {table!r} is snapshot-versioned — use write_snapshot()"
+            )
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -53,6 +60,12 @@ class Catalog:
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         if self.fmt == "iceberg":  # pragma: no cover
             return spark.read.format("iceberg").load(table)
+        # snapshot-versioned tables serve the CURRENT version to plain
+        # readers too — after a maintenance run migrates a table, every
+        # existing read() consumer sees the merged data, not the stale
+        # pre-migration root files
+        if self._snapshot_manifest(table)["versions"]:
+            return self.read_snapshot(spark, table)
         return spark.read.parquet(self.path(table))
 
     def exists(self, table: str) -> bool:
@@ -121,7 +134,39 @@ class Catalog:
         with open(sp) as f:
             return json.load(f)
 
-    def write_snapshot(self, df: DataFrame, table: str, partition_by=None) -> int:
+    def _snapshot_lock(self, table: str):
+        """Single-host exclusive lock for snapshot version allocation —
+        the same FileLock discipline the reference uses for its per-batch
+        result files (generator.py:164-166). Two concurrent maintenance
+        jobs would otherwise allocate the SAME version number and write
+        into one _vN directory simultaneously. Multi-host coordination is
+        Iceberg's job (``fmt='iceberg'`` commits through the engine)."""
+        import contextlib
+
+        lock_path = self._snapshot_manifest_path(table) + ".lock"
+
+        @contextlib.contextmanager
+        def held():
+            deadline = time.time() + 120
+            while True:
+                try:
+                    fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    if time.time() > deadline:
+                        raise TimeoutError(f"snapshot lock busy: {lock_path}")
+                    time.sleep(0.2)
+            try:
+                yield
+            finally:
+                os.close(fd)
+                os.unlink(lock_path)
+
+        return held()
+
+    def write_snapshot(
+        self, df: DataFrame, table: str, partition_by=None, run_id: str | None = None
+    ) -> int:
         """Iceberg-snapshot-style versioned overwrite for the parquet
         shim (write-audit-publish): data lands in ``<table>/_v<N>`` and
         the current-version pointer flips via ``os.replace`` only AFTER
@@ -130,26 +175,39 @@ class Catalog:
         (``read_snapshot(..., version=K)``) until explicitly expired.
         This is what lets incremental KG maintenance publish a rebuilt
         vertices/edges table while queries keep running against the old
-        one. With ``fmt='iceberg'`` the engine's own snapshot commit
-        subsumes this (``VERSION AS OF`` time travel). Returns the new
-        version number."""
+        one. ``run_id`` is recorded in the manifest so idempotent jobs
+        (jobs/maintain_kg.py) can detect an already-applied batch and
+        skip the re-merge on retry. Version allocation + publish run
+        under a single-host file lock. With ``fmt='iceberg'`` the
+        engine's own snapshot commit subsumes this (``VERSION AS OF``
+        time travel). Returns the new version number."""
         if self.fmt == "iceberg":  # pragma: no cover - jars absent in sandbox
             df.writeTo(table).createOrReplace()
             return -1
-        man = self._snapshot_manifest(table)
-        v = int(man["current"]) + 1
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(os.path.join(self.path(table), f"_v{v}"))
-        man["current"] = v
-        man["versions"][str(v)] = {"written_at": time.time()}
-        sp = self._snapshot_manifest_path(table)
-        tmp = sp + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(man, f)
-        os.replace(tmp, sp)
+        with self._snapshot_lock(table):
+            man = self._snapshot_manifest(table)
+            v = int(man["current"]) + 1
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(os.path.join(self.path(table), f"_v{v}"))
+            man["current"] = v
+            man["versions"][str(v)] = {"written_at": time.time(), "run_id": run_id}
+            sp = self._snapshot_manifest_path(table)
+            tmp = sp + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(man, f)
+            os.replace(tmp, sp)
         return v
+
+    def snapshot_run_ids(self, table: str) -> set[str]:
+        """run_ids already published to this table — the idempotency
+        guard for retried maintenance jobs."""
+        return {
+            meta["run_id"]
+            for meta in self._snapshot_manifest(table)["versions"].values()
+            if meta.get("run_id")
+        }
 
     def read_snapshot(
         self, spark: SparkSession, table: str, version: int | None = None
@@ -170,22 +228,40 @@ class Catalog:
     def expire_snapshots(self, table: str, keep: int = 2) -> list[int]:
         """Drop all but the newest ``keep`` versions (the current one is
         always kept) — the shim's ``expire_snapshots`` maintenance job.
-        Returns the expired version numbers."""
+        Manifest-first ordering: entries are removed and PERSISTED before
+        any directory is deleted, so a crash mid-expire leaves only
+        orphaned _vN dirs (harmless; swept by the next expire) — never a
+        manifest pointing at deleted data. Returns the expired version
+        numbers."""
         import shutil
 
+        if self.fmt == "iceberg":  # pragma: no cover - jars absent in sandbox
+            raise NotImplementedError(
+                "expire_snapshots() manages the parquet shim's _vN layout; "
+                "for an iceberg catalog use the engine's retention "
+                "(CALL system.expire_snapshots)"
+            )
         if keep < 1:
             raise ValueError("keep must be >= 1")
-        man = self._snapshot_manifest(table)
-        versions = sorted(int(x) for x in man["versions"])
-        drop = [v for v in versions[:-keep] if v != int(man["current"])]
-        for v in drop:
-            shutil.rmtree(os.path.join(self.path(table), f"_v{v}"), ignore_errors=True)
-            del man["versions"][str(v)]
-        sp = self._snapshot_manifest_path(table)
-        tmp = sp + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(man, f)
-        os.replace(tmp, sp)
+        with self._snapshot_lock(table):
+            man = self._snapshot_manifest(table)
+            versions = sorted(int(x) for x in man["versions"])
+            drop = [v for v in versions[:-keep] if v != int(man["current"])]
+            for v in drop:
+                del man["versions"][str(v)]
+            sp = self._snapshot_manifest_path(table)
+            tmp = sp + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(man, f)
+            os.replace(tmp, sp)
+            # delete dropped dirs + sweep orphans from earlier crashed
+            # expires (on disk but absent from the manifest)
+            base = self.path(table)
+            live = {f"_v{x}" for x in man["versions"]}
+            if os.path.isdir(base):
+                for d in os.listdir(base):
+                    if d.startswith("_v") and d not in live:
+                        shutil.rmtree(os.path.join(base, d), ignore_errors=True)
         return drop
 
     # -- maintenance ------------------------------------------------------
@@ -223,6 +299,13 @@ class Catalog:
                 "rewrite instead (CALL system.rewrite_data_files)"
             )
         base = self.path(table)
+        # snapshot-versioned tables: compact the CURRENT version's
+        # directory. The root of such a table holds the _vN dirs — the
+        # wholesale root swap below would move (then rmtree) EVERY
+        # snapshot, destroying the table.
+        man = self._snapshot_manifest(table)
+        if man["versions"]:
+            base = os.path.join(base, f"_v{int(man['current'])}")
         parts = [d for d in sorted(os.listdir(base)) if d.startswith("bucket=")]
         report: dict[str, tuple[int, int]] = {}
         for d in parts or [""]:

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -38,33 +39,64 @@ def _read_graph_table(cat, spark, table: str):
         return cat.read(spark, table)
 
 
+def _sweep_stale_root(catalog, table: str) -> None:
+    """After a table is snapshot-versioned, the pre-migration plain
+    layout (root parquet files / bucket= dirs) is dead weight: read()
+    serves the current _vN and write() refuses plain writes. Remove it,
+    best-effort — a failure here costs storage, never correctness."""
+    import shutil
+
+    base = catalog.path(table)
+    if not os.path.isdir(base):
+        return
+    for entry in os.listdir(base):
+        if entry.startswith("_v") or entry.startswith("."):
+            continue
+        p = os.path.join(base, entry)
+        try:
+            shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+        except OSError:
+            pass
+
+
 def maintain(spark, catalog, delta_catalog, run_id: str = "merge"):
     """Merge delta vertices/edges into the live KG and publish one new
-    snapshot per table. Returns {table: (version, row_count)}."""
-    from pyspark.sql import functions as F
+    snapshot per table. Returns {table: (version, row_count)}.
 
-    from deepex_spark.operators.graph import merge_edges, merge_vertices
+    IDEMPOTENT per (table, run_id): the snapshot manifest records the
+    run_id of every published version, so a retried job — including the
+    recovery retry after a partial failure that published vertices but
+    died before edges — skips tables the run_id already reached instead
+    of re-merging the delta and double-counting every statistic. Recovery
+    protocol: re-run with the SAME --run-id until both tables report it."""
+    from deepex_spark.operators.graph import (
+        merge_edges,
+        merge_vertices,
+        with_edge_bucket,
+        with_vertex_bucket,
+    )
 
     report = {}
-    merge_cols = {
-        "vertices": ("entity_id", merge_vertices),
-        "edges": (None, merge_edges),
+    plan = {
+        "vertices": (with_vertex_bucket, merge_vertices),
+        "edges": (with_edge_bucket, merge_edges),
     }
-    for table, (bucket_key, merge_fn) in merge_cols.items():
+    for table, (bucketer, merge_fn) in plan.items():
+        if run_id in catalog.snapshot_run_ids(table):
+            man = catalog._snapshot_manifest(table)
+            report[table] = (
+                int(man["current"]),
+                catalog.read_snapshot(spark, table).count(),
+            )
+            continue
         existing = _read_graph_table(catalog, spark, table)
         delta = _read_graph_table(delta_catalog, spark, table)
         cols = [c for c in existing.columns if c != "bucket"]
-        merged = merge_fn(existing.select(*cols), delta.select(*cols), run_id=run_id)
-        if bucket_key:
-            merged = merged.withColumn(
-                "bucket", F.pmod(F.col(bucket_key), F.lit(32)).cast("int")
-            )
-        else:
-            merged = merged.withColumn(
-                "bucket",
-                F.pmod(F.xxhash64("subj_id", "obj_id", "pred_id"), F.lit(32)).cast("int"),
-            )
-        v = catalog.write_snapshot(merged, table, partition_by=["bucket"])
+        merged = bucketer(
+            merge_fn(existing.select(*cols), delta.select(*cols), run_id=run_id)
+        )
+        v = catalog.write_snapshot(merged, table, partition_by=["bucket"], run_id=run_id)
+        _sweep_stale_root(catalog, table)
         report[table] = (v, catalog.read_snapshot(spark, table).count())
     return report
 

@@ -92,3 +92,58 @@ def test_snapshot_expire_keeps_current(spark, tmp_path):
         cat.read_snapshot(spark, "t", version=1)
     with pytest.raises(ValueError):
         cat.expire_snapshots("t", keep=0)
+
+
+def test_plain_write_into_versioned_table_refused(spark, tmp_path):
+    import pytest
+
+    cat = Catalog(str(tmp_path))
+    cat.write_snapshot(spark.range(3), "t")
+    with pytest.raises(ValueError, match="snapshot-versioned"):
+        cat.write(spark.range(5), "t")
+
+
+def test_plain_read_serves_current_snapshot(spark, tmp_path):
+    """After migration to snapshots, legacy read() consumers must see the
+    current version — not the stale pre-migration root files."""
+    cat = Catalog(str(tmp_path))
+    cat.write(spark.range(7).withColumn("gen", F.lit(0)), "t")     # plain layout
+    cat.write_snapshot(spark.range(4).withColumn("gen", F.lit(1)), "t")
+    got = cat.read(spark, "t")
+    assert got.count() == 4 and got.select(F.max("gen")).first()[0] == 1
+
+
+def test_compact_versioned_table_compacts_current_only(spark, tmp_path):
+    """compact() on a snapshot-versioned table must rewrite the CURRENT
+    version dir, leaving every other snapshot readable."""
+    cat = Catalog(str(tmp_path))
+    cat.write_snapshot(spark.range(64).repartition(16), "t")
+    cat.write_snapshot(spark.range(128).repartition(16), "t")
+    report = cat.compact(spark, "t", target_bytes=1 << 30)
+    assert report and list(report.values())[0][1] == 1
+    assert cat.read_snapshot(spark, "t").count() == 128        # current intact
+    assert cat.read_snapshot(spark, "t", version=1).count() == 64  # v1 survives
+
+
+def test_expire_manifest_first_and_orphan_sweep(spark, tmp_path):
+    """Orphaned _vN dirs (crashed expire) are swept on the next expire;
+    the manifest never references deleted data."""
+    import os
+
+    cat = Catalog(str(tmp_path))
+    for g in (1, 2, 3):
+        cat.write_snapshot(spark.range(g), "t")
+    # simulate a crashed expire: dir exists on disk, absent from manifest
+    orphan = os.path.join(cat.path("t"), "_v99")
+    os.makedirs(orphan)
+    cat.expire_snapshots("t", keep=2)
+    assert not os.path.exists(orphan)
+
+
+def test_write_snapshot_lock_released(spark, tmp_path):
+    import os
+
+    cat = Catalog(str(tmp_path))
+    cat.write_snapshot(spark.range(2), "t")
+    assert not os.path.exists(cat._snapshot_manifest_path("t") + ".lock")
+    cat.write_snapshot(spark.range(3), "t")  # lock reacquirable

@@ -101,3 +101,24 @@ def test_maintain_job_snapshot_merge(spark, tmp_path, canon_halves):
     assert _erows(merged_e) == _erows(build_edges(full))
     # lineage columns present and bucketed layout preserved
     assert {"run_id", "src_partition", "bucket"} <= set(merged_v.columns)
+
+
+def test_maintain_job_idempotent_per_run_id(spark, tmp_path, canon_halves):
+    """Retrying maintain with the SAME run_id (the partial-failure
+    recovery protocol) must NOT re-merge the delta — statistics stay
+    identical, no new snapshot version is published."""
+    from deepex_spark.operators.graph import materialize_graph
+    from deepex_spark.plans.catalog import Catalog
+    from jobs.maintain_kg import maintain
+
+    _full, a, b = canon_halves
+    live = Catalog(str(tmp_path / "live"))
+    delta = Catalog(str(tmp_path / "delta"))
+    materialize_graph(a, live, run_id="runA")
+    materialize_graph(b, delta, run_id="runB")
+
+    r1 = maintain(spark, live, delta, run_id="m1")
+    r2 = maintain(spark, live, delta, run_id="m1")  # retry
+    assert r1 == r2  # same versions, same counts — nothing double-merged
+    # and a NEW run_id does publish a new version
+    assert live.snapshot_run_ids("vertices") == {"m1"}

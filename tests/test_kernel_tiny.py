@@ -75,11 +75,11 @@ def test_kernel_tiny2_exercises_distance_2_pairs(spark):
 
     segs = os.path.join(FIXTURE_DIR2, "segments.parquet")
     n3 = dk.sql(
-        f"""SELECT count(*) FROM (
+        f"""SELECT count(DISTINCT sent_id) FROM (
               SELECT sent_id, seg_id FROM read_parquet('{segs}')
               GROUP BY sent_id, seg_id HAVING count(*) >= 3)"""
     ).fetchone()[0]
-    assert n3 >= 50  # at least one 3+-entity segment per sentence
+    assert n3 == 50  # EVERY sentence has a 3+-entity segment
 
     rows = REGISTRY["kernel_tiny2_sql"].spark_fn(spark, "unused").collect()
     lens = {len(r["path_str"].split("-")) for r in rows}
@@ -120,11 +120,11 @@ def test_kernel_tiny3_exercises_distance_3_pairs(spark):
 
     segs = os.path.join(FIXTURE_DIR3, "segments.parquet")
     n4 = dk.sql(
-        f"""SELECT count(*) FROM (
+        f"""SELECT count(DISTINCT sent_id) FROM (
               SELECT sent_id, seg_id FROM read_parquet('{segs}')
               GROUP BY sent_id, seg_id HAVING count(*) >= 4)"""
     ).fetchone()[0]
-    assert n4 >= 50  # at least one 4+-entity segment per sentence
+    assert n4 == 50  # EVERY sentence has a 4+-entity segment
 
     rows = REGISTRY["kernel_tiny3_sql"].spark_fn(spark, "unused").collect()
     lens = {len(r["path_str"].split("-")) for r in rows}
