@@ -94,11 +94,18 @@ def with_edge_bucket(df: DataFrame, n_buckets: int = GRAPH_N_BUCKETS) -> DataFra
 
 def materialize_graph(canon_triples: DataFrame, catalog, run_id: str = "run0"):
     """Write vertices/edges via the catalog (Iceberg or parquet shim),
-    bucketed by entity/edge id for pruning + balanced layout."""
+    bucketed by entity/edge id for pruning + balanced layout. On a
+    catalog that has been through maintenance (tables snapshot-versioned,
+    jobs/maintain_kg.py), a full rebuild publishes a NEW snapshot instead
+    of failing the plain-write guard — periodic rebuild-to-reset-drift
+    keeps working after the first incremental merge."""
     v = with_vertex_bucket(build_vertices(canon_triples, run_id))
     e = with_edge_bucket(build_edges(canon_triples, run_id))
-    catalog.write(v, "vertices", partition_by=["bucket"])
-    catalog.write(e, "edges", partition_by=["bucket"])
+    for df, table in ((v, "vertices"), (e, "edges")):
+        if getattr(catalog, "fmt", "parquet") != "iceberg" and catalog.is_versioned(table):
+            catalog.write_snapshot(df, table, partition_by=["bucket"], run_id=run_id)
+        else:
+            catalog.write(df, table, partition_by=["bucket"])
     return v, e
 
 

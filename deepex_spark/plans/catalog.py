@@ -90,6 +90,15 @@ class Catalog:
     ) -> None:
         """Write df partitioned by pmod(xxhash64(bucket_col), n_buckets),
         skipping buckets already in the manifest (resume)."""
+        if self._snapshot_manifest(table)["versions"]:
+            # appending into the root of a versioned table would be
+            # invisible to read() (which serves _vN) while the resume
+            # manifest marks the buckets complete — silent data loss
+            raise ValueError(
+                f"table {table!r} is snapshot-versioned — checkpoint() "
+                "appends to the plain layout; use a different table or "
+                "write_snapshot()"
+            )
         done = set(self.completed_buckets(table))
         bucketed = df.withColumn(
             "bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int")
@@ -145,14 +154,40 @@ class Catalog:
 
         lock_path = self._snapshot_manifest_path(table) + ".lock"
 
+        def _holder_dead() -> bool:
+            """A lock whose recorded PID no longer exists is stale (the
+            holder was SIGKILLed mid-publish) — break it so the documented
+            same-run_id retry recovery can proceed instead of bricking."""
+            try:
+                with open(lock_path) as f:
+                    pid = int(f.read().strip() or "0")
+            except (OSError, ValueError):
+                return False
+            if pid <= 0:
+                return False
+            try:
+                os.kill(pid, 0)
+                return False
+            except ProcessLookupError:
+                return True
+            except PermissionError:
+                return False
+
         @contextlib.contextmanager
         def held():
-            deadline = time.time() + 120
+            deadline = time.time() + 600  # > any sane snapshot write
             while True:
                 try:
                     fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, str(os.getpid()).encode())
                     break
                 except FileExistsError:
+                    if _holder_dead():
+                        try:
+                            os.unlink(lock_path)
+                        except FileNotFoundError:
+                            pass
+                        continue
                     if time.time() > deadline:
                         raise TimeoutError(f"snapshot lock busy: {lock_path}")
                     time.sleep(0.2)
@@ -163,6 +198,16 @@ class Catalog:
                 os.unlink(lock_path)
 
         return held()
+
+    def is_versioned(self, table: str) -> bool:
+        return bool(self._snapshot_manifest(table)["versions"])
+
+    def version_of_run(self, table: str, run_id: str) -> int | None:
+        """Version a given run_id published to this table, or None."""
+        for v, meta in self._snapshot_manifest(table)["versions"].items():
+            if meta.get("run_id") == run_id:
+                return int(v)
+        return None
 
     def write_snapshot(
         self, df: DataFrame, table: str, partition_by=None, run_id: str | None = None
@@ -186,6 +231,17 @@ class Catalog:
             return -1
         with self._snapshot_lock(table):
             man = self._snapshot_manifest(table)
+            if run_id is not None:
+                # idempotent publish: the run_id re-check happens INSIDE
+                # the lock, so two racing jobs with the same run_id — even
+                # one that re-read the table AFTER the other published —
+                # cannot both land a merge (the classic check-then-act
+                # double-apply)
+                for v_str, meta in man["versions"].items():
+                    if meta.get("run_id") == run_id:
+                        return int(v_str)
+                if run_id in man.get("expired_run_ids", []):
+                    return int(man["current"])
             v = int(man["current"]) + 1
             w = df.write.mode("overwrite")
             if partition_by:
@@ -201,13 +257,14 @@ class Catalog:
         return v
 
     def snapshot_run_ids(self, table: str) -> set[str]:
-        """run_ids already published to this table — the idempotency
-        guard for retried maintenance jobs."""
-        return {
-            meta["run_id"]
-            for meta in self._snapshot_manifest(table)["versions"].values()
-            if meta.get("run_id")
+        """run_ids already published to this table, INCLUDING runs whose
+        version data has since been expired (history survives retention,
+        so a stale retry of an old batch can never re-apply it)."""
+        man = self._snapshot_manifest(table)
+        live = {
+            meta["run_id"] for meta in man["versions"].values() if meta.get("run_id")
         }
+        return live | set(man.get("expired_run_ids", []))
 
     def read_snapshot(
         self, spark: SparkSession, table: str, version: int | None = None
@@ -247,8 +304,13 @@ class Catalog:
             man = self._snapshot_manifest(table)
             versions = sorted(int(x) for x in man["versions"])
             drop = [v for v in versions[:-keep] if v != int(man["current"])]
+            expired = set(man.get("expired_run_ids", []))
             for v in drop:
+                rid = man["versions"][str(v)].get("run_id")
+                if rid:
+                    expired.add(rid)  # keep idempotency history past retention
                 del man["versions"][str(v)]
+            man["expired_run_ids"] = sorted(expired)
             sp = self._snapshot_manifest_path(table)
             tmp = sp + ".tmp"
             with open(tmp, "w") as f:

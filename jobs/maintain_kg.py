@@ -29,21 +29,14 @@ import sys
 import time
 
 
-def _read_graph_table(cat, spark, table: str):
-    """Current snapshot if the table is snapshot-versioned; otherwise the
-    plain table (first maintenance run migrates a materialize_graph
-    layout into snapshot v1)."""
-    try:
-        return cat.read_snapshot(spark, table)
-    except ValueError:
-        return cat.read(spark, table)
-
-
 def _sweep_stale_root(catalog, table: str) -> None:
     """After a table is snapshot-versioned, the pre-migration plain
     layout (root parquet files / bucket= dirs) is dead weight: read()
-    serves the current _vN and write() refuses plain writes. Remove it,
-    best-effort — a failure here costs storage, never correctness."""
+    serves the current _vN and write() refuses plain writes. OPT-IN
+    (``--sweep-stale-root``): deleting it mid-flight breaks readers that
+    planned against the root layout before the migration — run the sweep
+    in a quiet window like any retention job. Best-effort: a failure
+    costs storage, never correctness."""
     import shutil
 
     base = catalog.path(table)
@@ -59,16 +52,19 @@ def _sweep_stale_root(catalog, table: str) -> None:
             pass
 
 
-def maintain(spark, catalog, delta_catalog, run_id: str = "merge"):
+def maintain(spark, catalog, delta_catalog, run_id: str = "merge", sweep_stale: bool = False):
     """Merge delta vertices/edges into the live KG and publish one new
     snapshot per table. Returns {table: (version, row_count)}.
 
-    IDEMPOTENT per (table, run_id): the snapshot manifest records the
-    run_id of every published version, so a retried job — including the
-    recovery retry after a partial failure that published vertices but
-    died before edges — skips tables the run_id already reached instead
-    of re-merging the delta and double-counting every statistic. Recovery
-    protocol: re-run with the SAME --run-id until both tables report it."""
+    IDEMPOTENT per (table, run_id): ``write_snapshot`` re-checks the
+    run_id INSIDE its publish lock (and the manifest retains run_ids
+    past snapshot expiry), so a retried job — including the recovery
+    retry after a partial failure that published vertices but died
+    before edges, and even a retry racing the original — can never
+    re-merge the delta and double-count statistics. Recovery protocol:
+    re-run with the SAME --run-id until both tables report it. The skip
+    path reports the version that run_id actually published, not
+    whatever is current."""
     from deepex_spark.operators.graph import (
         merge_edges,
         merge_vertices,
@@ -82,22 +78,25 @@ def maintain(spark, catalog, delta_catalog, run_id: str = "merge"):
         "edges": (with_edge_bucket, merge_edges),
     }
     for table, (bucketer, merge_fn) in plan.items():
-        if run_id in catalog.snapshot_run_ids(table):
-            man = catalog._snapshot_manifest(table)
+        already = catalog.version_of_run(table, run_id)
+        if already is not None:
             report[table] = (
-                int(man["current"]),
-                catalog.read_snapshot(spark, table).count(),
+                already,
+                catalog.read_snapshot(spark, table, version=already).count(),
             )
             continue
-        existing = _read_graph_table(catalog, spark, table)
-        delta = _read_graph_table(delta_catalog, spark, table)
+        # read() serves the current snapshot for versioned tables and the
+        # plain layout otherwise (first run = migration into _v1)
+        existing = catalog.read(spark, table)
+        delta = delta_catalog.read(spark, table)
         cols = [c for c in existing.columns if c != "bucket"]
         merged = bucketer(
             merge_fn(existing.select(*cols), delta.select(*cols), run_id=run_id)
         )
         v = catalog.write_snapshot(merged, table, partition_by=["bucket"], run_id=run_id)
-        _sweep_stale_root(catalog, table)
-        report[table] = (v, catalog.read_snapshot(spark, table).count())
+        if sweep_stale:
+            _sweep_stale_root(catalog, table)
+        report[table] = (v, catalog.read_snapshot(spark, table, version=v).count())
     return report
 
 
@@ -107,6 +106,13 @@ def main(argv=None):
     p.add_argument("--delta", required=True, help="catalog dir of the delta batch build")
     p.add_argument("--output-format", default="parquet", choices=["parquet", "iceberg"])
     p.add_argument("--run-id", default="merge")
+    p.add_argument(
+        "--sweep-stale-root",
+        action="store_true",
+        help="delete the pre-migration plain layout after publishing "
+        "(storage reclaim; breaks readers still planned against it — run "
+        "in a quiet window)",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -122,6 +128,7 @@ def main(argv=None):
         Catalog(args.catalog, fmt=args.output_format),
         Catalog(args.delta, fmt=args.output_format),
         run_id=args.run_id,
+        sweep_stale=args.sweep_stale_root,
     )
     print(
         json.dumps(

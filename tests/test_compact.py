@@ -147,3 +147,48 @@ def test_write_snapshot_lock_released(spark, tmp_path):
     cat.write_snapshot(spark.range(2), "t")
     assert not os.path.exists(cat._snapshot_manifest_path("t") + ".lock")
     cat.write_snapshot(spark.range(3), "t")  # lock reacquirable
+
+
+def test_write_snapshot_run_id_guard_inside_lock(spark, tmp_path):
+    """Publishing the same run_id twice returns the FIRST version and
+    writes nothing — the in-lock re-check that makes racing retries safe."""
+    cat = Catalog(str(tmp_path))
+    v1 = cat.write_snapshot(spark.range(3), "t", run_id="r1")
+    v_again = cat.write_snapshot(spark.range(999), "t", run_id="r1")
+    assert (v1, v_again) == (1, 1)
+    assert cat._snapshot_manifest("t")["current"] == 1
+    assert cat.read_snapshot(spark, "t").count() == 3  # second df never landed
+
+
+def test_expired_run_ids_survive_retention(spark, tmp_path):
+    """Expiring a version keeps its run_id in the manifest, so a stale
+    retry of an old batch can never re-apply after retention."""
+    cat = Catalog(str(tmp_path))
+    for i in (1, 2, 3):
+        cat.write_snapshot(spark.range(i), "t", run_id=f"r{i}")
+    cat.expire_snapshots("t", keep=1)
+    assert cat.snapshot_run_ids("t") == {"r1", "r2", "r3"}
+    # and a replay of an expired run_id is still a no-op
+    v = cat.write_snapshot(spark.range(50), "t", run_id="r1")
+    assert v == cat._snapshot_manifest("t")["current"]
+    assert cat.read_snapshot(spark, "t").count() == 3
+
+
+def test_stale_lock_from_dead_holder_is_broken(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    lock = cat._snapshot_manifest_path("t") + ".lock"
+    with open(lock, "w") as f:
+        f.write("999999999")  # PID that cannot exist
+    assert cat.write_snapshot(spark.range(2), "t") == 1  # no TimeoutError
+    import os
+
+    assert not os.path.exists(lock.replace(".lock", ".lock.stale"))
+
+
+def test_checkpoint_refuses_versioned_table(spark, tmp_path):
+    import pytest
+
+    cat = Catalog(str(tmp_path))
+    cat.write_snapshot(spark.range(2).withColumn("docid", F.col("id")), "t")
+    with pytest.raises(ValueError, match="snapshot-versioned"):
+        cat.checkpoint(spark.range(5).withColumn("docid", F.col("id")), "t")

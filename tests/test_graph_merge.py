@@ -120,5 +120,15 @@ def test_maintain_job_idempotent_per_run_id(spark, tmp_path, canon_halves):
     r1 = maintain(spark, live, delta, run_id="m1")
     r2 = maintain(spark, live, delta, run_id="m1")  # retry
     assert r1 == r2  # same versions, same counts — nothing double-merged
-    # and a NEW run_id does publish a new version
+    # only m1's publication exists; the retry did not publish
     assert live.snapshot_run_ids("vertices") == {"m1"}
+    assert live._snapshot_manifest("vertices")["current"] == r1["vertices"][0]
+
+    # a LATE retry of m1 after a subsequent merge reports m1's OWN
+    # version, not whatever is current (mechanics check: m2 reuses the
+    # same delta, which doc-disjointness forbids semantically — here we
+    # only care that versions advance and the skip path stays pinned)
+    maintain(spark, live, delta, run_id="m2")
+    r1_late = maintain(spark, live, delta, run_id="m1")
+    assert r1_late["vertices"][0] == r1["vertices"][0]
+    assert live._snapshot_manifest("vertices")["current"] > r1["vertices"][0]
