@@ -51,6 +51,9 @@ CURATION = [
     "kg_kcore",
     "kg_khop",
     "kg_relpath2",
+    "contamination_flags",
+    "quality_repetition",
+    "corpus_mix_rates",
 ]
 
 

@@ -239,27 +239,14 @@ def redact(
     return out.withColumn("scrubbed", scrubbed)
 
 
-def ngram_counts(
-    docs: DataFrame,
-    text_col: str = "text",
-    n: int = 2,
-    top_k: int = 500,
-) -> DataFrame:
-    """Corpus-level token n-gram heavy hitters -> top-k ``(ngram, n)``
-    rows under the total order (count DESC, ngram ASC) — deterministic
-    even when the k-th count ties.
-
-    Tokens are lowercase whitespace-split (ASCII ``\\s+``); n-grams are
-    built JVM-side by zipping ``n`` shifted slices of the token array
-    (no Python, no quadratic substring scan). The count is a groupBy with
-    map-side partial aggregation — the shuffle carries one partial row
-    per distinct n-gram per partition, not one per occurrence — and the
-    top-k is Spark's TakeOrdered (per-partition heaps + driver merge of
-    k-row heads), never a global sort of the full tail.
+def token_ngrams(toks, n: int):
+    """Array column of space-joined token ``n``-grams, built JVM-side by
+    zipping ``n`` shifted slices of the token array (no Python, no
+    quadratic substring scan). Grams touching an empty token come out
+    NULL so callers can drop them with one isNotNull filter.
     """
     if n < 1:
         raise ValueError("n must be >= 1")
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
     width = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     grams = F.slice(toks, 1, width)
     for i in range(1, n):
@@ -271,6 +258,27 @@ def ngram_counts(
                 (F.length(a) > 0) & (F.length(b) > 0), F.concat(a, F.lit(" "), b)
             ),
         )
+    return grams
+
+
+def ngram_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    top_k: int = 500,
+) -> DataFrame:
+    """Corpus-level token n-gram heavy hitters -> top-k ``(ngram, n)``
+    rows under the total order (count DESC, ngram ASC) — deterministic
+    even when the k-th count ties.
+
+    Tokens are lowercase whitespace-split (ASCII ``\\s+``); n-grams come
+    from :func:`token_ngrams`. The count is a groupBy with
+    map-side partial aggregation — the shuffle carries one partial row
+    per distinct n-gram per partition, not one per occurrence — and the
+    top-k is Spark's TakeOrdered (per-partition heaps + driver merge of
+    k-row heads), never a global sort of the full tail.
+    """
+    grams = token_ngrams(F.split(F.lower(F.col(text_col)), r"\s+"), n)
     exploded = docs.select(F.explode(grams).alias("ngram")).where(
         F.col("ngram").isNotNull() & (F.length("ngram") > 0)
     )
@@ -279,4 +287,128 @@ def ngram_counts(
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("ngram"))
         .limit(top_k)
+    )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    bench_mod: int = 97,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any token
+    ``n``-gram with a held-out benchmark set -> ``(doc_id, n_hits)``
+    where ``n_hits`` is the number of DISTINCT contaminated n-grams in
+    the doc (only contaminated docs are emitted).
+
+    This is the standard eval-leakage sweep (GPT-3 appendix C / Gopher
+    sec. A.3 style: drop training docs overlapping an eval set on a
+    13-gram; ``n`` is a knob because synthetic corpora have shorter
+    spans). The benchmark membership predicate here is deterministic —
+    ``doc_id % bench_mod == 0`` — standing in for the real eval-set ids.
+
+    Scale: the benchmark side is tiny by construction (an eval set, not
+    a corpus), so its distinct-gram set is BROADCAST and the corpus side
+    joins map-side with NO shuffle at all before the contamination
+    filter — the join is applied to the raw exploded grams (duplicates
+    and all) precisely so the corpus never pays a corpus-wide
+    (doc, gram) distinct exchange; the only corpus shuffle carries the
+    join SURVIVORS (contaminated grams — rare by design), where the
+    per-doc distinct-count collapses repeats.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.explode(token_ngrams(toks, n)).alias("g")
+    is_bench = (F.col(id_col) % bench_mod) == 0
+    bench_grams = (
+        docs.where(is_bench)
+        .select(grams)
+        .where(F.col("g").isNotNull() & (F.length("g") > 0))
+        .distinct()
+    )
+    corpus_grams = docs.where(~is_bench).select(F.col(id_col), grams).where(
+        F.col("g").isNotNull()
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("g")).alias("n_hits"))
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals ->
+    ``(doc_id, n_grams, n_distinct, dup_frac, top_share)``.
+
+    * ``dup_frac`` — fraction of token n-gram OCCURRENCES that are
+      repeats of an earlier occurrence (``1 - distinct/total``); Gopher
+      filters docs where this exceeds ~0.2 for 2-grams.
+    * ``top_share`` — share of occurrences taken by the single most
+      frequent n-gram (the "duplicate top-2-gram fraction" rule).
+
+    Docs with fewer than ``n`` tokens have no n-grams and are not
+    emitted. Two groupBys, both map-side combined: (doc, gram) counts
+    first (the only shuffle that scales with text volume, carrying one
+    row per distinct per-doc gram), then a per-doc rollup of three
+    scalars. Ratios are rounded to 4 so engine summation order cannot
+    flip the value hash.
+    """
+    toks = F.split(F.col(text_col), " ")
+    exploded = docs.select(
+        F.col(id_col), F.explode(token_ngrams(toks, n)).alias("g")
+    ).where(F.col("g").isNotNull() & (F.length("g") > 0))
+    cnt = exploded.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    per_doc = cnt.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_distinct",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams"), 4
+        ).alias("dup_frac"),
+        F.round(F.col("top_c").cast("double") / F.col("n_grams"), 4).alias("top_share"),
+    )
+
+
+def mix_rates(
+    docs: DataFrame,
+    strata_cols: tuple[str, ...] = ("lang", "source"),
+    cap: float = 0.25,
+) -> DataFrame:
+    """Corpus-mix rebalancing budget: per-stratum share of the corpus
+    and the deterministic keep-rate that caps every stratum at ``cap``
+    of the total -> ``(strata..., n_docs, share, keep_rate)``.
+
+    ``keep_rate = min(1, cap / share)`` — over-represented strata are
+    downsampled to the cap, everything else passes whole. Feed the rates
+    straight into :func:`stratified_sample` for the actual row-level
+    (hash-deterministic) downsample.
+
+    Scale: one corpus-wide groupBy (map-side combined) reduces the input
+    to stratum cardinality — a handful of rows — before the global
+    window computes the total, so the single-partition window exchange
+    moves only the aggregate, never data rows.
+    """
+    agg = docs.groupBy(*strata_cols).agg(F.count("*").alias("n_docs"))
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return agg.select(
+        *strata_cols,
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / total, 6).alias("share"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(cap) * total.cast("double") / F.col("n_docs"),
+            ),
+            4,
+        ).alias("keep_rate"),
     )

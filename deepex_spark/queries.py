@@ -1586,6 +1586,94 @@ def ngram_topk(spark, sf_dir):
 
 
 @register(
+    "contamination_flags",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] AS g
+      FROM toks, unnest(generate_series(1, len(l) - 3)) AS t(i)
+      WHERE l[i] <> '' AND l[i+1] <> '' AND l[i+2] <> '' AND l[i+3] <> ''
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    corp AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM corp c JOIN bench b ON c.g = b.g
+    GROUP BY c.doc_id
+    """,
+)
+def contamination_flags(spark, sf_dir):
+    """Eval-leakage sweep: corpus docs sharing a token 4-gram with the
+    deterministic benchmark subset (doc_id % 97 == 0), with the count of
+    distinct contaminated grams per doc (8 docs flag at sf0.01 — the
+    sweep is selective, as decontamination should be). The benchmark
+    gram set is broadcast — the corpus side never shuffles for the
+    join."""
+    from deepex_spark.operators.curate import contamination_flags as cf
+
+    return cf(load(spark, sf_dir, "documents"), n=4, bench_mod=97)
+
+
+@register(
+    "quality_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, l[i] || ' ' || l[i+1] AS g
+      FROM toks, unnest(generate_series(1, len(l) - 1)) AS t(i)
+      WHERE l[i] <> '' AND l[i+1] <> ''
+    ),
+    cnt AS (
+      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(1e0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4)
+             AS dup_frac,
+           round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4)
+             AS top_share
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def quality_repetition(spark, sf_dir):
+    """Gopher-style repetition signals per doc: duplicate-bigram fraction
+    and top-bigram occupancy share (the filters that kill boilerplate and
+    looping spam in a crawl corpus)."""
+    from deepex_spark.operators.curate import repetition_stats
+
+    return repetition_stats(load(spark, sf_dir, "documents"), n=2)
+
+
+@register(
+    "corpus_mix_rates",
+    oracle="""
+    WITH s AS (
+      SELECT lang, source, count(*) AS n_docs
+      FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs,
+           round(CAST(n_docs AS DOUBLE)
+                 / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS share,
+           round(least(1e0, 0.25e0 * CAST(sum(n_docs) OVER () AS DOUBLE)
+                 / CAST(n_docs AS DOUBLE)), 4) AS keep_rate
+    FROM s
+    """,
+)
+def corpus_mix_rates(spark, sf_dir):
+    """Data-mixing budget: per-(lang, source) corpus share and the
+    deterministic keep-rate capping every stratum at 25 % of the total —
+    the rate table stratified_sample consumes."""
+    from deepex_spark.operators.curate import mix_rates
+
+    return mix_rates(load(spark, sf_dir, "documents"), ("lang", "source"), cap=0.25)
+
+
+@register(
     "o_quantiles",
     oracle="""
     SELECT event_type,

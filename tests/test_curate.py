@@ -14,9 +14,12 @@ from pyspark.sql import functions as F
 
 from deepex_spark.operators.curate import (
     _rate_to_hex4,
+    contamination_flags,
     funnel,
+    mix_rates,
     ngram_counts,
     redact,
+    repetition_stats,
     sessionize,
     stratified_sample,
     tfidf_terms,
@@ -418,3 +421,116 @@ class TestTriangleCount:
             if {frozenset((x, y)), frozenset((y, z)), frozenset((x, z))} <= und
         )
         assert row["n_triangles"] == naive > 0
+
+
+def _docs(spark, rows):
+    """rows: list of (doc_id, text, lang, source)."""
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+class TestContaminationFlags:
+    def test_overlap_flagged_with_distinct_count(self, spark):
+        # doc 0 is benchmark (0 % 97 == 0); doc 1 repeats a bench 2-gram
+        # twice (counted once: distinct), doc 2 has no overlap
+        docs = _docs(
+            spark,
+            [
+                (0, "a b c d", "en", "s"),
+                (1, "a b x a b y", "en", "s"),
+                (2, "p q r s", "en", "s"),
+            ],
+        )
+        out = {
+            r["doc_id"]: r["n_hits"]
+            for r in contamination_flags(docs, n=2, bench_mod=97).collect()
+        }
+        assert out == {1: 1}
+
+    def test_bench_docs_never_emitted(self, spark):
+        # both docs are benchmark members (0 and 97): identical text, but
+        # bench-vs-bench overlap must not emit rows
+        docs = _docs(spark, [(0, "a b c", "en", "s"), (97, "a b c", "en", "s")])
+        assert contamination_flags(docs, n=2, bench_mod=97).count() == 0
+
+    def test_short_docs_have_no_grams(self, spark):
+        docs = _docs(spark, [(0, "a b c", "en", "s"), (1, "b", "en", "s")])
+        assert contamination_flags(docs, n=2, bench_mod=97).count() == 0
+
+    def test_multiple_distinct_hits(self, spark):
+        docs = _docs(
+            spark,
+            [(0, "a b c d", "en", "s"), (1, "a b c z c d", "en", "s")],
+        )
+        # doc 1 shares 'a b', 'b c', 'c d' -> 3 distinct contaminated grams
+        out = contamination_flags(docs, n=2, bench_mod=97).collect()
+        assert [(r["doc_id"], r["n_hits"]) for r in out] == [(1, 3)]
+
+
+class TestRepetitionStats:
+    def test_known_fractions(self, spark):
+        # 'a b a b a' -> bigrams: ab, ba, ab, ba -> 4 total, 2 distinct
+        docs = _docs(spark, [(1, "a b a b a", "en", "s")])
+        r = repetition_stats(docs, n=2).collect()[0]
+        assert (r["n_grams"], r["n_distinct"]) == (4, 2)
+        assert r["dup_frac"] == 0.5
+        assert r["top_share"] == 0.5
+
+    def test_all_unique_zero_dup(self, spark):
+        docs = _docs(spark, [(1, "a b c d", "en", "s")])
+        r = repetition_stats(docs, n=2).collect()[0]
+        assert (r["n_grams"], r["n_distinct"]) == (3, 3)
+        assert r["dup_frac"] == 0.0
+        assert round(r["top_share"], 4) == round(1 / 3, 4)
+
+    def test_single_token_doc_not_emitted(self, spark):
+        docs = _docs(spark, [(1, "a", "en", "s"), (2, "a b", "en", "s")])
+        out = repetition_stats(docs, n=2).collect()
+        assert [r["doc_id"] for r in out] == [2]
+
+    def test_degenerate_repetition_caught(self, spark):
+        # pure loop spam: 'x y' * 6 -> dup_frac near 1, top_share > 0.5
+        docs = _docs(spark, [(1, " ".join(["x", "y"] * 6), "en", "s")])
+        r = repetition_stats(docs, n=2).collect()[0]
+        assert r["dup_frac"] > 0.8
+        assert r["top_share"] >= 0.5
+
+
+class TestMixRates:
+    def test_cap_applied_to_dominant_stratum(self, spark):
+        rows = [(i, "t", "en", "web") for i in range(8)] + [
+            (100 + i, "t", "fr", "web") for i in range(2)
+        ]
+        docs = _docs(spark, rows)
+        out = {
+            (r["lang"], r["source"]): r
+            for r in mix_rates(docs, ("lang", "source"), cap=0.25).collect()
+        }
+        en = out[("en", "web")]
+        fr = out[("fr", "web")]
+        assert en["n_docs"] == 8 and fr["n_docs"] == 2
+        assert en["share"] == 0.8 and fr["share"] == 0.2
+        # en capped at 0.25/0.8; fr under the cap passes whole
+        assert en["keep_rate"] == 0.3125
+        assert fr["keep_rate"] == 1.0
+
+    def test_rates_feed_stratified_sample(self, spark):
+        # the budget table is directly consumable by stratified_sample
+        rows = [(i, "t", "en", "web") for i in range(400)] + [
+            (1000 + i, "t", "fr", "web") for i in range(100)
+        ]
+        docs = _docs(spark, rows)
+        rates = {
+            r["lang"]: r["keep_rate"]
+            for r in mix_rates(docs, ("lang", "source"), cap=0.25).collect()
+        }
+        kept = stratified_sample(docs, "doc_id", "lang", rates)
+        by_lang = {
+            r["lang"]: r["n"]
+            for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        # en downsampled toward 25% of the corpus (hash granularity is
+        # 1/65536 so the realized rate is approximate), fr kept whole
+        assert by_lang["fr"] == 100
+        assert 0.18 * 500 <= by_lang["en"] <= 0.32 * 500
