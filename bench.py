@@ -54,6 +54,8 @@ CURATION = [
     "contamination_flags",
     "quality_repetition",
     "corpus_mix_rates",
+    "url_canonicalize",
+    "crawl_keep_newest",
 ]
 
 

@@ -1,0 +1,121 @@
+"""URL canonicalization and crawl-snapshot dedup over the input_hint
+pages table ``(url, warc_ts, html, text, lang)``.
+
+A Common-Crawl-style corpus re-fetches the same logical page under many
+surface URLs (scheme/host case, ``www.`` prefix, default ports, trailing
+slashes, fragments, tracking query params, param order). Canonicalizing
+before dedup/partitioning is the first thing a 100 TB crawl pipeline does:
+the north rule partitions ingest by url-hash, and hashing the RAW url
+splits one logical page across partitions while double-counting it in
+every per-page statistic.
+
+Normalization spec (applied in this exact order; mirrored token-for-token
+by the DuckDB oracle in queries.py, and deliberately conservative — only
+transformations that preserve dereference semantics for well-behaved
+servers):
+
+1. strip the fragment (``#...`` — never sent to the server);
+2. lowercase the ``scheme://authority`` prefix ONLY (paths are
+   case-sensitive, hosts/schemes are not — RFC 3986 §6.2.2.1);
+3. drop a leading ``www.`` on the host;
+4. drop the scheme's default port (``:80`` http, ``:443`` https; other
+   ports are meaningful and kept);
+5. strip trailing slashes from the path;
+6. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``), sort
+   the survivors byte-wise, drop the ``?`` if none survive.
+
+Everything is JVM-side column algebra (regexp/split/array_sort — no UDF,
+no shuffle): canonicalization is a row-local map and scales
+embarrassingly. ``crawl_snapshot`` then keeps the newest fetch per
+canonical URL — the same WindowGroupLimit keep-newest shape as
+``dedup_keep_newest`` (partial per-partition top-1 before the one
+canon_url exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid)(=|$)"
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form of ``url`` per the module spec — a pure column
+    expression (codegen'd, row-local)."""
+    nofrag = F.regexp_replace(url, "#.*", "")
+    prefix_raw = F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*", 0)
+    rest = nofrag.substr(F.length(prefix_raw) + F.lit(1), F.length(nofrag))
+    prefix = F.lower(prefix_raw)
+    prefix = F.regexp_replace(prefix, r"^(https?://)www\.", r"$1")
+    prefix = (
+        F.when(prefix.startswith("http://"), F.regexp_replace(prefix, ":80$", ""))
+        .when(prefix.startswith("https://"), F.regexp_replace(prefix, ":443$", ""))
+        .otherwise(prefix)
+    )
+    qpos = F.instr(rest, "?")
+    path = F.when(qpos == 0, rest).otherwise(rest.substr(F.lit(1), qpos - F.lit(1)))
+    path = F.regexp_replace(path, "/+$", "")
+    query = F.when(qpos == 0, F.lit("")).otherwise(
+        rest.substr(qpos + F.lit(1), F.length(rest))
+    )
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    q2 = F.array_join(F.array_sort(kept), "&")
+    return F.concat(
+        prefix,
+        path,
+        F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)),
+    )
+
+
+def url_host(url: Column) -> Column:
+    """Port-stripped lowercase host of the CANONICAL url (apply to
+    :func:`normalize_url` output; on a raw url the casing/www may remain)."""
+    return F.regexp_replace(
+        F.regexp_extract(url, r"^[a-z0-9+.\-]+://([^/?]*)", 1), ":[0-9]+$", ""
+    )
+
+
+def canonicalize_urls(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add ``canon_url`` and ``host`` columns. Row-local — no shuffle."""
+    canon = normalize_url(F.col(url_col))
+    return pages.withColumn("canon_url", canon).withColumn("host", url_host(canon))
+
+
+def crawl_snapshot(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    with_counts: bool = True,
+) -> DataFrame:
+    """Latest fetch per canonical URL -> ``(canon_url, url, warc_ts
+    [, n_variants])``: the crawl-snapshot compaction run before any
+    per-page processing (otherwise re-fetches of one logical page are
+    processed — and counted — n times).
+
+    Newest ``ts_col`` wins; exact-timestamp ties break by raw url
+    ascending so the kept row is deterministic. One canon_url exchange
+    shared by both window functions. The variant count needs every row
+    of a group, which (correctly) suppresses Spark's WindowGroupLimit
+    partial top-1 — pass ``with_counts=False`` when you only need the
+    kept rows: the rank-only plan pushes a per-partition top-1 below the
+    exchange, so the shuffle carries one candidate per canonical url per
+    input partition instead of every fetch.
+    """
+    w = Window.partitionBy("canon_url").orderBy(F.desc(ts_col), F.asc(url_col))
+    ranked = (
+        canonicalize_urls(pages, url_col)
+        .select("canon_url", url_col, ts_col)
+        .withColumn("rn", F.row_number().over(w))
+    )
+    if with_counts:
+        ranked = ranked.withColumn(
+            "n_variants", F.count("*").over(Window.partitionBy("canon_url"))
+        )
+    out_cols = ["canon_url", url_col, ts_col] + (
+        ["n_variants"] if with_counts else []
+    )
+    return ranked.where(F.col("rn") == 1).select(*out_cols)

@@ -1673,6 +1673,118 @@ def corpus_mix_rates(spark, sf_dir):
     return mix_rates(load(spark, sf_dir, "documents"), ("lang", "source"), cap=0.25)
 
 
+# ---------------------------------------------------------------------------
+# URL canonicalization over the input_hint pages shape — committed fixture
+# (tools/make_pages_fixture.py), INDEPENDENT SQL re-derivation of the spec
+# in operators/urls.py (not a golden of the engine's own output)
+# ---------------------------------------------------------------------------
+
+def _pages_fixture_path() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "pages.parquet",
+    )
+
+
+def _url_canon_cte() -> str:
+    """DuckDB CTE chain ending in relation c(url, warc_ts, canon_url, host)
+    — mirrors operators/urls.py::normalize_url step for step (RE2 group
+    refs are \\1 where Java's are $1; semantics identical)."""
+    return rf"""
+    WITH p0 AS (
+      SELECT url, warc_ts, regexp_replace(url, '#.*', '') AS nofrag
+      FROM read_parquet('{_pages_fixture_path()}')
+    ),
+    p1 AS (
+      SELECT url, warc_ts, nofrag,
+             lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*')) AS pre0
+      FROM p0
+    ),
+    p2 AS (
+      SELECT url, warc_ts,
+             substring(nofrag, length(pre0) + 1) AS rest,
+             regexp_replace(pre0, '^(https?://)www\.', '\1') AS pre1
+      FROM p1
+    ),
+    p3 AS (
+      SELECT url, warc_ts, rest,
+             CASE WHEN starts_with(pre1, 'http://')
+                    THEN regexp_replace(pre1, ':80$', '')
+                  WHEN starts_with(pre1, 'https://')
+                    THEN regexp_replace(pre1, ':443$', '')
+                  ELSE pre1 END AS pre
+      FROM p2
+    ),
+    p4 AS (
+      SELECT url, warc_ts, pre,
+             CASE WHEN strpos(rest, '?') = 0 THEN rest
+                  ELSE substring(rest, 1, strpos(rest, '?') - 1) END AS path0,
+             CASE WHEN strpos(rest, '?') = 0 THEN ''
+                  ELSE substring(rest, strpos(rest, '?') + 1) END AS query
+      FROM p3
+    ),
+    p5 AS (
+      SELECT url, warc_ts, pre,
+             regexp_replace(path0, '/+$', '') AS path,
+             coalesce(array_to_string(list_sort(list_filter(
+               string_split(query, '&'),
+               p -> p <> '' AND NOT regexp_matches(p,
+                 '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&'), '') AS q2
+      FROM p4
+    ),
+    c AS (
+      SELECT url, warc_ts,
+             pre || path ||
+               CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canon_url,
+             regexp_replace(regexp_replace(pre, '^[a-z0-9+.\-]+://', ''),
+                            ':[0-9]+$', '') AS host
+      FROM p5
+    )
+    """
+
+
+@register(
+    "url_canonicalize",
+    oracle=_url_canon_cte() + "SELECT url, canon_url, host FROM c",
+)
+def url_canonicalize(spark, sf_dir):
+    """Surface-url -> canonical-url mapping over the messy-URL pages
+    fixture (scheme/host case, www., default ports, trailing slashes,
+    fragments, tracking params, param order — spec in operators/urls.py).
+    Row-local column algebra, no shuffle; the fixture is committed and
+    sf-independent, like the multimodal trio."""
+    from deepex_spark.operators.urls import canonicalize_urls
+
+    pages = spark.read.parquet(_pages_fixture_path())
+    return canonicalize_urls(pages).select("url", "canon_url", "host")
+
+
+@register(
+    "crawl_keep_newest",
+    oracle=_url_canon_cte()
+    + """
+    SELECT canon_url, url, warc_ts, n_variants FROM (
+      SELECT canon_url, url, warc_ts,
+             row_number() OVER (PARTITION BY canon_url
+                                ORDER BY warc_ts DESC, url ASC) AS rn,
+             CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT)
+               AS n_variants
+      FROM c
+    ) t WHERE rn = 1
+    """,
+)
+def crawl_keep_newest(spark, sf_dir):
+    """Crawl-snapshot compaction: newest fetch per CANONICAL url (ties by
+    raw url asc), with the surface-variant count — run before per-page
+    processing so re-fetches of one logical page aren't processed twice."""
+    from deepex_spark.operators.urls import crawl_snapshot
+
+    pages = spark.read.parquet(_pages_fixture_path())
+    return crawl_snapshot(pages)
+
+
 @register(
     "o_quantiles",
     oracle="""
