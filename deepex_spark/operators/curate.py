@@ -296,6 +296,7 @@ def contamination_flags(
     text_col: str = "text",
     n: int = 5,
     bench_mod: int = 97,
+    bench: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing any token
     ``n``-gram with a held-out benchmark set -> ``(doc_id, n_hits)``
@@ -305,8 +306,10 @@ def contamination_flags(
     This is the standard eval-leakage sweep (GPT-3 appendix C / Gopher
     sec. A.3 style: drop training docs overlapping an eval set on a
     13-gram; ``n`` is a knob because synthetic corpora have shorter
-    spans). The benchmark membership predicate here is deterministic —
-    ``doc_id % bench_mod == 0`` — standing in for the real eval-set ids.
+    spans). Pass ``bench`` (any frame with ``text_col``) to sweep
+    against a real eval set — then ALL of ``docs`` is corpus; without
+    it, the deterministic ``doc_id % bench_mod == 0`` subset stands in
+    for the eval-set ids.
 
     Scale: the benchmark side is tiny by construction (an eval set, not
     a corpus), so its distinct-gram set is BROADCAST and the corpus side
@@ -319,14 +322,19 @@ def contamination_flags(
     """
     toks = F.split(F.col(text_col), " ")
     grams = F.explode(token_ngrams(toks, n)).alias("g")
-    is_bench = (F.col(id_col) % bench_mod) == 0
+    if bench is not None:
+        bench_side, corpus_side = bench, docs
+    else:
+        is_bench = (F.col(id_col) % bench_mod) == 0
+        bench_side, corpus_side = docs.where(is_bench), docs.where(~is_bench)
     bench_grams = (
-        docs.where(is_bench)
-        .select(grams)
+        bench_side.select(
+            F.explode(token_ngrams(F.split(F.col(text_col), " "), n)).alias("g")
+        )
         .where(F.col("g").isNotNull() & (F.length("g") > 0))
         .distinct()
     )
-    corpus_grams = docs.where(~is_bench).select(F.col(id_col), grams).where(
+    corpus_grams = corpus_side.select(F.col(id_col), grams).where(
         F.col("g").isNotNull()
     )
     return (
@@ -377,6 +385,49 @@ def repetition_stats(
         ).alias("dup_frac"),
         F.round(F.col("top_c").cast("double") / F.col("n_grams"), 4).alias("top_share"),
     )
+
+
+def repetition_signals(text_col: str = "text", n: int = 2):
+    """Row-local ``(dup_frac, top_share)`` column expressions — the same
+    two signals as :func:`repetition_stats` but computed WITHOUT any
+    shuffle, for use as a gate inside a hot pipeline stage (the stats
+    variant groupBys per (doc, gram) — right for reporting, wrong for a
+    filter that runs on 100 TB).
+
+    ``dup_frac`` uses ``array_distinct``; ``top_share`` sorts the doc's
+    gram array and folds a longest-equal-run accumulator over it with
+    ``aggregate`` — linear in the doc's token count, fully JVM-side.
+    Both are NULL for docs with no n-grams (< n tokens): a gate should
+    treat no-signal as pass and length-filter separately.
+
+    Equality with repetition_stats is pinned by
+    tests/test_curate.py::TestRepetitionSignals.
+    """
+    toks = F.split(F.col(text_col), " ")
+    g = F.filter(
+        token_ngrams(toks, n), lambda x: x.isNotNull() & (F.length(x) > 0)
+    )
+    total = F.size(g)
+    dup_frac = F.when(
+        total > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / total, 4
+        ),
+    )
+    s = F.array_sort(g)
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top = F.aggregate(s, zero, step, lambda acc: acc["best"])
+    top_share = F.when(total > 0, F.round(top.cast("double") / total, 4))
+    return dup_frac, top_share
 
 
 def mix_rates(

@@ -3,9 +3,12 @@
 Composes the curation operators into the standard pre-training data
 pipeline shape:
 
-    scrub (PII redaction) -> quality gate -> exact dedup -> MinHash-LSH
-    near-dup clustering (keep one canonical doc per cluster) ->
-    deterministic stratified sampling -> partitioned parquet corpus
+    scrub (PII redaction) -> quality gate (length, stopword ratio, and
+    optional Gopher repetition rules — row-local, zero shuffle) ->
+    exact dedup -> MinHash-LSH near-dup clustering (keep one canonical
+    doc per cluster) -> optional eval-set decontamination (n-gram
+    overlap, broadcast anti-join) -> deterministic stratified sampling
+    -> partitioned parquet corpus
 
     zip -r deepex_spark.zip deepex_spark
     spark-submit --py-files deepex_spark.zip jobs/curate_corpus.py \\
@@ -36,12 +39,21 @@ def curate(
     default_rate: float = 1.0,
     no_redact: bool = False,
     minhash_sim: float = 0.5,
+    max_dup_frac: float = 1.0,
+    max_top_share: float = 1.0,
+    decontam_bench=None,
+    decontam_ngram: int = 8,
 ):
     """documents(doc_id, text, lang, ...) -> (clean DataFrame, stage-count
     callables). Returned counts are lazy so the caller controls actions."""
     from pyspark.sql import functions as F
 
-    from deepex_spark.operators.curate import redact, stratified_sample
+    from deepex_spark.operators.curate import (
+        contamination_flags,
+        redact,
+        repetition_signals,
+        stratified_sample,
+    )
     from deepex_spark.operators.dedup import minhash_dup_pairs
     from deepex_spark.operators.graph import dedup_clusters
 
@@ -54,9 +66,18 @@ def curate(
     n_words = F.size(F.filter(words, lambda w: F.length(w) > 0))
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
     stop_ratio = n_stop / F.greatest(n_words, F.lit(1))
-    gated = docs.withColumn("n_words", n_words).where(
-        (F.col("n_words") >= min_words) & (stop_ratio <= max_stop_ratio)
-    )
+    quality_pred = (F.col("n_words") >= min_words) & (stop_ratio <= max_stop_ratio)
+    if max_dup_frac < 1.0 or max_top_share < 1.0:
+        # Gopher repetition rules, row-local (zero shuffle — the groupBy
+        # variant repetition_stats is for reporting, not hot-path gating);
+        # docs too short for a bigram have no signal and pass
+        dup_frac, top_share = repetition_signals()
+        quality_pred = (
+            quality_pred
+            & F.coalesce(dup_frac <= max_dup_frac, F.lit(True))
+            & F.coalesce(top_share <= max_top_share, F.lit(True))
+        )
+    gated = docs.withColumn("n_words", n_words).where(quality_pred)
 
     # exact dedup: one survivor per byte-identical text (smallest doc_id)
     from pyspark.sql import Window
@@ -71,10 +92,19 @@ def curate(
         clusters.where(F.col("is_canonical")).select("doc_id"), "doc_id", "inner"
     )
 
+    # eval-set decontamination AFTER dedup (smallest corpus pays the
+    # n-gram sweep); contaminated ids are rare -> broadcast anti-join
+    decontaminated = near
+    if decontam_bench is not None:
+        flagged = contamination_flags(
+            near, n=decontam_ngram, bench=decontam_bench
+        ).select("doc_id")
+        decontaminated = near.join(F.broadcast(flagged), "doc_id", "left_anti")
+
     sampled = (
-        stratified_sample(near, "doc_id", "lang", rates or {}, default_rate)
+        stratified_sample(decontaminated, "doc_id", "lang", rates or {}, default_rate)
         if (rates or default_rate < 1.0)
-        else near
+        else decontaminated
     )
     # the written corpus carries ONLY the input schema: the audit columns
     # (quality's n_words, redact's n_<pattern> counts, sampling's h) are
@@ -86,6 +116,7 @@ def curate(
         "quality": gated,
         "exact": exact,
         "near": near,
+        "decontaminated": decontaminated,
         "clean": sampled,
     }
 
@@ -99,6 +130,10 @@ def main(argv=None):
     p.add_argument("--rates-json", default=None, help='JSON {lang: keep_rate}; e.g. {"en": 0.5}')
     p.add_argument("--default-rate", type=float, default=1.0)
     p.add_argument("--minhash-sim", type=float, default=0.5, help="near-dup est-Jaccard threshold")
+    p.add_argument("--max-dup-frac", type=float, default=1.0, help="Gopher duplicate-bigram-fraction gate (1.0 = off)")
+    p.add_argument("--max-top-share", type=float, default=1.0, help="Gopher top-bigram-share gate (1.0 = off)")
+    p.add_argument("--decontam-input", default=None, help="eval-set parquet with a text column: drop docs sharing an n-gram")
+    p.add_argument("--decontam-ngram", type=int, default=8)
     p.add_argument("--no-redact", action="store_true")
     p.add_argument("--buckets", type=int, default=None, help="output files: repartition by hash(doc_id)")
     args = p.parse_args(argv)
@@ -113,6 +148,7 @@ def main(argv=None):
     rates = json.loads(open(args.rates_json).read()) if args.rates_json else None
 
     docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.decontam_input) if args.decontam_input else None
     t0 = time.time()
     stages = curate(
         docs,
@@ -122,6 +158,10 @@ def main(argv=None):
         default_rate=args.default_rate,
         no_redact=args.no_redact,
         minhash_sim=args.minhash_sim,
+        max_dup_frac=args.max_dup_frac,
+        max_top_share=args.max_top_share,
+        decontam_bench=bench,
+        decontam_ngram=args.decontam_ngram,
     )
     # persist the two expensive shared prefixes so the per-stage count
     # report doesn't re-run redact + the quality gate + the dedup window

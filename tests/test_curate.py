@@ -534,3 +534,40 @@ class TestMixRates:
         # 1/65536 so the realized rate is approximate), fr kept whole
         assert by_lang["fr"] == 100
         assert 0.18 * 500 <= by_lang["en"] <= 0.32 * 500
+
+
+class TestRepetitionSignals:
+    def test_matches_grouped_stats_on_random_docs(self, spark):
+        import random
+
+        rng = random.Random(1266)
+        rows = []
+        for i in range(60):
+            vocab = [f"w{k}" for k in range(rng.randint(1, 8))]
+            n = rng.randint(0, 40)
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(n)), "en", "s"))
+        docs = _docs(spark, rows)
+        from deepex_spark.operators.curate import repetition_signals
+
+        dup, top = repetition_signals()
+        local = {
+            r["doc_id"]: (r["dup_frac"], r["top_share"])
+            for r in docs.select("doc_id", dup.alias("dup_frac"), top.alias("top_share"))
+            .where(F.col("dup_frac").isNotNull())
+            .collect()
+        }
+        grouped = {
+            r["doc_id"]: (r["dup_frac"], r["top_share"])
+            for r in repetition_stats(docs).select(
+                "doc_id", "dup_frac", "top_share"
+            ).collect()
+        }
+        assert local == grouped
+
+    def test_no_grams_is_null_signal(self, spark):
+        from deepex_spark.operators.curate import repetition_signals
+
+        docs = _docs(spark, [(1, "solo", "en", "s")])
+        dup, top = repetition_signals()
+        r = docs.select(dup.alias("d"), top.alias("t")).collect()[0]
+        assert r["d"] is None and r["t"] is None

@@ -104,3 +104,40 @@ def test_job_cli(spark, tmp_path):
         for r in spark.read.parquet(src).where(F.col("lang") == "en").collect()
     ]
     assert any(h4(d) >= "8000" for d in all_en)
+
+
+def test_repetition_gate(spark):
+    loop_spam = " ".join(["buy", "now"] * 20)
+    rows = [
+        (1, loop_spam, "en"),
+        (2, "a genuinely varied sentence with no repeated bigrams at all", "en"),
+        # two tokens only -> one bigram -> top_share 1.0, but dup_frac 0:
+        # gets caught by top_share, not dup_frac
+        (3, "hello world hello world hello world hello world", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    stages = curate(docs, min_words=1, no_redact=True, max_dup_frac=0.5)
+    assert {r["doc_id"] for r in stages["quality"].collect()} == {2}
+    # gate off by default: all pass
+    stages = curate(docs, min_words=1, no_redact=True)
+    assert stages["quality"].count() == 3
+
+
+def test_decontamination_anti_join(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight", "en"),
+        (2, "totally unrelated text with nothing shared at all okay", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    bench = spark.createDataFrame(
+        [("eval question about the quick brown fox jumps over things",)],
+        "text string",
+    )
+    stages = curate(
+        docs, min_words=1, no_redact=True, decontam_bench=bench, decontam_ngram=5
+    )
+    assert {r["doc_id"] for r in stages["decontaminated"].collect()} == {2}
+    assert {r["doc_id"] for r in stages["clean"].collect()} == {2}
+    # without a bench set the stage is a no-op
+    stages = curate(docs, min_words=1, no_redact=True)
+    assert stages["decontaminated"].count() == 2
