@@ -119,3 +119,38 @@ def crawl_snapshot(
         ["n_variants"] if with_counts else []
     )
     return ranked.where(F.col("rn") == 1).select(*out_cols)
+
+
+def dedup_refetches(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Ingest-time re-fetch dedup: keep the newest full page row per
+    canonical url and RE-KEY it by the canonical url (``url_col`` is
+    REPLACED by the canonical form; schema otherwise unchanged), so every
+    downstream docid — checkpoints, lineage, triples — is stable across
+    surface re-fetches of the same logical page.
+
+    The same keep-newest semantics as :func:`crawl_snapshot` (newest
+    ``ts_col``, ties by raw url asc) but carrying the full row. Rank-only
+    window, so WindowGroupLimit cuts duplicate payloads per-partition
+    BEFORE the one canon_url exchange. That exchange moves the full page
+    payload once — an extra full shuffle vs skipping dedup, which is the
+    right trade whenever per-page processing (the extraction kernel —
+    dominant by orders of magnitude) exceeds one shuffle pass: at typical
+    crawl re-fetch rates every duplicate page processed is pure waste.
+    """
+    cols = pages.columns
+    w = Window.partitionBy("canon_url").orderBy(F.desc(ts_col), F.asc(url_col))
+    return (
+        canonicalize_urls(pages, url_col)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            *[
+                F.col("canon_url").alias(url_col) if c == url_col else F.col(c)
+                for c in cols
+            ]
+        )
+    )

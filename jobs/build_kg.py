@@ -37,6 +37,12 @@ def main(argv=None):
     p.add_argument("--max-kernel-tokens", type=int, default=None)
     p.add_argument("--no-rerank", action="store_true")
     p.add_argument("--resume", action="store_true", help="skip completed checkpoint buckets")
+    p.add_argument(
+        "--canonicalize-urls",
+        action="store_true",
+        help="dedup re-fetches at ingest: keep the newest page per canonical "
+        "url and re-key docids by it (stable across surface url variants)",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -60,6 +66,12 @@ def main(argv=None):
     )
     catalog = Catalog(args.output, fmt=args.output_format)
     pages = read_pages(spark, args.input, fmt=args.input_format)
+    if args.canonicalize_urls:
+        # BEFORE the resume anti-join: resumed docids must be canonical,
+        # or a re-crawl under a new surface url re-processes a done page
+        from deepex_spark.operators.urls import dedup_refetches
+
+        pages = dedup_refetches(pages)
     if args.resume and catalog.exists("triples"):
         pages = catalog.pending(pages.withColumnRenamed("url", "docid"), "triples").withColumnRenamed(
             "docid", "url"

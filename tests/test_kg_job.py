@@ -152,3 +152,48 @@ def test_spark_submit_pyfiles_subprocess(spark, tmp_path):
     assert report["run_id"] == "submit1"
     assert report["triples"] > 0 and report["vertices"] > 0 and report["edges"] > 0
     assert (out / "edges").exists() and (out / "vertices").exists()
+
+
+def test_canonicalize_urls_dedups_refetches(spark, tmp_path):
+    """--canonicalize-urls: surface re-fetches of one logical page are
+    processed once, keyed by the canonical url."""
+    import json as _json
+    from io import StringIO
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from deepex_spark.sources.pages import synth_pages
+    from jobs.build_kg import main
+
+    base = synth_pages(spark, n_docs=6, seed=5)
+    # re-fetch of every page under a messy surface url, one hour later
+    refetch = base.select(
+        F.concat(F.lit("HTTPS://WWW."), F.regexp_replace("url", "^https://", ""),
+                 F.lit("/?utm_source=x")).alias("url"),
+        (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("warc_ts"),
+        "html", "text", "lang",
+    )
+    src = tmp_path / "pages"
+    base.unionByName(refetch).write.parquet(str(src))
+    out = tmp_path / "out"
+    buf = StringIO()
+    with redirect_stdout(buf):
+        main(
+            [
+                "--input", str(src),
+                "--output", str(out),
+                "--run-id", "canon1",
+                "--dist-const", "2",
+                "--canonicalize-urls",
+            ]
+        )
+    report = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    # 12 surface rows -> 6 canonical pages; triples keyed by canonical url
+    from deepex_spark.plans.catalog import Catalog
+
+    triples = Catalog(str(out)).read(spark, "triples")
+    docids = {r["docid"] for r in triples.select("docid").distinct().collect()}
+    assert len(docids) == 6
+    assert all(u.startswith("https://example.org/") for u in docids)
+    assert report["triples"] == triples.count()

@@ -131,3 +131,35 @@ class TestCrawlSnapshot:
         # the scale path must push a per-partition top-1 below the exchange
         plan = lean._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan
+
+
+class TestDedupRefetches:
+    def test_schema_preserved_and_rekeyed(self, spark):
+        from deepex_spark.operators.urls import dedup_refetches
+
+        pages = spark.createDataFrame(
+            [
+                ("https://a.org/p", datetime(2024, 1, 1), b"old", "old text", "en"),
+                ("HTTPS://WWW.A.ORG/p/?utm_source=x", datetime(2024, 1, 2), b"new", "new text", "en"),
+                ("https://b.org/q", datetime(2024, 1, 1), b"b", "b text", "de"),
+            ],
+            "url string, warc_ts timestamp_ntz, html binary, text string, lang string",
+        )
+        out = dedup_refetches(pages)
+        assert out.columns == pages.columns
+        rows = {r["url"]: r for r in out.collect()}
+        assert set(rows) == {"https://a.org/p", "https://b.org/q"}
+        # the NEWEST fetch's payload survives, keyed by the canonical url
+        assert rows["https://a.org/p"]["text"] == "new text"
+        assert bytes(rows["https://a.org/p"]["html"]) == b"new"
+        assert rows["https://b.org/q"]["lang"] == "de"
+
+    def test_rank_only_group_limit_plan(self, spark):
+        from deepex_spark.operators.urls import dedup_refetches
+
+        pages = spark.createDataFrame(
+            [("https://a.org/p", datetime(2024, 1, 1), b"", "t", "en")],
+            "url string, warc_ts timestamp_ntz, html binary, text string, lang string",
+        )
+        plan = dedup_refetches(pages)._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
