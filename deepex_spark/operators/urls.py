@@ -121,6 +121,37 @@ def crawl_snapshot(
     return ranked.where(F.col("rn") == 1).select(*out_cols)
 
 
+def host_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Per-host crawl statistics -> ``(host, n_fetches, n_pages,
+    refetch_ratio, last_fetch)``: the per-domain rollup crawl curation
+    runs to spot over-crawled/boilerplate-heavy hosts and set per-domain
+    budgets (``n_pages`` = distinct canonical urls; ``refetch_ratio`` =
+    fetches per logical page).
+
+    One map-side-combined groupBy per host after the row-local
+    canonicalization — distinct canonical urls via an exact
+    count_distinct (per-host cardinalities are bounded by the host's
+    page count; swap in approx_count_distinct when hosts reach 10^8
+    pages and the exact distinct's per-group hash set no longer fits).
+    """
+    return (
+        canonicalize_urls(pages, url_col)
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.count_distinct(F.col("canon_url")).alias("n_pages"),
+            F.round(
+                F.count("*").cast("double") / F.count_distinct(F.col("canon_url")), 4
+            ).alias("refetch_ratio"),
+            F.max(ts_col).alias("last_fetch"),
+        )
+    )
+
+
 def dedup_refetches(
     pages: DataFrame,
     url_col: str = "url",

@@ -1786,6 +1786,30 @@ def crawl_keep_newest(spark, sf_dir):
 
 
 @register(
+    "crawl_host_stats",
+    oracle=_url_canon_cte()
+    + """
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_fetches,
+           CAST(count(DISTINCT canon_url) AS BIGINT) AS n_pages,
+           round(CAST(count(*) AS DOUBLE)
+                 / CAST(count(DISTINCT canon_url) AS DOUBLE), 4)
+             AS refetch_ratio,
+           max(warc_ts) AS last_fetch
+    FROM c GROUP BY host
+    """,
+)
+def crawl_host_stats(spark, sf_dir):
+    """Per-domain crawl rollup: fetch counts, distinct canonical pages,
+    re-fetch ratio, newest fetch — the table per-domain crawl budgets are
+    set from."""
+    from deepex_spark.operators.urls import host_stats
+
+    pages = spark.read.parquet(_pages_fixture_path())
+    return host_stats(pages)
+
+
+@register(
     "o_quantiles",
     oracle="""
     SELECT event_type,

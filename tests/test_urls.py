@@ -163,3 +163,24 @@ class TestDedupRefetches:
         )
         plan = dedup_refetches(pages)._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan
+
+
+class TestHostStats:
+    def test_counts_and_refetch_ratio(self, spark):
+        from deepex_spark.operators.urls import host_stats
+
+        pages = spark.createDataFrame(
+            [
+                ("https://a.org/p", datetime(2024, 1, 1), b"", "t", "en"),
+                ("https://www.a.org/p/", datetime(2024, 1, 2), b"", "t", "en"),
+                ("https://a.org/q", datetime(2024, 1, 3), b"", "t", "en"),
+                ("https://b.org/r", datetime(2024, 1, 1), b"", "t", "en"),
+            ],
+            "url string, warc_ts timestamp_ntz, html binary, text string, lang string",
+        )
+        out = {r["host"]: r for r in host_stats(pages).collect()}
+        a = out["a.org"]
+        assert (a["n_fetches"], a["n_pages"]) == (3, 2)
+        assert a["refetch_ratio"] == 1.5
+        assert a["last_fetch"] == datetime(2024, 1, 3)
+        assert out["b.org"]["refetch_ratio"] == 1.0
