@@ -56,6 +56,7 @@ CURATION = [
     "corpus_mix_rates",
     "url_canonicalize",
     "crawl_keep_newest",
+    "crawl_host_stats",
 ]
 
 

@@ -243,12 +243,15 @@ def token_ngrams(toks, n: int):
     """Array column of space-joined token ``n``-grams, built JVM-side by
     zipping ``n`` shifted slices of the token array (no Python, no
     quadratic substring scan). Grams touching an empty token come out
-    NULL so callers can drop them with one isNotNull filter.
+    NULL so callers can drop them with one isNotNull filter (including
+    at n=1, where empty tokens are nulled rather than passed through).
     """
     if n < 1:
         raise ValueError("n must be >= 1")
     width = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     grams = F.slice(toks, 1, width)
+    if n == 1:
+        return F.transform(grams, lambda x: F.when(F.length(x) > 0, x))
     for i in range(1, n):
         nxt = F.slice(toks, i + 1, width)
         grams = F.zip_with(
@@ -290,6 +293,16 @@ def ngram_counts(
     )
 
 
+def _tokens(text_col: str, token_split: str, lowercase: bool):
+    """Token array under the curation layer's two tokenization regimes:
+    the robust default (``\\s+`` split of lowercased text — what a real
+    eval-leakage/quality sweep wants, matching ngram_counts/tfidf) and
+    the byte-literal single-space split the registered oracle queries
+    pin (DuckDB ``string_split(text, ' ')``)."""
+    col = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    return F.split(col, token_split)
+
+
 def contamination_flags(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -297,6 +310,8 @@ def contamination_flags(
     n: int = 5,
     bench_mod: int = 97,
     bench: DataFrame | None = None,
+    token_split: str = r"\s+",
+    lowercase: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing any token
     ``n``-gram with a held-out benchmark set -> ``(doc_id, n_hits)``
@@ -320,7 +335,7 @@ def contamination_flags(
     join SURVIVORS (contaminated grams — rare by design), where the
     per-doc distinct-count collapses repeats.
     """
-    toks = F.split(F.col(text_col), " ")
+    toks = _tokens(text_col, token_split, lowercase)
     grams = F.explode(token_ngrams(toks, n)).alias("g")
     if bench is not None:
         bench_side, corpus_side = bench, docs
@@ -329,7 +344,9 @@ def contamination_flags(
         bench_side, corpus_side = docs.where(is_bench), docs.where(~is_bench)
     bench_grams = (
         bench_side.select(
-            F.explode(token_ngrams(F.split(F.col(text_col), " "), n)).alias("g")
+            F.explode(
+                token_ngrams(_tokens(text_col, token_split, lowercase), n)
+            ).alias("g")
         )
         .where(F.col("g").isNotNull() & (F.length("g") > 0))
         .distinct()
@@ -349,6 +366,8 @@ def repetition_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 2,
+    token_split: str = r"\s+",
+    lowercase: bool = True,
 ) -> DataFrame:
     """Gopher-style within-document repetition signals ->
     ``(doc_id, n_grams, n_distinct, dup_frac, top_share)``.
@@ -366,7 +385,7 @@ def repetition_stats(
     scalars. Ratios are rounded to 4 so engine summation order cannot
     flip the value hash.
     """
-    toks = F.split(F.col(text_col), " ")
+    toks = _tokens(text_col, token_split, lowercase)
     exploded = docs.select(
         F.col(id_col), F.explode(token_ngrams(toks, n)).alias("g")
     ).where(F.col("g").isNotNull() & (F.length("g") > 0))
@@ -387,7 +406,12 @@ def repetition_stats(
     )
 
 
-def repetition_signals(text_col: str = "text", n: int = 2):
+def repetition_signals(
+    text_col: str = "text",
+    n: int = 2,
+    token_split: str = r"\s+",
+    lowercase: bool = True,
+):
     """Row-local ``(dup_frac, top_share)`` column expressions — the same
     two signals as :func:`repetition_stats` but computed WITHOUT any
     shuffle, for use as a gate inside a hot pipeline stage (the stats
@@ -403,7 +427,7 @@ def repetition_signals(text_col: str = "text", n: int = 2):
     Equality with repetition_stats is pinned by
     tests/test_curate.py::TestRepetitionSignals.
     """
-    toks = F.split(F.col(text_col), " ")
+    toks = _tokens(text_col, token_split, lowercase)
     g = F.filter(
         token_ngrams(toks, n), lambda x: x.isNotNull() & (F.length(x) > 0)
     )

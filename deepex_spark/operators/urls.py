@@ -24,6 +24,12 @@ servers):
 6. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``), sort
    the survivors byte-wise, drop the ``?`` if none survive.
 
+Known deviation: step 2 case-folds the WHOLE authority, including any
+``user:pass@`` userinfo (which RFC 3986 keeps case-sensitive). Crawl
+corpora exclude credentialed URLs as a matter of policy, so the spec
+trades that corner for a one-regex prefix rule; :func:`url_host` does
+cut userinfo so per-host rollups are never split by it.
+
 Everything is JVM-side column algebra (regexp/split/array_sort — no UDF,
 no shuffle): canonicalization is a row-local map and scales
 embarrassingly. ``crawl_snapshot`` then keeps the newest fetch per
@@ -73,9 +79,14 @@ def normalize_url(url: Column) -> Column:
 
 def url_host(url: Column) -> Column:
     """Port-stripped lowercase host of the CANONICAL url (apply to
-    :func:`normalize_url` output; on a raw url the casing/www may remain)."""
+    :func:`normalize_url` output; on a raw url the casing/www may
+    remain). Userinfo (``user:pass@``), if present, is cut — the host is
+    the authority AFTER the last ``@`` — so credentials can never split
+    one domain's rows across phantom hosts in per-host rollups."""
     return F.regexp_replace(
-        F.regexp_extract(url, r"^[a-z0-9+.\-]+://([^/?]*)", 1), ":[0-9]+$", ""
+        F.regexp_extract(url, r"^[a-z0-9+.\-]+://(?:[^/?]*@)?([^/?@]*)", 1),
+        ":[0-9]+$",
+        "",
     )
 
 
@@ -105,11 +116,10 @@ def crawl_snapshot(
     exchange, so the shuffle carries one candidate per canonical url per
     input partition instead of every fetch.
     """
-    w = Window.partitionBy("canon_url").orderBy(F.desc(ts_col), F.asc(url_col))
-    ranked = (
-        canonicalize_urls(pages, url_col)
-        .select("canon_url", url_col, ts_col)
-        .withColumn("rn", F.row_number().over(w))
+    ranked = _rank_newest(
+        canonicalize_urls(pages, url_col).select("canon_url", url_col, ts_col),
+        url_col,
+        ts_col,
     )
     if with_counts:
         ranked = ranked.withColumn(
@@ -118,7 +128,15 @@ def crawl_snapshot(
     out_cols = ["canon_url", url_col, ts_col] + (
         ["n_variants"] if with_counts else []
     )
-    return ranked.where(F.col("rn") == 1).select(*out_cols)
+    return ranked.where(F.col("_rn") == 1).select(*out_cols)
+
+
+def _rank_newest(df: DataFrame, url_col: str, ts_col: str) -> DataFrame:
+    """Shared keep-newest rank over ``canon_url`` (newest ``ts_col``,
+    ties by raw url asc) — the ONE place the tie-break order lives, so
+    crawl_snapshot and dedup_refetches cannot silently diverge."""
+    w = Window.partitionBy("canon_url").orderBy(F.desc(ts_col), F.asc(url_col))
+    return df.withColumn("_rn", F.row_number().over(w))
 
 
 def host_stats(
@@ -173,11 +191,9 @@ def dedup_refetches(
     crawl re-fetch rates every duplicate page processed is pure waste.
     """
     cols = pages.columns
-    w = Window.partitionBy("canon_url").orderBy(F.desc(ts_col), F.asc(url_col))
     return (
-        canonicalize_urls(pages, url_col)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        _rank_newest(canonicalize_urls(pages, url_col), url_col, ts_col)
+        .where(F.col("_rn") == 1)
         .select(
             *[
                 F.col("canon_url").alias(url_col) if c == url_col else F.col(c)

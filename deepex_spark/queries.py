@@ -1610,10 +1610,18 @@ def contamination_flags(spark, sf_dir):
     distinct contaminated grams per doc (8 docs flag at sf0.01 — the
     sweep is selective, as decontamination should be). The benchmark
     gram set is broadcast — the corpus side never shuffles for the
-    join."""
+    join. Tokenization pinned to the oracle's byte-literal
+    string_split(text, ' '); the operator's default is the robust
+    lower+whitespace split."""
     from deepex_spark.operators.curate import contamination_flags as cf
 
-    return cf(load(spark, sf_dir, "documents"), n=4, bench_mod=97)
+    return cf(
+        load(spark, sf_dir, "documents"),
+        n=4,
+        bench_mod=97,
+        token_split=" ",
+        lowercase=False,
+    )
 
 
 @register(
@@ -1643,10 +1651,13 @@ def contamination_flags(spark, sf_dir):
 def quality_repetition(spark, sf_dir):
     """Gopher-style repetition signals per doc: duplicate-bigram fraction
     and top-bigram occupancy share (the filters that kill boilerplate and
-    looping spam in a crawl corpus)."""
+    looping spam in a crawl corpus). Tokenization pinned to the oracle's
+    string_split(text, ' ')."""
     from deepex_spark.operators.curate import repetition_stats
 
-    return repetition_stats(load(spark, sf_dir, "documents"), n=2)
+    return repetition_stats(
+        load(spark, sf_dir, "documents"), n=2, token_split=" ", lowercase=False
+    )
 
 
 @register(
@@ -1738,8 +1749,9 @@ def _url_canon_cte() -> str:
       SELECT url, warc_ts,
              pre || path ||
                CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canon_url,
-             regexp_replace(regexp_replace(pre, '^[a-z0-9+.\-]+://', ''),
-                            ':[0-9]+$', '') AS host
+             regexp_replace(
+               regexp_extract(pre, '^[a-z0-9+.\-]+://(?:[^/?]*@)?([^/?@]*)', 1),
+               ':[0-9]+$', '') AS host
       FROM p5
     )
     """

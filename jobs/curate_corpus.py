@@ -163,10 +163,13 @@ def main(argv=None):
         decontam_bench=bench,
         decontam_ngram=args.decontam_ngram,
     )
-    # persist the two expensive shared prefixes so the per-stage count
-    # report doesn't re-run redact + the quality gate + the dedup window
-    # once per downstream count (4 redundant full corpus passes otherwise)
+    # persist the expensive shared prefixes so the per-stage count report
+    # doesn't re-run redact + quality + the dedup window per downstream
+    # count — and persist `near` so the LSH clustering (the costliest
+    # stage) runs once, not once more each for the near, decontaminated
+    # and clean counts
     exact = stages["exact"].persist()
+    stages["near"] = stages["near"].persist()
     clean = stages["clean"].persist()
     out = clean
     if args.buckets:
@@ -176,6 +179,7 @@ def main(argv=None):
     report["clean"] = clean.count()
     report["wall_sec"] = round(time.time() - t0, 2)
     clean.unpersist()
+    stages["near"].unpersist()
     exact.unpersist()
     print(json.dumps(report))
     if not preexisting:

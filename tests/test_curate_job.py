@@ -111,8 +111,6 @@ def test_repetition_gate(spark):
     rows = [
         (1, loop_spam, "en"),
         (2, "a genuinely varied sentence with no repeated bigrams at all", "en"),
-        # two tokens only -> one bigram -> top_share 1.0, but dup_frac 0:
-        # gets caught by top_share, not dup_frac
         (3, "hello world hello world hello world hello world", "en"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
@@ -121,6 +119,24 @@ def test_repetition_gate(spark):
     # gate off by default: all pass
     stages = curate(docs, min_words=1, no_redact=True)
     assert stages["quality"].count() == 3
+
+
+def test_top_share_gate_catches_what_dup_frac_misses(spark):
+    # doc 1: every bigram distinct (dup_frac = 0) but one token dominates
+    # alternations -> 'x q','q x' style repeats... construct: 'x a x b x c'
+    # bigrams: xa ax xb bx xc -> all distinct, dup_frac 0, top_share 0.2.
+    # doc 2: 'hello world' -> ONE bigram -> top_share 1.0, dup_frac 0.0:
+    # only the top_share gate can catch it
+    rows = [
+        (1, "x a x b x c", "en"),
+        (2, "hello world", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    stages = curate(docs, min_words=1, no_redact=True, max_top_share=0.9)
+    assert {r["doc_id"] for r in stages["quality"].collect()} == {1}
+    # dup_frac alone would pass both
+    stages = curate(docs, min_words=1, no_redact=True, max_dup_frac=0.5)
+    assert stages["quality"].count() == 2
 
 
 def test_decontamination_anti_join(spark):
