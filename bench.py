@@ -57,6 +57,7 @@ CURATION = [
     "url_canonicalize",
     "crawl_keep_newest",
     "crawl_host_stats",
+    "doc_chunks",
 ]
 
 

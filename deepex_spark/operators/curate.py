@@ -454,6 +454,62 @@ def repetition_signals(
     return dup_frac, top_share
 
 
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    token_split: str = r"\s+",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Split each document into fixed-token training windows ->
+    ``(doc_id, chunk_id, chunk_text, n_tokens)`` — the chunking step
+    every pretraining / RAG-indexing pipeline runs before tokenizer
+    packing or embedding.
+
+    Windows start every ``stride = chunk_tokens - overlap`` tokens:
+    chunk i covers tokens ``[i*stride, i*stride + chunk_tokens)``; the
+    final window may be shorter (it is never dropped — truncating the
+    tail silently loses corpus). Docs with no tokens emit nothing.
+
+    Row-local: sequence + transform + posexplode over the token array —
+    no shuffle, no UDF; chunking 100 TB is a map-only scan whose output
+    row count is ~``n_tokens/stride`` per doc. (True cross-doc sequence
+    PACKING — concatenating short docs to fill windows — is inherently
+    order-dependent and belongs in the tokenizer's data loader, not a
+    distributed engine; this operator is the standard chunk-per-doc
+    precursor.)
+    """
+    if chunk_tokens < 1 or not (0 <= overlap < chunk_tokens):
+        raise ValueError("need chunk_tokens >= 1 and 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        _tokens(text_col, token_split, lowercase), lambda t: F.length(t) > 0
+    )
+    n = F.size(toks)
+    n_chunks = F.when(n > 0, F.floor((n - F.lit(1)) / F.lit(stride)) + 1).otherwise(
+        F.lit(0)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+    )
+    # sequence(0, -1) yields [0, -1] (descending) rather than an empty
+    # array — gate the empty-doc case explicitly
+    chunks = F.when(n_chunks > 0, chunks).otherwise(
+        F.array().cast("array<array<string>>")
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_toks")
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.array_join(F.col("_toks"), " ").alias("chunk_text"),
+        F.size(F.col("_toks")).cast("bigint").alias("n_tokens"),
+    )
+
+
 def mix_rates(
     docs: DataFrame,
     strata_cols: tuple[str, ...] = ("lang", "source"),

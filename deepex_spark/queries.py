@@ -1661,6 +1661,42 @@ def quality_repetition(spark, sf_dir):
 
 
 @register(
+    "doc_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS l
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, l,
+             CASE WHEN len(l) > 0 THEN (len(l) - 1) // 24 + 1
+                  ELSE 0 END AS n_chunks
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           array_to_string(l[i*24+1 : i*24+32], ' ') AS chunk_text,
+           CAST(len(l[i*24+1 : i*24+32]) AS BIGINT) AS n_tokens
+    FROM base, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+    """,
+)
+def doc_chunks(spark, sf_dir):
+    """Fixed-token training windows (32 tokens, 8 overlap -> stride 24)
+    per document — the chunking step before tokenizer packing or
+    embedding. Row-local sequence+transform+posexplode, map-only."""
+    from deepex_spark.operators.curate import chunk_documents
+
+    return chunk_documents(
+        load(spark, sf_dir, "documents"),
+        chunk_tokens=32,
+        overlap=8,
+        token_split=" ",
+        lowercase=False,
+    )
+
+
+@register(
     "corpus_mix_rates",
     oracle="""
     WITH s AS (

@@ -571,3 +571,60 @@ class TestRepetitionSignals:
         dup, top = repetition_signals()
         r = docs.select(dup.alias("d"), top.alias("t")).collect()[0]
         assert r["d"] is None and r["t"] is None
+
+
+class TestChunkDocuments:
+    def _chunks(self, spark, text, k, o):
+        from deepex_spark.operators.curate import chunk_documents
+
+        docs = _docs(spark, [(1, text, "en", "s")])
+        return [
+            (r["chunk_id"], r["chunk_text"], r["n_tokens"])
+            for r in chunk_documents(docs, chunk_tokens=k, overlap=o)
+            .orderBy("chunk_id")
+            .collect()
+        ]
+
+    def test_overlap_and_tail(self, spark):
+        # 7 tokens, k=4, o=2 -> stride 2 -> starts 0,2,4,6
+        out = self._chunks(spark, "a b c d e f g", 4, 2)
+        assert out == [
+            (0, "a b c d", 4),
+            (1, "c d e f", 4),
+            (2, "e f g", 3),
+            (3, "g", 1),
+        ]
+
+    def test_short_doc_single_chunk(self, spark):
+        assert self._chunks(spark, "x y", 8, 2) == [(0, "x y", 2)]
+
+    def test_exact_multiple_no_phantom_tail(self, spark):
+        # 4 tokens, k=2, o=0 -> exactly 2 chunks, no empty third
+        assert self._chunks(spark, "a b c d", 2, 0) == [
+            (0, "a b", 2),
+            (1, "c d", 2),
+        ]
+
+    def test_empty_doc_emits_nothing(self, spark):
+        assert self._chunks(spark, "", 4, 1) == []
+
+    def test_bad_params_raise(self, spark):
+        import pytest
+
+        from deepex_spark.operators.curate import chunk_documents
+
+        docs = _docs(spark, [(1, "a b", "en", "s")])
+        with pytest.raises(ValueError):
+            chunk_documents(docs, chunk_tokens=4, overlap=4)
+        with pytest.raises(ValueError):
+            chunk_documents(docs, chunk_tokens=0, overlap=0)
+
+    def test_coverage_reconstructs_doc(self, spark):
+        # consecutive chunks with overlap o: stripping the first o tokens
+        # of every chunk after the first re-concatenates to the doc
+        text = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+        out = self._chunks(spark, text, 5, 2)
+        rebuilt = out[0][1].split(" ")
+        for _, chunk, _ in out[1:]:
+            rebuilt += chunk.split(" ")[2:]
+        assert " ".join(rebuilt) == text
