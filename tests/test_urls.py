@@ -184,3 +184,74 @@ class TestHostStats:
         assert a["refetch_ratio"] == 1.5
         assert a["last_fetch"] == datetime(2024, 1, 3)
         assert out["b.org"]["refetch_ratio"] == 1.0
+
+
+def _py_canon(url: str) -> str:
+    """Independent pure-Python reference of the normalize_url spec (third
+    implementation alongside the Spark column algebra and the DuckDB
+    oracle — any pairwise divergence flags a spec ambiguity)."""
+    import re
+
+    nofrag = url.split("#", 1)[0]
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*", nofrag)
+    prefix = m.group(0) if m else ""
+    rest = nofrag[len(prefix):]
+    prefix = prefix.lower()
+    prefix = re.sub(r"^(https?://)www\.", r"\1", prefix)
+    if prefix.startswith("http://") and prefix.endswith(":80"):
+        prefix = prefix[:-3]
+    elif prefix.startswith("https://") and prefix.endswith(":443"):
+        prefix = prefix[:-4]
+    path, _, query = rest.partition("?")
+    path = re.sub(r"/+$", "", path)
+    kept = sorted(
+        p
+        for p in query.split("&")
+        if p and not re.match(r"^(utm_[^=]*|fbclid|gclid)(=|$)", p)
+    )
+    q2 = "&".join(kept)
+    return prefix + path + (("?" + q2) if q2 else "")
+
+
+class TestNormalizeUrlReference:
+    def test_spark_matches_python_reference_on_generated_mess(self, spark):
+        import random
+
+        rng = random.Random(5127)
+        urls = []
+        for _ in range(300):
+            scheme = rng.choice(["http", "https", "HTTP", "Https", "ftp"])
+            www = rng.choice(["", "www.", "WWW.", "Www."])
+            host = rng.choice(["a.org", "A.ORG", "sub.B-c.Org", "x1.example.net"])
+            port = rng.choice(["", ":80", ":443", ":8080", ":8443"])
+            path = rng.choice(["", "/", "/P/q", "/p", "/CaseY/z", "/p/", "/p//"])
+            params = rng.sample(
+                ["a=1", "B=2", "utm_source=x", "gclid=z", "q=Spark", "utmost=1", "fbclid"],
+                rng.randint(0, 4),
+            )
+            query = ("?" + "&".join(params)) if params else ""
+            frag = rng.choice(["", "#x", "#Sec"])
+            urls.append(f"{scheme}://{www}{host}{port}{path}{query}{frag}")
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = {
+            r["url"]: r["c"]
+            for r in df.select("url", normalize_url(F.col("url")).alias("c")).collect()
+        }
+        for u in urls:
+            assert got[u] == _py_canon(u), u
+
+    def test_idempotent_on_generated_mess(self, spark):
+        # canon(canon(u)) == canon(u) for the same generated population
+        import random
+
+        rng = random.Random(40)
+        urls = [
+            f"{rng.choice(['HTTP','https'])}://{rng.choice(['www.',''])}H{i}.Org"
+            f"{rng.choice([':443',':80',''])}/p{i}{rng.choice(['/','//',''])}"
+            f"{rng.choice(['?b=2&utm_x&a=1','?gclid=1',''])}{rng.choice(['#f',''])}"
+            for i in range(100)
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        once = df.select(normalize_url(F.col("url")).alias("c"))
+        twice = once.select("c", normalize_url(F.col("c")).alias("c2"))
+        assert twice.where(F.col("c") != F.col("c2")).count() == 0
