@@ -58,6 +58,7 @@ CURATION = [
     "crawl_keep_newest",
     "crawl_host_stats",
     "doc_chunks",
+    "events_cohort_retention",
 ]
 
 

@@ -158,6 +158,40 @@ def funnel(
     return firsts.agg(*aggs)
 
 
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention matrix -> ``(cohort_week, age_weeks,
+    n_active)``: users bucketed by the ISO week of their FIRST event,
+    counted distinct in every later week they act — the classic
+    product-analytics retention triangle, and for a crawl/event log the
+    standard "does a source keep producing" decay view.
+
+    Two shuffles, both on ``user_col``: the first-event groupBy
+    (map-side combined) and the join of events back to their user's
+    cohort — co-partitioned, so AQE plans the second exchange only for
+    the smaller firsts side. The final (cohort, age) aggregate runs on
+    the already-user-partitioned stream; distinct-user counts per cell
+    are exact (cells are bounded by cohort size — swap in
+    approx_count_distinct at 10^9-user scale).
+    """
+    firsts = events.groupBy(user_col).agg(F.min(ts_col).alias("first_ts"))
+    cohort = F.date_trunc("week", F.col("first_ts"))
+    week = F.date_trunc("week", F.col(ts_col))
+    return (
+        events.join(firsts, user_col)
+        .select(
+            F.col(user_col),
+            cohort.alias("cohort_week"),
+            F.floor(F.datediff(week, cohort) / 7).cast("bigint").alias("age_weeks"),
+        )
+        .groupBy("cohort_week", "age_weeks")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_active"))
+    )
+
+
 def tfidf_terms(
     docs: DataFrame,
     id_col: str = "doc_id",

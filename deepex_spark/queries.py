@@ -1965,6 +1965,35 @@ def events_funnel(spark, sf_dir):
 
 
 @register(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT e.user_id,
+             date_trunc('week', f.first_ts) AS cohort_week,
+             CAST(date_diff('day', date_trunc('week', f.first_ts),
+                            date_trunc('week', e.ts)) // 7 AS BIGINT)
+               AS age_weeks
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, age_weeks,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM act GROUP BY cohort_week, age_weeks
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention triangle: users bucketed by first-event
+    ISO week, distinct-counted in each later active week
+    (operators/curate.py::cohort_retention). Both engines truncate weeks
+    to Monday 00:00, so the cells line up exactly."""
+    from deepex_spark.operators.curate import cohort_retention
+
+    return cohort_retention(load(spark, sf_dir, "events"))
+
+
+@register(
     "events_attribution",
     oracle="""
     SELECT i.user_id,

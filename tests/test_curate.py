@@ -628,3 +628,29 @@ class TestChunkDocuments:
         for _, chunk, _ in out[1:]:
             rebuilt += chunk.split(" ")[2:]
         assert " ".join(rebuilt) == text
+
+
+class TestCohortRetention:
+    def test_cohorts_and_ages(self, spark):
+        from deepex_spark.operators.curate import cohort_retention
+
+        # Mon 2024-01-01 anchors week 0; 2024-01-08 is the next ISO week
+        ev = _events(
+            spark,
+            [
+                (datetime(2024, 1, 2), 1, 1.0),   # u1 cohort wk0
+                (datetime(2024, 1, 9), 1, 1.0),   # u1 active wk1
+                (datetime(2024, 1, 10), 1, 1.0),  # same week: still 1 distinct
+                (datetime(2024, 1, 3), 2, 1.0),   # u2 cohort wk0, never returns
+                (datetime(2024, 1, 9), 3, 1.0),   # u3 cohort wk1
+            ],
+        )
+        out = {
+            (r["cohort_week"].date().isoformat(), r["age_weeks"]): r["n_active"]
+            for r in cohort_retention(ev).collect()
+        }
+        assert out == {
+            ("2024-01-01", 0): 2,  # u1, u2 active in their own cohort week
+            ("2024-01-01", 1): 1,  # only u1 returns
+            ("2024-01-08", 0): 1,  # u3's cohort
+        }
