@@ -1965,6 +1965,119 @@ def events_funnel(spark, sf_dir):
 
 
 @register(
+    "tpch_q3_shaped",
+    oracle="""
+    SELECT l.l_orderkey AS l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate AS o_orderdate,
+           o.o_orderpriority AS o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-07-01'
+      AND l.l_shipdate > TIMESTAMP '1998-07-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def tpch_q3_shaped(spark, sf_dir):
+    """TPC-H Q3-shaped shipping-priority query: the canonical 3-table
+    star join (dim filter -> fact -> fact) with a grouped revenue
+    aggregate and deterministic top-10. All three date/segment filters
+    push to the parquet scans (PushedFilters + pruned ReadSchema);
+    customer is explicitly broadcast, orders⨝lineitem is a plain
+    equi-join Catalyst sizes itself (broadcast at small SF, AQE-planned
+    shuffle on orderkey at scale); the top-10 is TakeOrderedAndProject
+    (per-partition heaps), never a global sort."""
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "o_profile_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT),
+           CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+    FROM orders
+    """,
+)
+def o_profile_columns(spark, sf_dir):
+    """Table profiler: per-column row/null/distinct counts and min/max
+    (stringified for a uniform schema) — the data-quality summary every
+    lakehouse catalog materializes. ONE pass over the table: all
+    per-column aggregates compute in a single Aggregate node, then a
+    stack() unpivot emits one row per column (the SQL oracle spells the
+    same thing as UNION ALL of per-column scans — DuckDB reads the
+    parquet 4x; the engine reads it once). Doubles are excluded: their
+    string rendering is engine-specific, profile them with typed
+    min/max columns instead."""
+    o = load(spark, sf_dir, "orders")
+
+    def stats(c):
+        return [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    agg = o.agg(*[e for c in cols for e in stats(c)])
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return agg.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
+@register(
     "events_cohort_retention",
     oracle="""
     WITH firsts AS (
