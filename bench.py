@@ -59,6 +59,8 @@ CURATION = [
     "crawl_host_stats",
     "doc_chunks",
     "events_cohort_retention",
+    "tpch_q3_shaped",
+    "o_profile_columns",
 ]
 
 
