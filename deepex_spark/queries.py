@@ -2045,13 +2045,15 @@ def tpch_q3_shaped(spark, sf_dir):
 def o_profile_columns(spark, sf_dir):
     """Table profiler: per-column row/null/distinct counts and min/max
     (stringified for a uniform schema) — the data-quality summary every
-    lakehouse catalog materializes. ONE pass over the table: all
-    per-column aggregates compute in a single Aggregate node, then a
-    stack() unpivot emits one row per column (the SQL oracle spells the
-    same thing as UNION ALL of per-column scans — DuckDB reads the
-    parquet 4x; the engine reads it once). Doubles are excluded: their
-    string rendering is engine-specific, profile them with typed
-    min/max columns instead."""
+    lakehouse catalog materializes. ONE scan of the table: all
+    per-column aggregates share it, then a stack() unpivot emits one
+    row per column (the SQL oracle's UNION ALL spelling reads the
+    parquet once per column). Honest scale note: N exact count_distincts
+    in one Aggregate compile through an Expand (xN rows into the partial
+    agg) — at 10^12 rows swap count_distinct for approx_count_distinct,
+    which drops the Expand and shrinks per-group state to a sketch.
+    Doubles are excluded: their string rendering is engine-specific,
+    profile them with typed min/max columns instead."""
     o = load(spark, sf_dir, "orders")
 
     def stats(c):
