@@ -96,6 +96,19 @@ TINY3 = dict(
     search_score_threshold=0.0,
     search_ranking_type="sum",
 )
+# variant 4 (round 5): beam_size at the PRODUCTION value 6 (config.py
+# task/small both use beam 6) — the beam-prune width, the knob the
+# published method names, is now verified at its real setting; only
+# dist_const (2048 in production, 3 here — bounded by how many entities a
+# 12-token window holds) and search_max_len (256 vs 8) remain tiny.
+TINY4 = dict(
+    dist_const=3,
+    beam_size=6,
+    search_max_len=8,
+    search_min_len=3,
+    search_score_threshold=0.0,
+    search_ranking_type="sum",
+)
 MAX_PRUNED = 12   # max pruned-window tokens admitted into the fixture
 ROUNDS = 12       # unrolled expansion rounds; >= MAX_PRUNED covers any path
 
@@ -107,10 +120,12 @@ VARIANTS = {
     1: (TINY, os.path.join(_FIXTURES_ROOT, "kernel_tiny")),
     2: (TINY2, os.path.join(_FIXTURES_ROOT, "kernel_tiny2")),
     3: (TINY3, os.path.join(_FIXTURES_ROOT, "kernel_tiny3")),
+    4: (TINY4, os.path.join(_FIXTURES_ROOT, "kernel_tiny4")),
 }
 FIXTURE_DIR = VARIANTS[1][1]
 FIXTURE_DIR2 = VARIANTS[2][1]
 FIXTURE_DIR3 = VARIANTS[3][1]
+FIXTURE_DIR4 = VARIANTS[4][1]
 
 
 def tiny_cfg(variant: int = 1):

@@ -201,3 +201,115 @@ def dedup_refetches(
             ]
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML outlink extraction -> web link graph
+# ---------------------------------------------------------------------------
+
+# quoted href attribute of an <a ...> tag, case-insensitive; the negated
+# classes cross newlines (no dotall needed), the lazy [^>]*? stays inside
+# one tag. RE2 (DuckDB) and java.util.regex (Spark) both support (?i) and
+# lazy repetition, so the SQL oracle reuses these strings verbatim.
+HREF_DQ_RE = r'(?i)<a[\s][^>]*?href\s*=\s*"([^"]*)"'
+HREF_SQ_RE = r"(?i)<a[\s][^>]*?href\s*=\s*'([^']*)'"
+# a href that carries its own scheme (RFC 3986 scheme grammar)
+_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
+
+
+def extract_hrefs(html: Column) -> Column:
+    """All quoted ``href`` values of ``<a>`` tags in ``html`` (binary,
+    UTF-8), in document order (double-quoted then single-quoted form).
+    Unquoted hrefs are NOT extracted — a documented spec bound; crawl
+    HTML is overwhelmingly quoted and the regex stays oracle-portable."""
+    h = html.cast("string")
+    return F.concat(
+        F.regexp_extract_all(h, F.lit(HREF_DQ_RE), 1),
+        F.regexp_extract_all(h, F.lit(HREF_SQ_RE), 1),
+    )
+
+
+def resolve_href(src_canon: Column, href: Column) -> Column:
+    """Absolute URL for ``href`` found on page ``src_canon`` (a
+    :func:`normalize_url` output), or NULL when the href is not an
+    http(s) outlink. Resolution spec (mirrored by the DuckDB oracle and
+    the pure-Python reference in tests/test_outlinks.py):
+
+    1. trim ASCII spaces (0x20) from both ends;
+    2. NULL for '' / fragment-only ('#...') hrefs;
+    3. a href with its own scheme: kept as-is when http/https,
+       NULL otherwise (mailto:, javascript:, tel:, data:, ftp:, ...);
+    4. protocol-relative ('//host/...'): src scheme + ':' + href;
+    5. root-relative ('/...'): src origin + href;
+    6. anything else is path-relative: src directory (origin + path up
+       to and including the last '/', '/' when the path is empty) + href.
+
+    Deviation from RFC 3986 §5.2 (documented): dot segments ('./', '../')
+    are NOT normalized away — the joined form is emitted verbatim, and
+    normalize_url downstream keeps them. Both oracle arms share the
+    deviation, and tests cross-check against urllib.parse.urljoin on the
+    dot-segment-free population.
+    """
+    t = F.trim(href)
+    scheme = F.regexp_extract(src_canon, r"^([a-z][a-z0-9+.\-]*):", 1)
+    origin = F.regexp_extract(src_canon, r"^[a-z][a-z0-9+.\-]*://[^/?]*", 0)
+    rest = src_canon.substr(F.length(origin) + F.lit(1), F.length(src_canon))
+    qpos = F.instr(rest, "?")
+    path0 = F.when(qpos == 0, rest).otherwise(rest.substr(F.lit(1), qpos - F.lit(1)))
+    srcdir = F.when(path0 == "", F.lit("/")).otherwise(
+        F.regexp_replace(path0, "[^/]*$", "")
+    )
+    return (
+        F.when((t == "") | t.startswith("#"), F.lit(None))
+        .when(t.rlike(_SCHEME_RE) & t.rlike(r"(?i)^https?:"), t)
+        .when(t.rlike(_SCHEME_RE), F.lit(None))
+        .when(t.startswith("//"), F.concat(scheme, F.lit(":"), t))
+        .when(t.startswith("/"), F.concat(origin, t))
+        .otherwise(F.concat(origin, srcdir, t))
+    )
+
+
+def extract_outlinks(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Distinct canonical web-graph edges from anchor tags ->
+    ``(src_canon, src_host, dst_canon, dst_host)``.
+
+    The whole chain is row-local JVM column algebra (regexp extract +
+    explode + the normalize_url string pipe — no UDF, no Python), so at
+    100 TB it runs entirely inside the scan stage's codegen; the only
+    exchange is the final edge-level distinct, which is exactly the
+    dedup a link graph needs anyway (repeated anchors on one page and
+    surface re-fetches of one logical page collapse to one edge).
+    """
+    canon = canonicalize_urls(pages, url_col)
+    href = F.explode(extract_hrefs(F.col(html_col))).alias("href")
+    edges = canon.select(
+        F.col("canon_url").alias("src_canon"),
+        F.col("host").alias("src_host"),
+        href,
+    ).withColumn("dst_abs", resolve_href(F.col("src_canon"), F.col("href")))
+    dst = normalize_url(F.col("dst_abs"))
+    return (
+        edges.where(F.col("dst_abs").isNotNull())
+        .select(
+            "src_canon",
+            "src_host",
+            dst.alias("dst_canon"),
+            url_host(dst).alias("dst_host"),
+        )
+        .distinct()
+    )
+
+
+def host_link_graph(edges: DataFrame) -> DataFrame:
+    """Host-level web graph from :func:`extract_outlinks` edges ->
+    ``(src_host, dst_host, n_edges, n_dst_pages)``. One map-side-combined
+    groupBy; ``n_edges`` counts distinct canonical page-level edges (the
+    input is already distinct), ``n_dst_pages`` distinct link targets.
+    Self-pairs (intra-host navigation) are kept — callers filter
+    ``src_host != dst_host`` for the inter-host graph."""
+    return edges.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_edges"),
+        F.count_distinct("dst_canon").alias("n_dst_pages"),
+    )

@@ -1735,62 +1735,75 @@ def _pages_fixture_path() -> str:
     )
 
 
-def _url_canon_cte() -> str:
-    """DuckDB CTE chain ending in relation c(url, warc_ts, canon_url, host)
-    — mirrors operators/urls.py::normalize_url step for step (RE2 group
-    refs are \\1 where Java's are $1; semantics identical)."""
+def _canon_chain(prefix: str, from_sql: str, url_expr: str, carry: str) -> str:
+    """Parameterized DuckDB CTE chain ``{prefix}0..{prefix}5, {prefix}``
+    canonicalizing ``url_expr`` over ``FROM from_sql``: the final relation
+    ``{prefix}`` has the ``carry`` columns plus ``canon_url`` and ``host``.
+    Mirrors operators/urls.py::normalize_url / url_host step for step (RE2
+    group refs are \\1 where Java's are $1; semantics identical). The
+    chain's internal names (nofrag/pre*/rest/path0/query/q2) must not
+    appear in ``carry``. No leading WITH — compose chains freely."""
+    cols = f"{carry}, " if carry else ""
     return rf"""
-    WITH p0 AS (
-      SELECT url, warc_ts, regexp_replace(url, '#.*', '') AS nofrag
-      FROM read_parquet('{_pages_fixture_path()}')
+    {prefix}0 AS (
+      SELECT {cols}regexp_replace({url_expr}, '#.*', '') AS nofrag
+      FROM {from_sql}
     ),
-    p1 AS (
-      SELECT url, warc_ts, nofrag,
+    {prefix}1 AS (
+      SELECT {cols}nofrag,
              lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*')) AS pre0
-      FROM p0
+      FROM {prefix}0
     ),
-    p2 AS (
-      SELECT url, warc_ts,
+    {prefix}2 AS (
+      SELECT {cols}
              substring(nofrag, length(pre0) + 1) AS rest,
              regexp_replace(pre0, '^(https?://)www\.', '\1') AS pre1
-      FROM p1
+      FROM {prefix}1
     ),
-    p3 AS (
-      SELECT url, warc_ts, rest,
+    {prefix}3 AS (
+      SELECT {cols}rest,
              CASE WHEN starts_with(pre1, 'http://')
                     THEN regexp_replace(pre1, ':80$', '')
                   WHEN starts_with(pre1, 'https://')
                     THEN regexp_replace(pre1, ':443$', '')
                   ELSE pre1 END AS pre
-      FROM p2
+      FROM {prefix}2
     ),
-    p4 AS (
-      SELECT url, warc_ts, pre,
+    {prefix}4 AS (
+      SELECT {cols}pre,
              CASE WHEN strpos(rest, '?') = 0 THEN rest
                   ELSE substring(rest, 1, strpos(rest, '?') - 1) END AS path0,
              CASE WHEN strpos(rest, '?') = 0 THEN ''
                   ELSE substring(rest, strpos(rest, '?') + 1) END AS query
-      FROM p3
+      FROM {prefix}3
     ),
-    p5 AS (
-      SELECT url, warc_ts, pre,
+    {prefix}5 AS (
+      SELECT {cols}pre,
              regexp_replace(path0, '/+$', '') AS path,
              coalesce(array_to_string(list_sort(list_filter(
                string_split(query, '&'),
                p -> p <> '' AND NOT regexp_matches(p,
                  '^(utm_[^=]*|fbclid|gclid)(=|$)'))), '&'), '') AS q2
-      FROM p4
+      FROM {prefix}4
     ),
-    c AS (
-      SELECT url, warc_ts,
+    {prefix} AS (
+      SELECT {cols}
              pre || path ||
                CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canon_url,
              regexp_replace(
                regexp_extract(pre, '^[a-z0-9+.\-]+://(?:[^/?]*@)?([^/?@]*)', 1),
                ':[0-9]+$', '') AS host
-      FROM p5
+      FROM {prefix}5
     )
     """
+
+
+def _url_canon_cte() -> str:
+    """DuckDB CTE chain ending in relation c(url, warc_ts, canon_url, host)
+    over the messy-URL pages fixture."""
+    return "\n    WITH " + _canon_chain(
+        "c", f"read_parquet('{_pages_fixture_path()}')", "url", "url, warc_ts"
+    )
 
 
 @register(
@@ -1855,6 +1868,125 @@ def crawl_host_stats(spark, sf_dir):
 
     pages = spark.read.parquet(_pages_fixture_path())
     return host_stats(pages)
+
+
+# ---------------------------------------------------------------------------
+# HTML outlink extraction -> web link graph — committed anchor-rich fixture
+# (tools/make_links_fixture.py), INDEPENDENT SQL re-derivation of the
+# extraction + resolution + canonicalization spec in operators/urls.py
+# ---------------------------------------------------------------------------
+
+def _links_fixture_path() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "pages_links.parquet",
+    )
+
+
+def _outlinks_cte() -> str:
+    """DuckDB CTE chain ending in relation edges(src_canon, src_host,
+    dst_canon, dst_host) — distinct canonical web-graph edges. Mirrors
+    operators/urls.py::extract_hrefs / resolve_href / extract_outlinks
+    step for step: same (?i)/lazy-repetition regexes (RE2 and
+    java.util.regex agree on them), same trim-spaces + scheme-dispatch +
+    origin/dir join, same canonicalization of BOTH the source url and the
+    resolved destination."""
+    src = _canon_chain(
+        "s", f"read_parquet('{_links_fixture_path()}')", "url", "html"
+    )
+    dst = _canon_chain("d", "rs", "dst_abs", "src_canon, src_host")
+    return rf"""
+    WITH {src},
+    hx AS (
+      SELECT canon_url AS src_canon, host AS src_host,
+             unnest(list_concat(
+               regexp_extract_all(decode(html),
+                 '(?i)<a[\s][^>]*?href\s*=\s*"([^"]*)"', 1),
+               regexp_extract_all(decode(html),
+                 '(?i)<a[\s][^>]*?href\s*=\s*''([^'']*)''', 1)
+             )) AS href
+      FROM s
+    ),
+    rx AS (
+      SELECT src_canon, src_host, trim(href) AS t,
+             regexp_extract(src_canon, '^([a-z][a-z0-9+.\-]*):', 1) AS scheme,
+             regexp_extract(src_canon, '^[a-z][a-z0-9+.\-]*://[^/?]*') AS origin
+      FROM hx
+    ),
+    r2 AS (
+      SELECT *, substring(src_canon, length(origin) + 1) AS rest2 FROM rx
+    ),
+    r3 AS (
+      SELECT *, CASE WHEN strpos(rest2, '?') = 0 THEN rest2
+                     ELSE substring(rest2, 1, strpos(rest2, '?') - 1)
+                END AS spath
+      FROM r2
+    ),
+    r4 AS (
+      SELECT src_canon, src_host,
+             CASE
+               WHEN t = '' OR starts_with(t, '#') THEN NULL
+               WHEN regexp_matches(t, '^[A-Za-z][A-Za-z0-9+.\-]*:')
+                    AND regexp_matches(t, '(?i)^https?:') THEN t
+               WHEN regexp_matches(t, '^[A-Za-z][A-Za-z0-9+.\-]*:') THEN NULL
+               WHEN starts_with(t, '//') THEN scheme || ':' || t
+               WHEN starts_with(t, '/') THEN origin || t
+               ELSE origin
+                    || (CASE WHEN spath = '' THEN '/'
+                             ELSE regexp_replace(spath, '[^/]*$', '') END)
+                    || t
+             END AS dst_abs
+      FROM r3
+    ),
+    rs AS (SELECT src_canon, src_host, dst_abs FROM r4
+           WHERE dst_abs IS NOT NULL),
+    {dst},
+    edges AS (
+      SELECT DISTINCT src_canon, src_host,
+                      canon_url AS dst_canon, host AS dst_host
+      FROM d
+    )
+    """
+
+
+@register(
+    "html_outlinks",
+    oracle=_outlinks_cte()
+    + "SELECT src_canon, src_host, dst_canon, dst_host FROM edges",
+)
+def html_outlinks(spark, sf_dir):
+    """Distinct canonical web-graph edges from ``<a href>`` anchors in the
+    html column (absolute / protocol-relative / root-relative /
+    path-relative, non-http(s) schemes and fragment-only hrefs dropped,
+    both endpoints canonicalized — spec in operators/urls.py). Row-local
+    JVM regex + string algebra; the only exchange is the edge distinct."""
+    from deepex_spark.operators.urls import extract_outlinks
+
+    pages = spark.read.parquet(_links_fixture_path())
+    return extract_outlinks(pages)
+
+
+@register(
+    "web_link_hostgraph",
+    oracle=_outlinks_cte()
+    + """
+    SELECT src_host, dst_host,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(count(DISTINCT dst_canon) AS BIGINT) AS n_dst_pages
+    FROM edges GROUP BY src_host, dst_host
+    """,
+)
+def web_link_hostgraph(spark, sf_dir):
+    """Host-level web graph: distinct page-level edges rolled up to
+    (src_host, dst_host) with edge and distinct-target counts — the
+    domain-graph input for host-level PageRank / spam-cluster analysis.
+    One map-side-combined groupBy over the edge distinct."""
+    from deepex_spark.operators.urls import extract_outlinks, host_link_graph
+
+    pages = spark.read.parquet(_links_fixture_path())
+    return host_link_graph(extract_outlinks(pages))
 
 
 @register(
@@ -2725,6 +2857,32 @@ def kernel_tiny3_sql(spark, sf_dir):
 
     sentences = spark.read.parquet(_os.path.join(FIXTURE_DIR3, "sentences.parquet"))
     return run_kernel_tiny(spark, sentences, variant=3)
+
+
+def _kernel_tiny4_oracle() -> str:
+    from deepex_spark.kernel.tiny_oracle import kernel_tiny_oracle_sql
+
+    return kernel_tiny_oracle_sql(variant=4)
+
+
+@register("kernel_tiny4_sql", oracle=_kernel_tiny4_oracle())
+def kernel_tiny4_sql(spark, sf_dir):
+    """Fourth independent kernel oracle with ``beam_size`` at the
+    PRODUCTION value: ``dist_const=3, beam_size=6, search_max_len=8``.
+    The beam-prune width — the knob the method is named for, 6 in both
+    ``DeepExConfig.task()`` and ``.small()`` — is now verified by a
+    non-self-referential re-derivation; only dist_const (2048 production
+    vs 3, bounded by the 12-token fixture window) and search_max_len
+    (256 vs 8) remain tiny. 7,016 sequences over the committed
+    50-sentence slice (vs 4,695 at beam 4), exact float equality against
+    the DuckDB re-derivation. Regenerate + self-check with
+    ``python tools/make_kernel_tiny.py 4``."""
+    import os as _os
+
+    from deepex_spark.kernel.tiny_oracle import FIXTURE_DIR4, run_kernel_tiny
+
+    sentences = spark.read.parquet(_os.path.join(FIXTURE_DIR4, "sentences.parquet"))
+    return run_kernel_tiny(spark, sentences, variant=4)
 
 
 # ---------------------------------------------------------------------------

@@ -129,3 +129,39 @@ def test_kernel_tiny3_exercises_distance_3_pairs(spark):
     rows = REGISTRY["kernel_tiny3_sql"].spark_fn(spark, "unused").collect()
     lens = {len(r["path_str"].split("-")) for r in rows}
     assert {3, 4, 5, 6} <= lens, lens
+
+
+def test_kernel_tiny4_spark_matches_independent_sql(spark):
+    """Variant 4 (dist_const=3, beam_size=6, search_max_len=8): the beam
+    width at its PRODUCTION value (DeepExConfig.task/small both use 6) —
+    exact float equality against the DuckDB re-derivation."""
+    from deepex_spark.kernel.tiny_oracle import kernel_tiny_oracle_sql
+    from deepex_spark.queries import REGISTRY
+
+    sql = kernel_tiny_oracle_sql(variant=4)
+    assert "goldens" not in sql
+
+    got = {
+        (int(r["sent_id"]), int(r["seq_rank"]), r["path_str"], float(r["score"]))
+        for r in REGISTRY["kernel_tiny4_sql"].spark_fn(spark, "unused").collect()
+    }
+    want = {
+        (int(a), int(b), c, float(d)) for a, b, c, d in duckdb.sql(sql).fetchall()
+    }
+    assert got, "fixture produced no sequences"
+    assert got == want
+
+
+def test_kernel_tiny4_wider_beam_admits_more_sequences(spark):
+    """Beam 6 over the same selection gate as variant 3 must admit MORE
+    survivors than beam 4 (otherwise the wider prune was never binding),
+    and the production beam width matches the task config."""
+    from deepex_spark.config import DeepExConfig
+    from deepex_spark.kernel.tiny_oracle import VARIANTS
+    from deepex_spark.queries import REGISTRY
+
+    assert VARIANTS[4][0]["beam_size"] == DeepExConfig.task().beam_size == 6
+
+    n4 = REGISTRY["kernel_tiny4_sql"].spark_fn(spark, "unused").count()
+    n3 = REGISTRY["kernel_tiny3_sql"].spark_fn(spark, "unused").count()
+    assert n4 > n3, (n4, n3)

@@ -6,6 +6,7 @@ deepex_spark/kernel/tiny_oracle.py). Usage:
     python tools/make_kernel_tiny.py      # variant 1 (kernel_tiny)
     python tools/make_kernel_tiny.py 2    # variant 2 (kernel_tiny2)
     python tools/make_kernel_tiny.py 3    # variant 3 (kernel_tiny3)
+    python tools/make_kernel_tiny.py 4    # variant 4 (kernel_tiny4, beam 6)
 
 Selection (documented, does not bias correctness — both engines run on
 the final set): sentences from the deterministic synthetic corpus whose
