@@ -440,6 +440,59 @@ def repetition_stats(
     )
 
 
+def rare_bigram_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max_count: int = 2,
+    token_split: str = r"\s+",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus-conditioned rare-bigram fraction per doc ->
+    ``(doc_id, n_bigrams, n_rare, rare_frac)`` — the CCNet/KenLM-style
+    fluency proxy with integer-exact cross-engine semantics: a bigram is
+    "rare" when its whole-corpus occurrence count is <= ``rare_max_count``,
+    and gibberish / OOD / mojibake docs surface as a high share of
+    occurrences spent on corpus-rare bigrams. (A real LM-perplexity
+    filter needs a float log-prob sum whose engine-dependent summation
+    order breaks value-hash oracles; this keeps every aggregate integral
+    and spends exactly ONE float op — the final ratio — before round().)
+
+    Plan: per-(doc, gram) counts first (map-side combined — the only
+    shuffle that scales with text volume), then the corpus model is a
+    REUSE of that aggregate (gram-keyed rollup of the same rows, not a
+    second source scan), then one gram-keyed join back and a per-doc
+    rollup. At 100 TB the model join shuffles on the gram key whose
+    cardinality the first aggregate already compacted; frequency-heavy
+    grams are exactly the non-rare ones, so skew concentrates on rows
+    the CASE discards cheaply. Docs with < 2 tokens have no bigrams and
+    are not emitted.
+    """
+    toks = _tokens(text_col, token_split, lowercase)
+    exploded = docs.select(
+        F.col(id_col), F.explode(token_ngrams(toks, 2)).alias("g")
+    ).where(F.col("g").isNotNull() & (F.length("g") > 0))
+    dg = exploded.groupBy(id_col, "g").agg(F.count("*").alias("k"))
+    model = dg.groupBy("g").agg(F.sum("k").alias("c"))
+    rare_k = F.when(F.col("c") <= rare_max_count, F.col("k")).otherwise(F.lit(0))
+    return (
+        dg.join(model, "g")
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.sum(rare_k).alias("n_rare"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "n_rare",
+            F.round(
+                F.col("n_rare").cast("double") / F.col("n_bigrams"), 6
+            ).alias("rare_frac"),
+        )
+    )
+
+
 def repetition_signals(
     text_col: str = "text",
     n: int = 2,

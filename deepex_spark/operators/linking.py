@@ -169,3 +169,62 @@ def link_triples(
             f"{side}_linked", F.col(f"{side}_canonical").isNotNull()
         ).drop(f"_{side}_key", f"{side}_canonical")
     return out
+
+
+def entity_match_pairs(
+    entities: DataFrame,
+    id_col: str = "ent_id",
+    name_col: str = "name",
+    max_dist: int = 2,
+    max_block: int = 1000,
+) -> DataFrame:
+    """Blocked fuzzy entity resolution -> ``(id_a, id_b, dist)``: surface
+    forms whose lowercase names are within ``max_dist`` Levenshtein edits,
+    found by MULTI-PASS blocking — candidate pairs must share a first
+    token OR a last token of the lowercased name (standard ER blocking:
+    a typo in one blocking key is recovered by the other pass; a typo in
+    both is a documented recall bound, never a wrong match).
+
+    100 TB design: never all-pairs — the quadratic step is confined to
+    within-block self-joins on the token keys, mirroring the LSH-band
+    joins in operators/dedup.py. Blocks larger than ``max_block``
+    (stop-word-like tokens: "the", "inc", "university") are dropped
+    before the self-join — the cutoff is part of the spec and encoded in
+    the SQL oracle, exactly like n-gram Jaccard's hot-shingle doc-freq
+    cutoff. The block-size filter joins on the same ``bk`` key the
+    self-join shuffles on, so it adds no extra exchange of the big side;
+    residual hot keys split under AQE skew handling. Levenshtein runs
+    JVM-side on the surviving candidates only.
+    """
+    norm = F.lower(F.col(name_col))
+    toks = F.split(norm, " ")
+    keyed = entities.select(
+        F.col(id_col).alias("eid"),
+        norm.alias("norm"),
+        F.explode(
+            F.array(
+                F.concat(F.lit("F:"), F.element_at(toks, 1)),
+                F.concat(F.lit("L:"), F.element_at(toks, -1)),
+            )
+        ).alias("bk"),
+    )
+    ok = (
+        keyed.groupBy("bk")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") <= max_block)
+        .select("bk")
+    )
+    keyed = keyed.join(ok, "bk")
+    a = keyed.select("bk", F.col("eid").alias("id_a"), F.col("norm").alias("na"))
+    b = keyed.select("bk", F.col("eid").alias("id_b"), F.col("norm").alias("nb"))
+    cand = (
+        a.join(b, "bk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "na", "nb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("na", "nb").cast("long"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

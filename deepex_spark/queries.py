@@ -1661,6 +1661,46 @@ def quality_repetition(spark, sf_dir):
 
 
 @register(
+    "quality_rare_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, l[i] || ' ' || l[i+1] AS g
+      FROM toks, unnest(generate_series(1, len(l) - 1)) AS t(i)
+      WHERE l[i] <> '' AND l[i+1] <> ''
+    ),
+    dg AS (
+      SELECT doc_id, g, count(*) AS k FROM grams GROUP BY doc_id, g
+    ),
+    model AS (SELECT g, sum(k) AS c FROM dg GROUP BY g)
+    SELECT dg.doc_id AS doc_id,
+           CAST(sum(k) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN c <= 2 THEN k ELSE 0 END) AS BIGINT) AS n_rare,
+           round(CAST(sum(CASE WHEN c <= 2 THEN k ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(k) AS DOUBLE), 6) AS rare_frac
+    FROM dg JOIN model ON dg.g = model.g
+    GROUP BY dg.doc_id
+    """,
+)
+def quality_rare_bigrams(spark, sf_dir):
+    """Corpus-conditioned rare-bigram fraction per doc — the
+    CCNet/KenLM-flavored fluency proxy with integer-exact cross-engine
+    semantics (a bigram is rare when its whole-corpus count is <= 2; the
+    only float op is the final rounded ratio). Tokenization pinned to the
+    oracle's string_split(text, ' ')."""
+    from deepex_spark.operators.curate import rare_bigram_stats
+
+    return rare_bigram_stats(
+        load(spark, sf_dir, "documents"),
+        rare_max_count=2,
+        token_split=" ",
+        lowercase=False,
+    )
+
+
+@register(
     "doc_chunks",
     oracle="""
     WITH toks AS (
@@ -1987,6 +2027,106 @@ def web_link_hostgraph(spark, sf_dir):
 
     pages = spark.read.parquet(_links_fixture_path())
     return host_link_graph(extract_outlinks(pages))
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy entity resolution — committed surface-form fixture
+# (tools/make_entities_fixture.py), INDEPENDENT SQL re-derivation of the
+# multi-pass blocking + levenshtein spec in operators/linking.py
+# ---------------------------------------------------------------------------
+
+def _entities_fixture_path() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "entities.parquet",
+    )
+
+
+def _entity_pairs_cte() -> str:
+    """CTE chain ending in relation pairs(id_a, id_b, dist) — mirrors
+    operators/linking.py::entity_match_pairs (first-token OR last-token
+    blocking, max_block=1000 cutoff, levenshtein <= 2 on lowercase)."""
+    return f"""
+    e AS (
+      SELECT ent_id, lower(name) AS norm,
+             string_split(lower(name), ' ') AS l
+      FROM read_parquet('{_entities_fixture_path()}')
+    ),
+    k AS (
+      SELECT ent_id, norm, 'F:' || l[1] AS bk FROM e
+      UNION ALL
+      SELECT ent_id, norm, 'L:' || l[len(l)] AS bk FROM e
+    ),
+    kk AS (
+      SELECT * FROM k
+      WHERE bk IN (SELECT bk FROM k GROUP BY bk HAVING count(*) <= 1000)
+    ),
+    cand AS (
+      SELECT DISTINCT a.ent_id AS id_a, b.ent_id AS id_b,
+                      a.norm AS na, b.norm AS nb
+      FROM kk a JOIN kk b ON a.bk = b.bk AND a.ent_id < b.ent_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b, CAST(levenshtein(na, nb) AS BIGINT) AS dist
+      FROM cand WHERE levenshtein(na, nb) <= 2
+    )
+    """
+
+
+@register(
+    "entity_match_pairs",
+    oracle="WITH " + _entity_pairs_cte() + "SELECT id_a, id_b, dist FROM pairs",
+)
+def entity_match_pairs_query(spark, sf_dir):
+    """Blocked fuzzy entity resolution over the committed surface-form
+    fixture: first-token OR last-token blocking passes (typo in one key
+    recovered by the other), block-size cutoff, Levenshtein <= 2 on the
+    lowercase names — the quadratic step confined to within-block
+    self-joins, like the LSH band joins."""
+    from deepex_spark.operators.linking import entity_match_pairs
+
+    ents = spark.read.parquet(_entities_fixture_path())
+    return entity_match_pairs(ents, max_dist=2, max_block=1000)
+
+
+@register(
+    "entity_resolution_clusters",
+    # INDEPENDENT oracle: same recursive-CTE transitive closure with the
+    # min-label pruning invariant as dedup_clusters — comp = min ent_id
+    # reachable through the match-pair graph.
+    oracle="WITH RECURSIVE " + _entity_pairs_cte() + """,
+    sym AS (
+      SELECT id_a AS u, id_b AS w FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS w FROM pairs
+    ),
+    reach(v, lab) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym) t
+      UNION
+        SELECT s.w, r.lab FROM reach r JOIN sym s ON s.u = r.v
+        WHERE r.lab < s.w
+    ),
+    cc AS (SELECT v, MIN(lab) AS comp FROM reach GROUP BY v)
+    SELECT x.ent_id, COALESCE(cc.comp, x.ent_id) AS cluster_id,
+           COALESCE(cc.comp, x.ent_id) = x.ent_id AS is_canonical
+    FROM read_parquet('""" + _entities_fixture_path() + """') x
+    LEFT JOIN cc ON cc.v = x.ent_id
+    """,
+)
+def entity_resolution_clusters(spark, sf_dir):
+    """Entity-resolution clusters: connected components over the blocked
+    match-pair graph (transitive merges — "Alan Turing" ~ "Alann Turing"
+    ~ "Alann Turnig" land in ONE cluster), cluster_id = min ent_id,
+    singletons canonical by themselves. Same min-label-propagation +
+    pointer-jumping CC as near-dup doc clustering."""
+    from deepex_spark.operators.graph import dedup_clusters
+    from deepex_spark.operators.linking import entity_match_pairs
+
+    ents = spark.read.parquet(_entities_fixture_path())
+    pairs = entity_match_pairs(ents, max_dist=2, max_block=1000)
+    return dedup_clusters(ents, pairs, id_col="ent_id")
 
 
 @register(

@@ -654,3 +654,40 @@ class TestCohortRetention:
             ("2024-01-01", 1): 1,  # only u1 returns
             ("2024-01-08", 0): 1,  # u3's cohort
         }
+
+
+class TestRareBigramStats:
+    def test_counts_and_fraction(self, spark):
+        from deepex_spark.operators.curate import rare_bigram_stats
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c"), (3, "x y")],
+            "doc_id long, text string",
+        )
+        # corpus bigram counts: "a b"=3 (common), "b a"/"b c"/"x y"=1 (rare)
+        out = {
+            r["doc_id"]: (r["n_bigrams"], r["n_rare"], r["rare_frac"])
+            for r in rare_bigram_stats(
+                docs, rare_max_count=2, token_split=" ", lowercase=False
+            ).collect()
+        }
+        assert out[1] == (3, 1, round(1 / 3, 6))
+        assert out[2] == (2, 1, 0.5)
+        assert out[3] == (1, 1, 1.0)
+
+    def test_short_docs_not_emitted_and_threshold_respected(self, spark):
+        from deepex_spark.operators.curate import rare_bigram_stats
+
+        docs = spark.createDataFrame(
+            [(1, "solo"), (2, ""), (3, "p q"), (4, "p q"), (5, "p q")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (r["n_rare"], r["rare_frac"])
+            for r in rare_bigram_stats(
+                docs, rare_max_count=2, token_split=" ", lowercase=False
+            ).collect()
+        }
+        # docs 1-2 have no bigrams; "p q" occurs 3 times > rare_max_count
+        assert set(out) == {3, 4, 5}
+        assert all(v == (0, 0.0) for v in out.values())

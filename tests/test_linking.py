@@ -128,3 +128,88 @@ def test_catalog_checkpoint_resume(spark, tmp_path):
     # metrics table appends
     cat.log_metric(spark, "stage1", before, 1.23, "r1")
     assert cat.read(spark, "metrics").count() == 1
+
+
+class TestEntityMatchPairs:
+    def _pairs(self, spark, names, **kw):
+        from deepex_spark.operators.linking import entity_match_pairs
+
+        df = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(names)], "ent_id long, name string"
+        )
+        return {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in entity_match_pairs(df, **kw).collect()
+        }
+
+    def test_first_token_typo_recovered_by_last_token_pass(self, spark):
+        # "Alln Turing" shares no first token with "Alan Turing" — the
+        # last-token blocking pass must still produce the pair
+        got = self._pairs(spark, ["Alan Turing", "Alln Turing"])
+        assert got == {(0, 1): 1}
+
+    def test_last_token_typo_recovered_by_first_token_pass(self, spark):
+        got = self._pairs(spark, ["Alan Turing", "Alan Turnig"])
+        assert got == {(0, 1): 2}
+
+    def test_same_block_but_too_distant_not_matched(self, spark):
+        got = self._pairs(spark, ["Alan Turing", "Director Turing"])
+        assert got == {}
+
+    def test_case_insensitive_distance_zero(self, spark):
+        got = self._pairs(spark, ["Grace Hopper", "GRACE HOPPER"])
+        assert got == {(0, 1): 0}
+
+    def test_pair_found_via_both_passes_emitted_once(self, spark):
+        # identical names match in BOTH blocking passes; candidate
+        # distinct collapses them to one row
+        got = self._pairs(spark, ["Warsaw", "Warsaw"])
+        assert got == {(0, 1): 0}
+
+    def test_max_block_cutoff_drops_hot_key(self, spark):
+        # four names share first token "the"; with max_block=3 the hot
+        # F:the key is dropped and the distinct last tokens never block
+        names = ["the alpha", "the altha", "the gamma", "the delta"]
+        assert self._pairs(spark, names, max_block=3) == {}
+        # raising the cutoff restores the in-block match
+        assert self._pairs(spark, names, max_block=10) == {(0, 1): 1}
+
+    def test_typo_in_both_blocking_keys_is_documented_recall_bound(self, spark):
+        # edits in BOTH tokens: true distance 2 but no shared block key —
+        # not matched (the documented blocking recall bound, not a bug)
+        got = self._pairs(spark, ["Alan Turing", "Aln Turingg"])
+        assert got == {}
+
+    def test_transitive_chain_lands_in_one_cluster(self, spark):
+        from deepex_spark.operators.graph import dedup_clusters
+        from deepex_spark.operators.linking import entity_match_pairs
+
+        names = ["Alan Turing", "Alann Turing", "Alannn Turing", "Warsaw"]
+        df = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(names)], "ent_id long, name string"
+        )
+        pairs = entity_match_pairs(df)
+        # 0~1 (1), 1~2 (1), 0~2 (2) all within max_dist here; the cluster
+        # test still needs transitivity for the (0,2) membership via CC
+        out = {
+            r["ent_id"]: (r["cluster_id"], r["is_canonical"])
+            for r in dedup_clusters(df, pairs, id_col="ent_id").collect()
+        }
+        assert out[0] == (0, True)
+        assert out[1] == (0, False)
+        assert out[2] == (0, False)
+        assert out[3] == (3, True)
+
+    def test_fixture_decoys_stay_singletons(self, spark):
+        from deepex_spark.queries import REGISTRY
+
+        rows = REGISTRY["entity_resolution_clusters"].spark_fn(spark, "unused")
+        ents = spark.read.parquet("fixtures/entities.parquet")
+        decoys = {
+            r["ent_id"] for r in ents.where(
+                ents.name.startswith("Director ")).collect()
+        }
+        assert decoys
+        for r in rows.collect():
+            if r["ent_id"] in decoys:
+                assert r["cluster_id"] == r["ent_id"] and r["is_canonical"]
