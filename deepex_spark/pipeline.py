@@ -77,10 +77,12 @@ def build_knowledge_graph(
     alias_df: DataFrame | None = None,
     catalog=None,
     link_strategy: str = "broadcast",
+    resolve: bool = False,
 ):
     """North-rule end-to-end: pages -> triples -> entity linking ->
-    canonicalization -> deduplicated edge/vertex tables (checkpointed via
-    the catalog when given). Returns (triples, vertices, edges)."""
+    canonicalization [-> fuzzy entity resolution when ``resolve``] ->
+    deduplicated edge/vertex tables (checkpointed via the catalog when
+    given). Returns (triples, vertices, edges)."""
     import time as _time
 
     from deepex_spark.operators.canonicalize import canonicalize_triples
@@ -99,6 +101,10 @@ def build_knowledge_graph(
             triples, alias_df, strategy=link_strategy, salt_buckets=cfg.salt_buckets
         )
     canon = canonicalize_triples(triples)
+    if resolve:
+        from deepex_spark.operators.canonicalize import resolve_entities
+
+        canon = resolve_entities(canon)
     vertices = build_vertices(canon, cfg.run_id)
     edges = build_edges(canon, cfg.run_id)
     if catalog is not None:

@@ -38,6 +38,12 @@ def main(argv=None):
     p.add_argument("--no-rerank", action="store_true")
     p.add_argument("--resume", action="store_true", help="skip completed checkpoint buckets")
     p.add_argument(
+        "--resolve-entities",
+        action="store_true",
+        help="merge near-identical canonical entities (blocked Levenshtein "
+        "matcher + connected components) before building vertices/edges",
+    )
+    p.add_argument(
         "--canonicalize-urls",
         action="store_true",
         help="dedup re-fetches at ingest: keep the newest page per canonical "
@@ -84,7 +90,8 @@ def main(argv=None):
 
     t0 = time.time()
     triples, vertices, edges = build_knowledge_graph(
-        pages, cfg, alias_df=alias_df, catalog=catalog, link_strategy=args.link_strategy
+        pages, cfg, alias_df=alias_df, catalog=catalog,
+        link_strategy=args.link_strategy, resolve=args.resolve_entities,
     )
     n_t, n_v, n_e = triples.count(), vertices.count(), edges.count()
     wall = time.time() - t0

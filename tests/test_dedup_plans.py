@@ -34,3 +34,27 @@ def test_embedding_lsh_join_is_bucketed(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     plan = _executed(embedding_near_dups(emb, threshold=0.2, n_planes=6, n_tables=2))
     assert "CartesianProduct" not in plan
+
+
+def test_entity_match_pairs_join_is_blocked_not_cartesian(spark):
+    from deepex_spark.operators.linking import entity_match_pairs
+
+    ents = spark.read.parquet("fixtures/entities.parquet")
+    plan = _executed(entity_match_pairs(ents))
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan  # filter runs JVM-side, not in Python
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_extract_outlinks_is_udf_free_single_exchange(spark):
+    """The outlink chain must stay whole-stage-codegen'd column algebra:
+    no Python eval node, and the ONLY exchange is the edge distinct."""
+    from deepex_spark.operators.urls import extract_outlinks
+
+    pages = spark.read.parquet("fixtures/pages_links.parquet")
+    plan = _executed(extract_outlinks(pages))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # one hash-partitioned exchange for the distinct (AQE may add reads,
+    # not extra shuffles)
+    assert plan.count("Exchange hashpartitioning") == 1

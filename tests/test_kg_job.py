@@ -197,3 +197,52 @@ def test_canonicalize_urls_dedups_refetches(spark, tmp_path):
     assert len(docids) == 6
     assert all(u.startswith("https://example.org/") for u in docids)
     assert report["triples"] == triples.count()
+
+
+def test_resolve_entities_merges_typo_variants(spark):
+    """resolve_entities: near-identical canonical entities merge to one
+    deterministic representative id; untouched entities keep theirs."""
+    from pyspark.sql import functions as F
+
+    from deepex_spark.operators.canonicalize import (
+        canonicalize_triples,
+        resolve_entities,
+    )
+    from deepex_spark.operators.graph import build_vertices
+
+    triples = spark.createDataFrame(
+        [
+            ("d1", "Alan Turing", "founded", "Princeton", 0.9),
+            ("d2", "Alann Turing", "visited", "Warsaw", 0.8),
+            ("d3", "Alan Turnig", "left", "Warsaw", 0.7),
+            ("d4", "Grace Hopper", "joined", "Alan Turing", 0.6),
+        ],
+        "docid string, subj string, rel string, obj string, score double",
+    )
+    canon = canonicalize_triples(triples)
+    ids_before = {
+        r["subj_canon"]: r["subj_id"] for r in canon.select("subj_canon", "subj_id").collect()
+    }
+    out = resolve_entities(canon)
+    got = {r["subj"]: (r["subj_canon"], r["subj_id"]) for r in out.collect()}
+    rep_id = min(
+        ids_before["alan turing"], ids_before["alann turing"], ids_before["alan turnig"]
+    )
+    rep_name = {v: k for k, v in ids_before.items()}[rep_id]
+    # all three variants share the representative's canon AND id
+    assert got["Alan Turing"] == (rep_name, rep_id)
+    assert got["Alann Turing"] == (rep_name, rep_id)
+    assert got["Alan Turnig"] == (rep_name, rep_id)
+    assert got["Grace Hopper"][0] == "grace hopper"
+    # the OBJ side is rewritten too ("Alan Turing" as object of d4)
+    obj = {r["docid"]: r["obj_canon"] for r in out.collect()}
+    assert obj["d4"] == rep_name
+    # id = xxhash64(canon) contract survives the merge
+    bad = out.where(F.xxhash64("subj_canon") != F.col("subj_id")).count()
+    assert bad == 0
+    # vertex table unifies: one vertex for the merged entity with all
+    # surface forms attached
+    v = build_vertices(out)
+    merged = [r for r in v.collect() if r["canonical"] == rep_name]
+    assert len(merged) == 1
+    assert set(merged[0]["surfaces"]) >= {"Alan Turing", "Alann Turing", "Alan Turnig"}
