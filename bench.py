@@ -61,6 +61,12 @@ CURATION = [
     "events_cohort_retention",
     "tpch_q3_shaped",
     "o_profile_columns",
+    "html_outlinks",
+    "web_link_hostgraph",
+    "web_host_pagerank",
+    "entity_match_pairs",
+    "entity_resolution_clusters",
+    "quality_rare_bigrams",
 ]
 
 

@@ -1080,13 +1080,20 @@ def kg_relpath2(spark, sf_dir):
     )
 
 
-def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
+def _pagerank_oracle(
+    n_iter: int = 10,
+    damping: float = 0.85,
+    base: str | None = None,
+    edges_sql: str = "SELECT DISTINCT src AS s, dst AS d FROM edges",
+    id_alias: str = "entity_id",
+) -> str:
     """Unrolled fixed-iteration PageRank in DuckDB SQL — one MATERIALIZED
     CTE per power-iteration round (each r_i is referenced twice, by the
     contribution join and the dangling-mass subquery; without
     MATERIALIZED the inlining re-evaluates the whole prefix per reference
     and goes exponential in n_iter). Independent of the engine: only the
-    o21 edge definition is shared."""
+    edge definition (``base`` CTE prefix + ``edges_sql``, default the o21
+    KG edges) is shared."""
     its = []
     prev = "r0"
     for i in range(1, n_iter + 1):
@@ -1105,9 +1112,9 @@ def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
     )""")
         prev = f"r{i}"
     return (
-        _O21_BASE
+        (base if base is not None else _O21_BASE)
         + f""",
-    e AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS d FROM edges),
+    e AS MATERIALIZED ({edges_sql}),
     verts AS MATERIALIZED (
       SELECT DISTINCT v FROM (SELECT s AS v FROM e UNION SELECT d AS v FROM e) t
     ),
@@ -1115,7 +1122,7 @@ def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
     deg AS MATERIALIZED (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
     r0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT nn FROM n) AS r FROM verts),
     {",".join(its)}
-    SELECT v AS entity_id, round((SELECT nn FROM n) * r, 6) AS pagerank
+    SELECT v AS {id_alias}, round((SELECT nn FROM n) * r, 6) AS pagerank
     FROM {prev}
     """
     )
@@ -1949,22 +1956,22 @@ def _outlinks_cte() -> str:
              )) AS href
       FROM s
     ),
-    rx AS (
+    rx1 AS (
       SELECT src_canon, src_host, trim(href) AS t,
              regexp_extract(src_canon, '^([a-z][a-z0-9+.\-]*):', 1) AS scheme,
              regexp_extract(src_canon, '^[a-z][a-z0-9+.\-]*://[^/?]*') AS origin
       FROM hx
     ),
-    r2 AS (
-      SELECT *, substring(src_canon, length(origin) + 1) AS rest2 FROM rx
+    rx2 AS (
+      SELECT *, substring(src_canon, length(origin) + 1) AS rest2 FROM rx1
     ),
-    r3 AS (
+    rx3 AS (
       SELECT *, CASE WHEN strpos(rest2, '?') = 0 THEN rest2
                      ELSE substring(rest2, 1, strpos(rest2, '?') - 1)
                 END AS spath
-      FROM r2
+      FROM rx2
     ),
-    r4 AS (
+    rx4 AS (
       SELECT src_canon, src_host,
              CASE
                WHEN t = '' OR starts_with(t, '#') THEN NULL
@@ -1978,9 +1985,9 @@ def _outlinks_cte() -> str:
                              ELSE regexp_replace(spath, '[^/]*$', '') END)
                     || t
              END AS dst_abs
-      FROM r3
+      FROM rx3
     ),
-    rs AS (SELECT src_canon, src_host, dst_abs FROM r4
+    rs AS (SELECT src_canon, src_host, dst_abs FROM rx4
            WHERE dst_abs IS NOT NULL),
     {dst},
     edges AS (
@@ -2027,6 +2034,45 @@ def web_link_hostgraph(spark, sf_dir):
 
     pages = spark.read.parquet(_links_fixture_path())
     return host_link_graph(extract_outlinks(pages))
+
+
+def _host_pagerank_oracle() -> str:
+    return _pagerank_oracle(
+        10,
+        0.85,
+        base=_outlinks_cte(),
+        edges_sql=(
+            "SELECT DISTINCT src_host AS s, dst_host AS d FROM edges "
+            "WHERE src_host <> dst_host"
+        ),
+        id_alias="host",
+    )
+
+
+@register("web_host_pagerank", oracle=_host_pagerank_oracle())
+def web_host_pagerank(spark, sf_dir):
+    """Domain authority over the extracted web link graph: 10 rounds of
+    PageRank on the distinct inter-host edges (self-links excluded — the
+    standard host-graph convention), N-scaled to mean 1.0 and rounded to
+    6. The oracle re-derives BOTH the link graph (extraction + resolution
+    + canonicalization) and all 10 power-iteration rounds in unrolled
+    DuckDB SQL — the full crawl -> edges -> authority chain checked end
+    to end by one independent query."""
+    from deepex_spark.operators.graph import pagerank
+    from deepex_spark.operators.urls import extract_outlinks
+
+    pages = spark.read.parquet(_links_fixture_path())
+    edges = (
+        extract_outlinks(pages)
+        .where(F.col("src_host") != F.col("dst_host"))
+        .select("src_host", "dst_host")
+    )
+    pr = pagerank(edges, "src_host", "dst_host", n_iter=10, damping=0.85)
+    n_df = pr.agg(F.count("*").alias("nn"))
+    return pr.crossJoin(F.broadcast(n_df)).select(
+        F.col("v").alias("host"),
+        F.round(F.col("r") * F.col("nn"), 6).alias("pagerank"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -188,3 +188,16 @@ class TestExtractHrefs:
         # (src,dst) host pair summed over src pages >= n_dst_pages
         assert all(ne >= nd >= 1 for ne, nd in hg.values())
         assert sum(ne for ne, _ in hg.values()) == edges.count()
+
+
+def test_web_host_pagerank_mass_conserved(spark):
+    """Host PageRank: N-scaled ranks average exactly 1.0 (mass
+    conservation incl. dangling redistribution), hosts with inlinks from
+    many others outrank leaf hosts."""
+    from deepex_spark.queries import REGISTRY
+
+    rows = REGISTRY["web_host_pagerank"].spark_fn(spark, "unused").collect()
+    assert rows
+    mean = sum(r["pagerank"] for r in rows) / len(rows)
+    assert abs(mean - 1.0) < 1e-6
+    assert max(r["pagerank"] for r in rows) > 1.0 > min(r["pagerank"] for r in rows)
