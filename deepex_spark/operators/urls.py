@@ -313,3 +313,30 @@ def host_link_graph(edges: DataFrame) -> DataFrame:
         F.count("*").alias("n_edges"),
         F.count_distinct("dst_canon").alias("n_dst_pages"),
     )
+
+
+def crawl_frontier(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """Frontier discovery for the next crawl round -> ``(dst_canon,
+    dst_host, n_inlinks, n_src_hosts)``: canonical outlink targets NOT in
+    the crawled set, ranked by distinct linking pages and linking hosts
+    (the standard frontier-prioritization signals — many independent
+    in-links = fetch first).
+
+    One left-anti join of the distinct edge targets against the distinct
+    crawled canonical urls, both sides keyed on canon_url — at crawl
+    scale both are url-hash-partitionable on the same key, and the
+    per-target rollup is map-side combined. Self-contained pages that
+    link only to crawled urls contribute nothing; zero-outlink pages
+    cost one empty regex pass."""
+    edges = extract_outlinks(pages, url_col, html_col)
+    crawled = canonicalize_urls(pages, url_col).select(
+        F.col("canon_url").alias("dst_canon")
+    ).distinct()
+    return (
+        edges.join(crawled, "dst_canon", "left_anti")
+        .groupBy("dst_canon", "dst_host")
+        .agg(
+            F.count("*").alias("n_inlinks"),
+            F.count_distinct("src_host").alias("n_src_hosts"),
+        )
+    )

@@ -2036,6 +2036,30 @@ def web_link_hostgraph(spark, sf_dir):
     return host_link_graph(extract_outlinks(pages))
 
 
+@register(
+    "crawl_frontier",
+    oracle=_outlinks_cte()
+    + """
+    , crawled AS (SELECT DISTINCT canon_url AS dst_canon FROM s)
+    SELECT e.dst_canon, e.dst_host,
+           CAST(count(*) AS BIGINT) AS n_inlinks,
+           CAST(count(DISTINCT e.src_host) AS BIGINT) AS n_src_hosts
+    FROM edges e LEFT JOIN crawled c ON e.dst_canon = c.dst_canon
+    WHERE c.dst_canon IS NULL
+    GROUP BY e.dst_canon, e.dst_host
+    """,
+)
+def crawl_frontier_query(spark, sf_dir):
+    """Next-round crawl frontier: canonical outlink targets not in the
+    crawled set, ranked by distinct in-linking pages and hosts — the
+    anti-join + rollup a crawler's scheduler runs between rounds. Both
+    join sides key on canon_url (url-hash partitionable at scale)."""
+    from deepex_spark.operators.urls import crawl_frontier
+
+    pages = spark.read.parquet(_links_fixture_path())
+    return crawl_frontier(pages)
+
+
 def _host_pagerank_oracle() -> str:
     return _pagerank_oracle(
         10,

@@ -201,3 +201,31 @@ def test_web_host_pagerank_mass_conserved(spark):
     mean = sum(r["pagerank"] for r in rows) / len(rows)
     assert abs(mean - 1.0) < 1e-6
     assert max(r["pagerank"] for r in rows) > 1.0 > min(r["pagerank"] for r in rows)
+
+
+def test_crawl_frontier_excludes_crawled_and_rolls_up(spark):
+    """Frontier = edge targets minus crawled canon urls; counts must tie
+    out against an independent recomputation from the raw edge set."""
+    from deepex_spark.operators.urls import canonicalize_urls, crawl_frontier
+
+    pages = spark.read.parquet(FIXTURE)
+    edges = extract_outlinks(pages).collect()
+    crawled = {
+        r["canon_url"] for r in canonicalize_urls(pages).select("canon_url").collect()
+    }
+    frontier = {
+        r["dst_canon"]: (r["n_inlinks"], r["n_src_hosts"])
+        for r in crawl_frontier(pages).collect()
+    }
+    # the fixture's in-corpus links guarantee BOTH sides are non-trivial
+    assert frontier and any(e["dst_canon"] in crawled for e in edges)
+    assert not crawled & frontier.keys()
+    # independent rollup over the uncrawled edge targets
+    expect: dict = {}
+    for e in edges:
+        if e["dst_canon"] in crawled:
+            continue
+        n, hosts = expect.setdefault(e["dst_canon"], [0, set()])
+        expect[e["dst_canon"]][0] += 1
+        hosts.add(e["src_host"])
+    assert frontier == {k: (n, len(h)) for k, (n, h) in expect.items()}

@@ -53,11 +53,33 @@ def src_url(i: int, rng: random.Random) -> str:
     return f"{scheme}://{www}{host}{port}{path}{q}{frag}"
 
 
+def canon_of(j: int) -> str:
+    """CANONICAL url of page j (mirrors src_url under the
+    normalize_url spec) — used to emit in-corpus links, so the crawl
+    frontier anti-join has real hits to exclude."""
+    scheme = ["https", "http", "https", "http"][j % 4]
+    if j % 13 == 0:
+        return f"{scheme}://site{j % 7}.example.org"
+    q = {0: "?q=spark", 1: "?a=1&b=2", 2: ""}.get(j % 6, "")
+    return f"{scheme}://site{j % 7}.example.org/articles/{j}{q}"
+
+
 def anchors_for(i: int, rng: random.Random) -> list[str]:
     """Deterministic anchor-tag menu for page i. Every page draws 3-8;
-    pages with i % 17 == 0 get none (zero-outlink pages must survive)."""
+    pages with i % 17 == 0 get none (zero-outlink pages must survive).
+    Pages with i % 2 == 0 additionally link to 1-2 OTHER pages of the
+    corpus (canonical form), so the link graph has real in-corpus
+    structure and the frontier query has crawled targets to exclude."""
     if i % 17 == 0:
         return []
+    internal = []
+    if i % 2 == 0:
+        # Same-host targets (i+7k ≡ i mod 7): in-corpus links the frontier
+        # anti-join must exclude, WITHOUT adding inter-host edges that
+        # would flatten the host PageRank graph to a complete digraph.
+        internal.append(f'<a href="{canon_of((i + 7) % N_PAGES)}">in1</a>')
+        if i % 4 == 0:
+            internal.append(f'<a href="{canon_of((i + 21) % N_PAGES)}">in2</a>')
     k, m = (i * 3 + 1) % 7, i % 23
     menu = [
         f'<a href="https://site{k}.example.org/ref/{m}?utm_source=x&z=1#top">r</a>',
@@ -80,9 +102,9 @@ def anchors_for(i: int, rng: random.Random) -> list[str]:
         f'<img src="/i.png" href="/not-an-anchor/{m}">',
     ]
     n = 3 + rng.randrange(6)
-    picks = [menu[rng.randrange(len(menu))] for _ in range(n)]
+    picks = internal + [menu[rng.randrange(len(menu))] for _ in range(n)]
     if i % 4 == 0:  # a repeated anchor: must collapse to one edge
-        picks.append(picks[0])
+        picks.append(picks[-1])
     return picks
 
 
