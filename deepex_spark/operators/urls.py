@@ -315,6 +315,122 @@ def host_link_graph(edges: DataFrame) -> DataFrame:
     )
 
 
+# anchor (href, inner-text) pairs: same tag grammar as HREF_*_RE plus the
+# closing '>' and the text up to the FIRST '<' (nested markup inside the
+# anchor truncates the text to '' — a documented spec bound; both regexes
+# are RE2- and java.util.regex-portable, so the SQL oracle reuses them
+# verbatim). Extracting group 1 and group 2 with the SAME regex yields
+# positionally aligned lists in both engines — zipped, never re-matched.
+ANCHOR_DQ_RE = r'(?i)<a[\s][^>]*?href\s*=\s*"([^"]*)"[^>]*>([^<]*)'
+ANCHOR_SQ_RE = r"(?i)<a[\s][^>]*?href\s*=\s*'([^']*)'[^>]*>([^<]*)"
+# explicit ASCII whitespace class: java \s includes \x0B, RE2 \s does not —
+# spelling the class out keeps Spark and the SQL oracle byte-identical
+WS_RUN_RE = "[ \t\n\f\r]+"
+
+
+def normalize_alias(txt: Column) -> Column:
+    """Anchor text -> dictionary alias: collapse ASCII whitespace runs to
+    one space, trim, lowercase. Surface variants ('  Apache  SPARK ',
+    'apache\\nspark') collapse to one key; '' means no usable alias."""
+    return F.lower(F.trim(F.regexp_replace(txt, WS_RUN_RE, " ")))
+
+
+def extract_anchor_pairs(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Anchor-text mentions -> ``(src_canon, src_host, dst_canon,
+    alias)``: one row per anchor whose href resolves to an http(s) url
+    and whose normalized inner text is non-empty.
+
+    This is the raw material of the entity-linking alias dictionary
+    (DeepEx links mentions against an alias->entity table, reference
+    `src/deepex/model/linking` semantics re-created in
+    operators/linking.py): on the web, anchor text is THE free supervised
+    alias source — people label link targets with the name they call the
+    entity. Row-local JVM column algebra end to end (regex pair
+    extraction, positional zip, scheme/origin resolution, canonicalize) —
+    no UDF, no shuffle; at 100 TB this runs inside the scan stage's
+    codegen exactly like :func:`extract_outlinks`."""
+    canon = canonicalize_urls(pages, url_col)
+    h = F.col(html_col).cast("string")
+    hrefs = F.concat(
+        F.regexp_extract_all(h, F.lit(ANCHOR_DQ_RE), 1),
+        F.regexp_extract_all(h, F.lit(ANCHOR_SQ_RE), 1),
+    )
+    txts = F.concat(
+        F.regexp_extract_all(h, F.lit(ANCHOR_DQ_RE), 2),
+        F.regexp_extract_all(h, F.lit(ANCHOR_SQ_RE), 2),
+    )
+    pairs = canon.select(
+        F.col("canon_url").alias("src_canon"),
+        F.col("host").alias("src_host"),
+        F.explode(F.arrays_zip(hrefs.alias("href"), txts.alias("txt"))).alias("p"),
+    )
+    resolved = (
+        pairs.withColumn("dst_abs", resolve_href(F.col("src_canon"), F.col("p.href")))
+        .withColumn("alias", normalize_alias(F.col("p.txt")))
+        .where(F.col("dst_abs").isNotNull() & (F.col("alias") != ""))
+    )
+    dst = normalize_url(F.col("dst_abs"))
+    return resolved.select(
+        "src_canon", "src_host", dst.alias("dst_canon"), "alias"
+    )
+
+
+def mine_anchor_aliases(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Alias evidence table -> ``(alias, dst_canon, n_pages, n_hosts)``:
+    how many distinct pages / hosts label target ``dst_canon`` with
+    ``alias``. Distinct counts (not raw anchor counts) so surface
+    re-fetches of one logical page and repeated anchors on one page can
+    never inflate the signal. ONE map-side-combined exchange on
+    (alias, dst_canon); generic mega-aliases ('more', 'here') spread
+    across their many targets rather than concentrating in one group."""
+    return extract_anchor_pairs(pages, url_col, html_col).groupBy(
+        "alias", "dst_canon"
+    ).agg(
+        F.count_distinct("src_canon").alias("n_pages"),
+        F.count_distinct("src_host").alias("n_hosts"),
+    )
+
+
+def anchor_alias_dict(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_pages: int = 1,
+) -> DataFrame:
+    """Entity-linking alias dictionary -> ``(alias, dst_canon, n_pages,
+    n_hosts, confidence)``: the dominant target per alias (most distinct
+    linking pages, ties by dst_canon asc so the kept row is
+    deterministic) with ``confidence`` = its share of the alias's total
+    page-evidence. ``min_pages`` cuts one-off aliases at scale.
+
+    One alias-keyed exchange shared by the total and the argmax ranking;
+    the output is exactly the small side the linking stage broadcasts
+    (operators/linking.py joins mentions against an alias dictionary) —
+    this closes the loop from raw crawl HTML to the linking stage's
+    dictionary with no hand-curated input."""
+    agg = mine_anchor_aliases(pages, url_col, html_col)
+    w = Window.partitionBy("alias")
+    ranked = agg.withColumn("tot", F.sum("n_pages").over(w)).withColumn(
+        "_rn",
+        F.row_number().over(w.orderBy(F.desc("n_pages"), F.asc("dst_canon"))),
+    )
+    return ranked.where(
+        (F.col("_rn") == 1) & (F.col("n_pages") >= min_pages)
+    ).select(
+        "alias",
+        "dst_canon",
+        "n_pages",
+        "n_hosts",
+        F.round(F.col("n_pages").cast("double") / F.col("tot"), 6).alias(
+            "confidence"
+        ),
+    )
+
+
 def crawl_frontier(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
     """Frontier discovery for the next crawl round -> ``(dst_canon,
     dst_host, n_inlinks, n_src_hosts)``: canonical outlink targets NOT in

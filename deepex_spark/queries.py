@@ -1956,8 +1956,26 @@ def _outlinks_cte() -> str:
              )) AS href
       FROM s
     ),
+    {_href_resolve_cte("src_canon, src_host")},
+    {dst},
+    edges AS (
+      SELECT DISTINCT src_canon, src_host,
+                      canon_url AS dst_canon, host AS dst_host
+      FROM d
+    )
+    """
+
+
+def _href_resolve_cte(carry: str) -> str:
+    """DuckDB CTE fragment ``rx1..rx4, rs`` resolving ``hx.href`` on page
+    ``hx.src_canon`` into ``rs({carry}, dst_abs)`` — mirrors
+    operators/urls.py::resolve_href step for step (same trim-spaces +
+    scheme-dispatch + origin/dir join). Expects an ``hx`` relation
+    carrying at least (src_canon, href) plus the ``carry`` columns; no
+    leading WITH, composes into any chain."""
+    return rf"""
     rx1 AS (
-      SELECT src_canon, src_host, trim(href) AS t,
+      SELECT {carry}, trim(href) AS t,
              regexp_extract(src_canon, '^([a-z][a-z0-9+.\-]*):', 1) AS scheme,
              regexp_extract(src_canon, '^[a-z][a-z0-9+.\-]*://[^/?]*') AS origin
       FROM hx
@@ -1972,7 +1990,7 @@ def _outlinks_cte() -> str:
       FROM rx2
     ),
     rx4 AS (
-      SELECT src_canon, src_host,
+      SELECT {carry},
              CASE
                WHEN t = '' OR starts_with(t, '#') THEN NULL
                WHEN regexp_matches(t, '^[A-Za-z][A-Za-z0-9+.\-]*:')
@@ -1987,14 +2005,46 @@ def _outlinks_cte() -> str:
              END AS dst_abs
       FROM rx3
     ),
-    rs AS (SELECT src_canon, src_host, dst_abs FROM rx4
-           WHERE dst_abs IS NOT NULL),
-    {dst},
-    edges AS (
-      SELECT DISTINCT src_canon, src_host,
-                      canon_url AS dst_canon, host AS dst_host
-      FROM d
+    rs AS (SELECT {carry}, dst_abs FROM rx4
+           WHERE dst_abs IS NOT NULL)"""
+
+
+def _anchor_pairs_cte() -> str:
+    """DuckDB CTE chain ending in relation pa(src_canon, src_host,
+    dst_canon, alias) — resolved anchor-text mentions with non-empty
+    normalized aliases. Mirrors operators/urls.py::extract_anchor_pairs:
+    same pair regexes (group 1 = href, group 2 = inner text, zipped
+    positionally via DuckDB's aligned multi-unnest), same resolution and
+    canonicalization chains, same whitespace-collapse + trim + lower
+    alias normalization (explicit ASCII class; regexp_replace needs the
+    'g' flag where Spark's is always-global)."""
+    src = _canon_chain(
+        "s", f"read_parquet('{_links_fixture_path()}')", "url", "html"
     )
+    dst = _canon_chain("d", "rs", "dst_abs", "src_canon, src_host, txt")
+    dq = r"""'(?i)<a[\s][^>]*?href\s*=\s*"([^"]*)"[^>]*>([^<]*)'"""
+    sq = r"'(?i)<a[\s][^>]*?href\s*=\s*''([^'']*)''[^>]*>([^<]*)'"
+    return rf"""
+    WITH {src},
+    hx AS (
+      SELECT canon_url AS src_canon, host AS src_host,
+             unnest(list_concat(
+               regexp_extract_all(decode(html), {dq}, 1),
+               regexp_extract_all(decode(html), {sq}, 1))) AS href,
+             unnest(list_concat(
+               regexp_extract_all(decode(html), {dq}, 2),
+               regexp_extract_all(decode(html), {sq}, 2))) AS txt
+      FROM s
+    ),
+    {_href_resolve_cte("src_canon, src_host, txt")},
+    {dst},
+    pa0 AS (
+      SELECT src_canon, src_host, canon_url AS dst_canon,
+             lower(trim(regexp_replace(txt, '[ \t\n\f\r]+', ' ', 'g')))
+               AS alias
+      FROM d
+    ),
+    pa AS (SELECT * FROM pa0 WHERE alias <> '')
     """
 
 
@@ -2058,6 +2108,64 @@ def crawl_frontier_query(spark, sf_dir):
 
     pages = spark.read.parquet(_links_fixture_path())
     return crawl_frontier(pages)
+
+
+@register(
+    "anchor_aliases",
+    oracle=_anchor_pairs_cte()
+    + """
+    SELECT alias, dst_canon,
+           CAST(count(DISTINCT src_canon) AS BIGINT) AS n_pages,
+           CAST(count(DISTINCT src_host) AS BIGINT) AS n_hosts
+    FROM pa GROUP BY alias, dst_canon
+    """,
+)
+def anchor_aliases_query(spark, sf_dir):
+    """Anchor-text alias evidence: distinct pages/hosts labelling each
+    canonical link target with each normalized anchor text — the raw
+    material of the entity-linking alias dictionary, mined from crawl
+    HTML with zero hand-curated input. The oracle re-derives pair
+    extraction + resolution + canonicalization + alias normalization
+    independently in SQL."""
+    from deepex_spark.operators.urls import mine_anchor_aliases
+
+    pages = spark.read.parquet(_links_fixture_path())
+    return mine_anchor_aliases(pages)
+
+
+@register(
+    "anchor_alias_dict",
+    oracle=_anchor_pairs_cte()
+    + """
+    , ag AS (
+      SELECT alias, dst_canon,
+             count(DISTINCT src_canon) AS np,
+             count(DISTINCT src_host) AS nh
+      FROM pa GROUP BY alias, dst_canon
+    ),
+    rk AS (
+      SELECT alias, dst_canon, np, nh,
+             sum(np) OVER (PARTITION BY alias) AS tot,
+             row_number() OVER (PARTITION BY alias
+                                ORDER BY np DESC, dst_canon ASC) AS rn
+      FROM ag
+    )
+    SELECT alias, dst_canon,
+           CAST(np AS BIGINT) AS n_pages, CAST(nh AS BIGINT) AS n_hosts,
+           round(CAST(np AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS confidence
+    FROM rk WHERE rn = 1
+    """,
+)
+def anchor_alias_dict_query(spark, sf_dir):
+    """Entity-linking alias dictionary: dominant canonical target per
+    alias (most distinct linking pages, deterministic tie-break) with a
+    confidence share — the broadcast-side table the linking stage
+    consumes. One alias-keyed exchange for total + argmax; mislabeled /
+    generic anchors surface as confidence < 1 rows."""
+    from deepex_spark.operators.urls import anchor_alias_dict
+
+    pages = spark.read.parquet(_links_fixture_path())
+    return anchor_alias_dict(pages)
 
 
 def _host_pagerank_oracle() -> str:

@@ -229,3 +229,109 @@ def test_crawl_frontier_excludes_crawled_and_rolls_up(spark):
         expect[e["dst_canon"]][0] += 1
         hosts.add(e["src_host"])
     assert frontier == {k: (n, len(h)) for k, (n, h) in expect.items()}
+
+
+# ---------------------------------------------------------------------------
+# anchor-text alias mining
+# ---------------------------------------------------------------------------
+
+_PAIR_DQ = re.compile(r'(?i)<a[\s][^>]*?href\s*=\s*"([^"]*)"[^>]*>([^<]*)')
+_PAIR_SQ = re.compile(r"(?i)<a[\s][^>]*?href\s*=\s*'([^']*)'[^>]*>([^<]*)")
+
+
+def _py_alias(txt: str) -> str:
+    return re.sub("[ \t\n\f\r]+", " ", txt).strip(" ").lower()
+
+
+def _py_alias_rows(rows) -> dict:
+    """(alias, dst_canon) -> (n_pages, n_hosts), the pure-Python third
+    implementation of mine_anchor_aliases."""
+    from collections import defaultdict
+
+    pages, hosts = defaultdict(set), defaultdict(set)
+    for url, html in rows:
+        src = _py_canon(url)
+        src_host = re.sub(
+            r":[0-9]+$",
+            "",
+            re.match(r"^[a-z0-9+.\-]+://(?:[^/?]*@)?([^/?@]*)", src).group(1),
+        )
+        h = html.decode("utf-8")
+        for href, txt in _PAIR_DQ.findall(h) + _PAIR_SQ.findall(h):
+            dst_abs = _py_resolve(src, href)
+            alias = _py_alias(txt)
+            if dst_abs is None or alias == "":
+                continue
+            key = (alias, _py_canon(dst_abs))
+            pages[key].add(src)
+            hosts[key].add(src_host)
+    return {k: (len(pages[k]), len(hosts[k])) for k in pages}
+
+
+class TestAnchorAliases:
+    def test_spark_matches_python_reference_on_fixture(self, spark):
+        from deepex_spark.operators.urls import mine_anchor_aliases
+
+        pages = spark.read.parquet(FIXTURE)
+        got = {
+            (r["alias"], r["dst_canon"]): (r["n_pages"], r["n_hosts"])
+            for r in mine_anchor_aliases(pages).collect()
+        }
+        want = _py_alias_rows(
+            [(r["url"], bytes(r["html"])) for r in pages.collect()]
+        )
+        assert got == want and len(got) > 100
+
+    def test_alias_normalization_and_spec_bounds(self, spark):
+        """Surface case/whitespace variants collapse to one alias; nested
+        markup truncates the text to '' (dropped); non-http(s) and
+        unquoted-href anchors never contribute."""
+        from deepex_spark.operators.urls import mine_anchor_aliases
+
+        html = (
+            '<a href="/x">  Apache  SPARK </a>'
+            "<a href='/x'>apache\nspark</a>"
+            '<a href="/x">APACHE\tSPARK</a>'
+            '<a href="/y"><b>bold</b></a>'
+            '<a href="mailto:a@b">Apache Spark</a>'
+            "<a href=unq>Apache Spark</a>"
+        ).encode()
+        pages = spark.createDataFrame(
+            [("https://h1.example.org/a", html), ("http://h2.example.org/b", html)],
+            "url string, html binary",
+        )
+        rows = mine_anchor_aliases(pages).collect()
+        # '/x' resolves per-page -> one (alias, dst) group per host; the
+        # three surface variants on each page collapse to ONE alias row
+        # with n_pages = n_hosts = 1
+        assert [
+            (r["alias"], r["dst_canon"], r["n_pages"], r["n_hosts"])
+            for r in sorted(rows, key=lambda r: r["dst_canon"])
+        ] == [
+            ("apache spark", "http://h2.example.org/x", 1, 1),
+            ("apache spark", "https://h1.example.org/x", 1, 1),
+        ]
+
+    def test_dict_argmax_and_confidence(self, spark):
+        """Dominant target wins with its page-share as confidence; ties
+        break by dst_canon ascending."""
+        from deepex_spark.operators.urls import anchor_alias_dict
+
+        def page(url, dst):
+            return (url, f'<a href="{dst}">Ada  Lovelace</a>'.encode())
+
+        pages = spark.createDataFrame(
+            [
+                page("https://a.example.org/1", "https://t.example.org/ada"),
+                page("https://b.example.org/2", "https://t.example.org/ada"),
+                page("https://c.example.org/3", "https://wrong.example.org/x"),
+            ],
+            "url string, html binary",
+        )
+        rows = anchor_alias_dict(pages).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["alias"] == "ada lovelace"
+        assert r["dst_canon"] == "https://t.example.org/ada"
+        assert (r["n_pages"], r["n_hosts"]) == (2, 2)
+        assert abs(r["confidence"] - 2 / 3) < 1e-6

@@ -64,6 +64,32 @@ def canon_of(j: int) -> str:
     return f"{scheme}://site{j % 7}.example.org/articles/{j}{q}"
 
 
+ENTITIES = [
+    "Apache Spark", "Alan Turing", "Grace Hopper", "New York City",
+    "Tim Berners-Lee", "World Wide Web", "Ada Lovelace",
+]
+
+
+def entity_name(j: int) -> str:
+    """Canonical entity name of target page j (unique per page)."""
+    return f"{ENTITIES[j % len(ENTITIES)]} {j // len(ENTITIES)}"
+
+
+def anchor_text(j: int, v: int) -> str:
+    """Messy surface variant v of target j's entity name — every variant
+    must collapse to lower(entity_name(j)) under the alias-normalization
+    spec (ASCII-whitespace runs -> ' ', trim, lower)."""
+    name = entity_name(j)
+    return {
+        0: name,
+        1: name.upper(),
+        2: f"  {name.lower()} ",
+        3: name.replace(" ", "\n"),
+        4: f"{name}\t",
+        5: name.replace(" ", " \t "),
+    }[v % 6]
+
+
 def anchors_for(i: int, rng: random.Random) -> list[str]:
     """Deterministic anchor-tag menu for page i. Every page draws 3-8;
     pages with i % 17 == 0 get none (zero-outlink pages must survive).
@@ -77,9 +103,19 @@ def anchors_for(i: int, rng: random.Random) -> list[str]:
         # Same-host targets (i+7k ≡ i mod 7): in-corpus links the frontier
         # anti-join must exclude, WITHOUT adding inter-host edges that
         # would flatten the host PageRank graph to a complete digraph.
-        internal.append(f'<a href="{canon_of((i + 7) % N_PAGES)}">in1</a>')
+        # Anchor texts are messy surface variants of the TARGET's entity
+        # name (alias mining must collapse them); pages with i % 10 == 0
+        # mislabel the link with a DIFFERENT entity's name — deterministic
+        # anchor-text noise, so some aliases map to >1 target and the
+        # dictionary's argmax/confidence path is exercised.
+        j1 = (i + 7) % N_PAGES
+        t1 = anchor_text(j1 if i % 10 else (j1 + 7) % N_PAGES, i // 2)
+        internal.append(f'<a href="{canon_of(j1)}">{t1}</a>')
         if i % 4 == 0:
-            internal.append(f'<a href="{canon_of((i + 21) % N_PAGES)}">in2</a>')
+            j2 = (i + 21) % N_PAGES
+            internal.append(
+                f'<a href="{canon_of(j2)}">{anchor_text(j2, i // 4)}</a>'
+            )
     k, m = (i * 3 + 1) % 7, i % 23
     menu = [
         f'<a href="https://site{k}.example.org/ref/{m}?utm_source=x&z=1#top">r</a>',
