@@ -31,6 +31,17 @@ def main(argv=None):
     p.add_argument("--run-id", default="run0")
     p.add_argument("--repartition", type=int, default=None, help="repartition(n, xxhash64(url)) after ingest")
     p.add_argument("--alias-json", default=None, help="JSON {alias: canonical} for entity linking")
+    p.add_argument(
+        "--mine-aliases",
+        action="store_true",
+        help="mine the entity-linking alias dictionary from the crawl's own "
+        "anchor texts (anchor_alias_dict over the FULL input, before any "
+        "resume filtering); explicit --alias-json entries take precedence",
+    )
+    p.add_argument("--min-alias-pages", type=int, default=2,
+                   help="mined aliases need this many distinct linking pages")
+    p.add_argument("--min-alias-conf", type=float, default=0.5,
+                   help="mined aliases need this dominant-target page share")
     p.add_argument("--link-strategy", default="broadcast", choices=["broadcast", "salted"])
     p.add_argument("--dist-const", type=int, default=2048)
     p.add_argument("--beam-size", type=int, default=6)
@@ -78,6 +89,20 @@ def main(argv=None):
         from deepex_spark.operators.urls import dedup_refetches
 
         pages = dedup_refetches(pages)
+    mined_df = None
+    if args.mine_aliases:
+        # over the full (re-fetch-deduped) crawl, BEFORE the resume
+        # anti-join: alias evidence from already-processed pages still
+        # belongs in the dictionary
+        from pyspark.sql import functions as F
+
+        from deepex_spark.operators.urls import anchor_alias_dict
+
+        mined_df = (
+            anchor_alias_dict(pages, min_pages=args.min_alias_pages)
+            .where(F.col("confidence") >= args.min_alias_conf)
+            .select("alias", F.col("dst_canon").alias("canonical"))
+        )
     if args.resume and catalog.exists("triples"):
         pages = catalog.pending(pages.withColumnRenamed("url", "docid"), "triples").withColumnRenamed(
             "docid", "url"
@@ -87,6 +112,15 @@ def main(argv=None):
     if args.alias_json:
         with open(args.alias_json) as f:
             alias_df = alias_entity_table(spark, json.load(f))
+    if mined_df is not None:
+        # deterministic precedence: an explicit JSON alias shadows the
+        # mined entry for the same key (left-anti, not dropDuplicates —
+        # union order must never decide the dictionary)
+        alias_df = (
+            mined_df
+            if alias_df is None
+            else alias_df.unionByName(mined_df.join(alias_df, "alias", "left_anti"))
+        )
 
     t0 = time.time()
     triples, vertices, edges = build_knowledge_graph(

@@ -246,3 +246,41 @@ def test_resolve_entities_merges_typo_variants(spark):
     merged = [r for r in v.collect() if r["canonical"] == rep_name]
     assert len(merged) == 1
     assert set(merged[0]["surfaces"]) >= {"Alan Turing", "Alann Turing", "Alan Turnig"}
+
+
+def test_mine_aliases_links_from_crawl_anchors(spark, tmp_path):
+    """--mine-aliases: the job builds its linking dictionary from the
+    crawl's own anchor texts — pages anchor-label a KB url with messy
+    'Barack OBAMA' variants, and the mined alias links the extracted
+    triples' 'barack obama' surfaces onto that canonical url with no
+    hand-written dictionary."""
+    from pyspark.sql import functions as F
+
+    from deepex_spark.plans.catalog import Catalog
+    from deepex_spark.sources.pages import synth_pages
+    from jobs.build_kg import main
+
+    kb = "https://kb.example.org/Barack_Obama"
+    anchor = f' <a href="{kb}">Barack\n OBAMA </a>'
+    pages = synth_pages(spark, n_docs=12, seed=11).withColumn(
+        "html",
+        F.concat(F.col("html").cast("string"), F.lit(anchor)).cast("binary"),
+    )
+    src = tmp_path / "pages"
+    pages.write.parquet(str(src))
+    out = tmp_path / "kg"
+    main(
+        [
+            "--input", str(src),
+            "--output", str(out),
+            "--run-id", "mine1",
+            "--dist-const", "2",
+            "--mine-aliases",
+        ]
+    )
+    canon = {
+        r["canonical"]
+        for r in Catalog(str(out)).read(spark, "vertices").collect()
+    }
+    assert any("kb.example.org" in c for c in canon)
+    assert "barack obama" not in canon  # linked away before canonicalization
