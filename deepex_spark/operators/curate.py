@@ -630,3 +630,109 @@ def mix_rates(
             4,
         ).alias("keep_rate"),
     )
+
+
+def boilerplate_lines(
+    pages: DataFrame,
+    min_pages: int = 2,
+    min_frac: float = 0.5,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-host boilerplate detection -> ``(host, line, n_pages, frac)``:
+    trimmed non-empty text lines that appear on at least ``min_pages``
+    distinct canonical pages AND at least ``min_frac`` of the host's
+    pages — nav bars, cookie banners, copyright footers. CCNet cleans
+    crawl text exactly this way (per-shard repeated-paragraph removal);
+    keying by host makes the frequency signal sharp at any corpus size
+    because boilerplate is a per-site template artifact.
+
+    Distinct-page evidence (never raw occurrence counts), so re-fetches
+    of one logical page and a line repeated within one page can't
+    promote content to boilerplate. Two host-keyed aggregations + one
+    host equi-join, all map-side combined; no driver-side state."""
+    from deepex_spark.operators.urls import canonicalize_urls
+
+    canon = canonicalize_urls(pages, url_col)
+    lines = (
+        canon.select(
+            "host",
+            F.col("canon_url").alias("page"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+        )
+        .select("host", "page", F.trim(F.col("raw")).alias("line"))
+        .where(F.col("line") != "")
+    )
+    per_line = lines.groupBy("host", "line").agg(
+        F.count_distinct("page").alias("n_pages")
+    )
+    host_pages = canon.groupBy("host").agg(
+        F.count_distinct("canon_url").alias("host_pages")
+    )
+    return (
+        per_line.join(host_pages, "host")
+        .where(
+            (F.col("n_pages") >= min_pages)
+            & (
+                F.col("n_pages").cast("double") / F.col("host_pages")
+                >= min_frac
+            )
+        )
+        .select(
+            "host",
+            "line",
+            "n_pages",
+            F.round(
+                F.col("n_pages").cast("double") / F.col("host_pages"), 6
+            ).alias("frac"),
+        )
+    )
+
+
+def strip_boilerplate(
+    pages: DataFrame,
+    min_pages: int = 2,
+    min_frac: float = 0.5,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove detected boilerplate lines -> ``(url, clean_text)``, one
+    row per input page (pages reduced to nothing keep an empty string —
+    downstream length/quality filters see them, they don't vanish).
+
+    Line normalization is shared with :func:`boilerplate_lines` (trim
+    spaces, drop empties); surviving lines are re-joined in original
+    order. Cost at scale: one (host, line) anti-join + one url-keyed
+    re-assembly shuffle of the text body — two text-sized exchanges for
+    a one-time cleaning pass, vs re-running every downstream stage over
+    nav-bar tokens forever. The re-assembly sort is per-url array_sort
+    (bounded by lines-per-doc), never a global order."""
+    from deepex_spark.operators.urls import canonicalize_urls
+
+    bl = boilerplate_lines(pages, min_pages, min_frac, url_col, text_col)
+    canon = canonicalize_urls(pages, url_col)
+    lines = (
+        canon.select(
+            F.col(url_col).alias("url"),
+            "host",
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+        )
+        .select("url", "host", "pos", F.trim(F.col("raw")).alias("line"))
+        .where(F.col("line") != "")
+    )
+    kept = lines.join(bl.select("host", "line"), ["host", "line"], "left_anti")
+    rebuilt = kept.groupBy("url").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("clean_text")
+    )
+    return (
+        pages.select(F.col(url_col).alias("url"))
+        .distinct()
+        .join(rebuilt, "url", "left")
+        .select("url", F.coalesce("clean_text", F.lit("")).alias("clean_text"))
+    )

@@ -2168,6 +2168,90 @@ def anchor_alias_dict_query(spark, sf_dir):
     return anchor_alias_dict(pages)
 
 
+def _boiler_cte() -> str:
+    """CTE chain ending in lines(url, host, canon_url, pos, line) —
+    trimmed non-empty text lines of the links fixture with 1-based
+    positions (positional zip of two aligned unnests — DuckDB 1.0 has no
+    WITH ORDINALITY) — plus bl(host, line, np, hp): the boilerplate
+    detection rollup (distinct-page evidence, host page counts). Mirrors
+    operators/curate.py::boilerplate_lines / strip_boilerplate."""
+    src = _canon_chain(
+        "c", f"read_parquet('{_links_fixture_path()}')", "url", "url, text"
+    )
+    return rf"""
+    WITH {src},
+    l0 AS (
+      SELECT url, host, canon_url,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+             unnest(string_split(text, chr(10))) AS raw
+      FROM c
+    ),
+    lines AS (
+      SELECT url, host, canon_url, pos, trim(raw) AS line
+      FROM l0 WHERE trim(raw) <> ''
+    ),
+    pl AS (
+      SELECT host, line, count(DISTINCT canon_url) AS np
+      FROM lines GROUP BY host, line
+    ),
+    hp AS (SELECT host, count(DISTINCT canon_url) AS hpages FROM c GROUP BY host),
+    bl AS (
+      SELECT pl.host, pl.line, np, hpages
+      FROM pl JOIN hp ON pl.host = hp.host
+      WHERE np >= 2 AND CAST(np AS DOUBLE) / hpages >= 0.5
+    )
+    """
+
+
+@register(
+    "host_boilerplate",
+    oracle=_boiler_cte()
+    + """
+    SELECT host, line, CAST(np AS BIGINT) AS n_pages,
+           round(CAST(np AS DOUBLE) / hpages, 6) AS frac
+    FROM bl
+    """,
+)
+def host_boilerplate_query(spark, sf_dir):
+    """Per-host boilerplate line detection (CCNet-style repeated-line
+    removal signal): trimmed lines on >= 2 distinct canonical pages and
+    >= 50% of the host's pages. Distinct-page evidence so re-fetches and
+    within-page repeats can't promote content."""
+    from deepex_spark.operators.curate import boilerplate_lines
+
+    pages = spark.read.parquet(_links_fixture_path())
+    return boilerplate_lines(pages)
+
+
+@register(
+    "strip_boilerplate",
+    oracle=_boiler_cte()
+    + """
+    , kept AS (
+      SELECT l.url, l.pos, l.line
+      FROM lines l LEFT JOIN bl
+        ON l.host = bl.host AND l.line = bl.line
+      WHERE bl.line IS NULL
+    ),
+    agg AS (
+      SELECT url, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+      FROM kept GROUP BY url
+    )
+    SELECT u.url, coalesce(agg.clean_text, '') AS clean_text
+    FROM (SELECT DISTINCT url FROM c) u LEFT JOIN agg ON u.url = agg.url
+    """,
+)
+def strip_boilerplate_query(spark, sf_dir):
+    """Boilerplate stripping: every page row kept (emptied pages emit
+    ''), surviving trimmed lines re-joined in document order. One
+    (host, line) anti-join + one url-keyed re-assembly; per-doc
+    array_sort, never a global order."""
+    from deepex_spark.operators.curate import strip_boilerplate
+
+    pages = spark.read.parquet(_links_fixture_path())
+    return strip_boilerplate(pages)
+
+
 def _host_pagerank_oracle() -> str:
     return _pagerank_oracle(
         10,

@@ -42,6 +42,13 @@ def main(argv=None):
                    help="mined aliases need this many distinct linking pages")
     p.add_argument("--min-alias-conf", type=float, default=0.5,
                    help="mined aliases need this dominant-target page share")
+    p.add_argument(
+        "--strip-boilerplate",
+        action="store_true",
+        help="remove per-host template lines (nav bars, footers — lines on "
+        ">=50%% of a host's pages) from page text before extraction, so the "
+        "kernel never mints triples from boilerplate",
+    )
     p.add_argument("--link-strategy", default="broadcast", choices=["broadcast", "salted"])
     p.add_argument("--dist-const", type=int, default=2048)
     p.add_argument("--beam-size", type=int, default=6)
@@ -89,6 +96,18 @@ def main(argv=None):
         from deepex_spark.operators.urls import dedup_refetches
 
         pages = dedup_refetches(pages)
+    if args.strip_boilerplate:
+        # detection over the full corpus (like alias mining, before any
+        # resume filtering); the join replaces text per page, keyed on
+        # url — the same url-hash partitioning the ingest layout uses
+        from deepex_spark.operators.curate import strip_boilerplate
+
+        cleaned = strip_boilerplate(pages)
+        pages = (
+            pages.drop("text")
+            .join(cleaned, "url")
+            .withColumnRenamed("clean_text", "text")
+        )
     mined_df = None
     if args.mine_aliases:
         # over the full (re-fetch-deduped) crawl, BEFORE the resume

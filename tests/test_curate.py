@@ -691,3 +691,66 @@ class TestRareBigramStats:
         # docs 1-2 have no bigrams; "p q" occurs 3 times > rare_max_count
         assert set(out) == {3, 4, 5}
         assert all(v == (0, 0.0) for v in out.values())
+
+
+class TestBoilerplate:
+    def _pages(self, spark):
+        import datetime as dt
+
+        rows = []
+        for i in range(4):
+            text = "\n".join(
+                [
+                    "  Nav | Home  ",          # all 4 pages -> boilerplate
+                    f"Unique content {i}.",    # unique -> content
+                    *(["Mid banner"] if i < 2 else []),  # 2/4 = 0.5 -> boilerplate (at threshold)
+                    *(["Rare promo"] if i == 0 else []),  # 1/4 -> content
+                    "© example. All rights reserved.",
+                ]
+            )
+            rows.append((f"https://h.example.org/p{i}", dt.datetime(2024, 1, 1), b"", text, "en"))
+        # a re-fetch of p0 under a tracking-param variant: must NOT raise
+        # any line's distinct-page count
+        rows.append(
+            ("https://h.example.org/p0?utm_source=x", dt.datetime(2024, 1, 2), b"", rows[0][3], "en")
+        )
+        return spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+
+    def test_detection_thresholds_and_refetch_immunity(self, spark):
+        from deepex_spark.operators.curate import boilerplate_lines
+
+        got = {
+            r["line"]: (r["n_pages"], r["frac"])
+            for r in boilerplate_lines(self._pages(spark)).collect()
+        }
+        assert got == {
+            "Nav | Home": (4, 1.0),
+            "Mid banner": (2, 0.5),
+            "© example. All rights reserved.": (4, 1.0),
+        }
+
+    def test_strip_keeps_order_rows_and_content(self, spark):
+        from deepex_spark.operators.curate import strip_boilerplate
+
+        got = {r["url"]: r["clean_text"] for r in strip_boilerplate(self._pages(spark)).collect()}
+        assert len(got) == 5  # every input row survives, incl. the re-fetch
+        assert got["https://h.example.org/p0"] == "Unique content 0.\nRare promo"
+        assert got["https://h.example.org/p3"] == "Unique content 3."
+
+    def test_all_boilerplate_page_yields_empty_not_missing(self, spark):
+        import datetime as dt
+
+        from deepex_spark.operators.curate import strip_boilerplate
+
+        rows = [
+            (f"https://h.example.org/p{i}", dt.datetime(2024, 1, 1), b"",
+             "Same everywhere", "en")
+            for i in range(3)
+        ]
+        pages = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        got = strip_boilerplate(pages).collect()
+        assert len(got) == 3 and all(r["clean_text"] == "" for r in got)

@@ -284,3 +284,33 @@ def test_mine_aliases_links_from_crawl_anchors(spark, tmp_path):
     }
     assert any("kb.example.org" in c for c in canon)
     assert "barack obama" not in canon  # linked away before canonicalization
+
+
+def test_strip_boilerplate_kills_template_triples(spark, tmp_path):
+    """--strip-boilerplate: a triple-shaped nav line repeated on every
+    page of the host never reaches the kernel; per-page body triples
+    survive."""
+    from pyspark.sql import functions as F
+
+    from deepex_spark.plans.catalog import Catalog
+    from deepex_spark.sources.pages import synth_pages
+    from jobs.build_kg import main
+
+    boiler = "Acme Corp sells widgets."
+    pages = synth_pages(spark, n_docs=8, seed=5).withColumn(
+        "text", F.concat(F.lit(boiler + " "), F.lit("\n"), F.col("text"))
+    )
+    src = tmp_path / "pages"
+    pages.write.parquet(str(src))
+
+    def subjects(out_dir, flags):
+        main(["--input", str(src), "--output", str(out_dir),
+              "--run-id", "bp", "--dist-const", "2", *flags])
+        t = Catalog(str(out_dir)).read(spark, "triples")
+        return {r["subj"].lower() for r in t.select("subj").distinct().collect()}
+
+    with_boiler = subjects(tmp_path / "kg_raw", [])
+    without = subjects(tmp_path / "kg_clean", ["--strip-boilerplate"])
+    assert any("acme" in s for s in with_boiler)
+    assert not any("acme" in s for s in without)
+    assert without  # body triples survive the cleaning

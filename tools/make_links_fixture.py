@@ -144,11 +144,24 @@ def anchors_for(i: int, rng: random.Random) -> list[str]:
     return picks
 
 
+def text_for(i: int, body: str) -> str:
+    """Page text = host-template boilerplate around the unique body: a
+    nav header and copyright footer on EVERY page of the host (frac 1.0
+    -> boilerplate), a newsletter line on ~1/3 of pages (below the 0.5
+    frac threshold -> content, stays), the synth body unique per page."""
+    k = i % 7
+    parts = [f"Home | About | Contact — site{k}", body]
+    if i % 3 == 0:
+        parts.append("Subscribe to our newsletter")
+    parts.append(f"© 2024 site{k}.example.org. All rights reserved.")
+    return "\n".join(parts)
+
+
 def rows():
     out = []
     for i in range(N_PAGES):
         rng = random.Random(SEED * 7_368_787 + i)
-        text = synth_doc_for(i, seed=SEED + 1)
+        text = text_for(i, synth_doc_for(i, seed=SEED + 1))
         body = f"<p>{text}</p>\n" + "\n".join(anchors_for(i, rng))
         html = f"<html><body>{body}</body></html>".encode("utf-8")
         out.append(
