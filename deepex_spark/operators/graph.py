@@ -524,3 +524,67 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs & authorities) over a
+    directed edge list -> ``(v, h, a)``, L1-normalized after each
+    half-step (sum of each score vector = 1).
+
+    Same distributed shape as :func:`pagerank`: per half-step one
+    key-partitioned join of scores to edges + one groupBy-sum on the
+    other endpoint; the normalizer is a single aggregated double (one
+    scalar to the driver per half-step, never row data);
+    ``localCheckpoint`` truncates per-round lineage. Fixed ``n_iter``
+    keeps the result a deterministic function of the graph and
+    SQL-reproducible by unrolling. L1 (not the textbook L2) so the
+    oracle needs no sqrt — the fixed point's RANKING is identical, only
+    the scale differs, and the N-scaled report normalizes scale anyway."""
+    idt = _id_cast_type(edges.schema[src].dataType, edges.schema[dst].dataType)
+    e = (
+        edges.select(F.col(src).cast(idt).alias("s"), F.col(dst).cast(idt).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        e.select(F.col("s").alias("v"))
+        .union(e.select(F.col("d").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    hub = verts.withColumn("h", F.lit(1.0 / n))
+    auth = verts.withColumn("a", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        a_raw = (
+            e.join(hub.withColumnRenamed("v", "s"), "s")
+            .groupBy("d")
+            .agg(F.sum("h").alias("raw"))
+        )
+        a_tot = a_raw.agg(F.sum("raw")).collect()[0][0] or 1.0
+        auth = (
+            verts.join(a_raw.withColumnRenamed("d", "v"), "v", "left")
+            .select(
+                "v", (F.coalesce("raw", F.lit(0.0)) / F.lit(a_tot)).alias("a")
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(auth.withColumnRenamed("v", "d"), "d")
+            .groupBy("s")
+            .agg(F.sum("a").alias("raw"))
+        )
+        h_tot = h_raw.agg(F.sum("raw")).collect()[0][0] or 1.0
+        hub = (
+            verts.join(h_raw.withColumnRenamed("s", "v"), "v", "left")
+            .select(
+                "v", (F.coalesce("raw", F.lit(0.0)) / F.lit(h_tot)).alias("h")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return hub.join(auth, "v").select("v", "h", "a")

@@ -2265,6 +2265,90 @@ def _host_pagerank_oracle() -> str:
     )
 
 
+def _hits_oracle(n_iter: int, base: str, edges_sql: str, id_alias: str) -> str:
+    """Unrolled fixed-iteration HITS in DuckDB SQL — one MATERIALIZED
+    CTE per half-step (each score vector is referenced by the next
+    half-step's join AND its own normalizer subquery; MATERIALIZED keeps
+    the unroll linear, as in _pagerank_oracle). L1 normalization, same
+    spec as operators/graph.py::hits."""
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(f"""
+    a{i}raw AS MATERIALIZED (
+      SELECT e.d AS v, SUM(p.h) AS raw FROM e JOIN h{i - 1} p ON p.v = e.s
+      GROUP BY e.d
+    ),
+    a{i} AS MATERIALIZED (
+      SELECT verts.v,
+             COALESCE(r.raw, 0)
+               / (SELECT COALESCE(SUM(raw), 1) FROM a{i}raw) AS a
+      FROM verts LEFT JOIN a{i}raw r ON r.v = verts.v
+    ),
+    h{i}raw AS MATERIALIZED (
+      SELECT e.s AS v, SUM(p.a) AS raw FROM e JOIN a{i} p ON p.v = e.d
+      GROUP BY e.s
+    ),
+    h{i} AS MATERIALIZED (
+      SELECT verts.v,
+             COALESCE(r.raw, 0)
+               / (SELECT COALESCE(SUM(raw), 1) FROM h{i}raw) AS h
+      FROM verts LEFT JOIN h{i}raw r ON r.v = verts.v
+    )""")
+    return (
+        base
+        + f""",
+    e AS MATERIALIZED ({edges_sql}),
+    verts AS MATERIALIZED (
+      SELECT DISTINCT v FROM (SELECT s AS v FROM e UNION SELECT d AS v FROM e) t
+    ),
+    n AS MATERIALIZED (SELECT COUNT(*) AS nn FROM verts),
+    h0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT nn FROM n) AS h FROM verts),
+    {",".join(its)}
+    SELECT h{n_iter}.v AS {id_alias},
+           round((SELECT nn FROM n) * h, 6) AS hub,
+           round((SELECT nn FROM n) * a, 6) AS authority
+    FROM h{n_iter} JOIN a{n_iter} ON h{n_iter}.v = a{n_iter}.v
+    """
+    )
+
+
+@register(
+    "web_host_hits",
+    oracle=_hits_oracle(
+        10,
+        base=_outlinks_cte(),
+        edges_sql=(
+            "SELECT DISTINCT src_host AS s, dst_host AS d FROM edges "
+            "WHERE src_host <> dst_host"
+        ),
+        id_alias="host",
+    ),
+)
+def web_host_hits(spark, sf_dir):
+    """Hub/authority structure of the host graph (Kleinberg HITS, 10
+    L1-normalized rounds, N-scaled to mean 1.0): directories/link farms
+    surface as hubs, heavily-referenced content hosts as authorities —
+    the complementary signal to PageRank for crawl prioritization and
+    spam clustering. The oracle re-derives extraction + resolution +
+    canonicalization + all 20 half-steps in one unrolled SQL query."""
+    from deepex_spark.operators.graph import hits
+    from deepex_spark.operators.urls import extract_outlinks
+
+    pages = spark.read.parquet(_links_fixture_path())
+    edges = (
+        extract_outlinks(pages)
+        .where(F.col("src_host") != F.col("dst_host"))
+        .select("src_host", "dst_host")
+    )
+    res = hits(edges, "src_host", "dst_host", n_iter=10)
+    n_df = res.agg(F.count("*").alias("nn"))
+    return res.crossJoin(F.broadcast(n_df)).select(
+        F.col("v").alias("host"),
+        F.round(F.col("h") * F.col("nn"), 6).alias("hub"),
+        F.round(F.col("a") * F.col("nn"), 6).alias("authority"),
+    )
+
+
 @register("web_host_pagerank", oracle=_host_pagerank_oracle())
 def web_host_pagerank(spark, sf_dir):
     """Domain authority over the extracted web link graph: 10 rounds of

@@ -207,3 +207,34 @@ def test_pagerank_matches_reference_power_iteration(spark):
     assert set(got) == set(verts)
     for v in verts:
         assert got[v] == pytest.approx(r[v], abs=1e-12)
+
+
+def test_hits_matches_reference_power_iteration(spark):
+    """Independent dict-based HITS (L1-normalized half-steps) must match
+    the distributed operator to float precision; pure sinks get hub 0,
+    pure sources get authority 0."""
+    from deepex_spark.operators.graph import hits
+
+    edges = [(0, 2), (1, 2), (2, 3), (0, 3), (3, 1)]
+    n_iter = 10
+    verts = sorted({u for e in edges for u in e})
+    n = len(verts)
+    h = {v: 1.0 / n for v in verts}
+    a = dict(h)
+    for _ in range(n_iter):
+        a_raw = {v: sum(h[u] for u, w in edges if w == v) for v in verts}
+        tot = sum(a_raw.values()) or 1.0
+        a = {v: a_raw[v] / tot for v in verts}
+        h_raw = {v: sum(a[w] for u, w in edges if u == v) for v in verts}
+        tot = sum(h_raw.values()) or 1.0
+        h = {v: h_raw[v] / tot for v in verts}
+    assert abs(sum(a.values()) - 1.0) < 1e-9 and abs(sum(h.values()) - 1.0) < 1e-9
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["v"]: (r["h"], r["a"]) for r in hits(df, n_iter=n_iter).collect()}
+    assert set(got) == set(verts)
+    for v in verts:
+        assert got[v][0] == pytest.approx(h[v], abs=1e-12)
+        assert got[v][1] == pytest.approx(a[v], abs=1e-12)
+    # vertex 0 has no in-links -> zero authority
+    assert got[0][1] == 0.0
