@@ -1080,6 +1080,43 @@ def kg_relpath2(spark, sf_dir):
     )
 
 
+@register(
+    "kg_predicate_stats",
+    oracle=_O21_BASE
+    + """
+    SELECT rel,
+           CAST(count(*) AS BIGINT) AS n_triples,
+           CAST(count(DISTINCT src) AS BIGINT) AS n_subj,
+           CAST(count(DISTINCT dst) AS BIGINT) AS n_obj,
+           round(CAST(count(DISTINCT src) AS DOUBLE) / count(*), 6)
+             AS functionality,
+           round(CAST(count(DISTINCT dst) AS DOUBLE) / count(*), 6)
+             AS inv_functionality
+    FROM edges WHERE is_rev = 0 GROUP BY rel
+    """,
+)
+def kg_predicate_stats(spark, sf_dir):
+    """Per-predicate KG schema statistics (the PARIS/AMIE functionality
+    signal): distinct subjects/objects per relation and their triple
+    shares — functionality near 1 means the predicate is key-like
+    (person->birthdate), near 0 means many-valued (page->links-to).
+    Drives join-strategy and rule-mining decisions downstream. One
+    map-side-combined groupBy over the forward triples; the exact
+    multi-distinct Expand is bounded by 2 distinct columns."""
+    ed = o21_reverse_union(spark, sf_dir).where(F.col("is_rev") == 0)
+    return ed.groupBy("rel").agg(
+        F.count("*").alias("n_triples"),
+        F.count_distinct("src").alias("n_subj"),
+        F.count_distinct("dst").alias("n_obj"),
+        F.round(
+            F.count_distinct("src").cast("double") / F.count("*"), 6
+        ).alias("functionality"),
+        F.round(
+            F.count_distinct("dst").cast("double") / F.count("*"), 6
+        ).alias("inv_functionality"),
+    )
+
+
 def _pagerank_oracle(
     n_iter: int = 10,
     damping: float = 0.85,
@@ -2262,6 +2299,47 @@ def _host_pagerank_oracle() -> str:
             "WHERE src_host <> dst_host"
         ),
         id_alias="host",
+    )
+
+
+@register(
+    "web_degree_hist",
+    oracle=_outlinks_cte()
+    + """
+    , deg AS (SELECT src_canon, count(*) AS outdeg FROM edges
+              GROUP BY src_canon)
+    SELECT CAST(length(bin(outdeg)) - 1 AS BIGINT) AS bucket_log2,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(min(outdeg) AS BIGINT) AS min_deg,
+           CAST(max(outdeg) AS BIGINT) AS max_deg
+    FROM deg GROUP BY 1
+    """,
+)
+def web_degree_hist(spark, sf_dir):
+    """Out-degree distribution of the page link graph in power-of-two
+    buckets — the power-law sanity check a web-graph build runs first
+    (a missing heavy tail means extraction broke; an overgrown one means
+    link farms). Bucket = floor(log2(deg)) computed INTEGER-exactly as
+    binary-string length - 1 (identical in Spark's conv and DuckDB's
+    bin; float log2 of a power of two is not guaranteed bit-equal across
+    libms). Two map-side-combined aggregations, output rows = O(log
+    max-degree)."""
+    from deepex_spark.operators.urls import extract_outlinks
+
+    pages = spark.read.parquet(_links_fixture_path())
+    deg = (
+        extract_outlinks(pages)
+        .groupBy("src_canon")
+        .agg(F.count("*").alias("outdeg"))
+    )
+    return deg.groupBy(
+        (F.length(F.conv(F.col("outdeg"), 10, 2)) - 1)
+        .cast("bigint")
+        .alias("bucket_log2")
+    ).agg(
+        F.count("*").alias("n_pages"),
+        F.min("outdeg").alias("min_deg"),
+        F.max("outdeg").alias("max_deg"),
     )
 
 
