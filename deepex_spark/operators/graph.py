@@ -588,3 +588,59 @@ def hits(
             .localCheckpoint(eager=True)
         )
     return hub.join(auth, "v").select("v", "h", "a")
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    over an undirected edge list -> ``(v, community)``.
+
+    Determinism (the whole point of this variant): updates are
+    SYNCHRONOUS (every vertex reads the step-t labels) and the update is
+    a total-order argmax — take the neighbor label with the highest
+    multiplicity, ties broken by MIN label — so the result after a FIXED
+    ``n_iter`` is a pure function of the edge set, independent of
+    partitioning and scheduling, and an SQL oracle can reproduce it by
+    unrolling the iterations. (Classic async LPA is run-order dependent —
+    useless under a correctness gate.) Self-loops are dropped: a vertex
+    votes for its own label only through step-t neighbors.
+
+    Scale shape: per iteration ONE key-partitioned join (labels onto the
+    symmetrized edge list), one (v, lab) groupBy with map-side partial
+    counts, and one per-vertex WindowGroupLimit argmax (top-1 below the
+    exchange). State is one (v, lab) row per vertex; messages are one row
+    per directed edge — nothing collects to the driver.
+    ``localCheckpoint`` truncates per-round lineage exactly like
+    :func:`pagerank` / :func:`hits`.
+    """
+    from pyspark.sql import Window
+
+    idt = _id_cast_type(edges.schema[src].dataType, edges.schema[dst].dataType)
+    e = edges.select(
+        F.col(src).cast(idt).alias("u"), F.col(dst).cast(idt).alias("w")
+    ).where(F.col("u") != F.col("w"))
+    sym = (
+        e.union(e.select(F.col("w").alias("u"), F.col("u").alias("w")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("u").alias("v")).distinct().withColumn(
+        "lab", F.col("v")
+    )
+    argmax = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("lab"))
+    for _ in range(n_iter):
+        msgs = sym.join(labels.withColumnRenamed("v", "u"), "u").select(
+            F.col("w").alias("v"), "lab"
+        )
+        counts = msgs.groupBy("v", "lab").agg(F.count("*").alias("cnt"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(argmax))
+            .where(F.col("rn") == 1)
+            .select("v", "lab")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("v", F.col("lab").alias("community"))

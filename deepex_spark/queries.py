@@ -3557,6 +3557,294 @@ def pipeline_triples(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Temporal KG + incremental maintenance (round 5): SCD-2 edge history,
+# doc-disjoint delta merge through the REAL merge_edges fold, per-bucket
+# lineage metrics over the materialized edge table.
+# ---------------------------------------------------------------------------
+
+_KG_REL_SQL = "trim(regexp_replace(o_orderpriority, '[^\\x00-\\x7F]+', ' ', 'g'))"
+
+
+@register(
+    "kg_edge_history",
+    oracle=f"""
+    WITH per_ts AS (
+      SELECT o_custkey AS subj, o_orderdate AS ts, min({_KG_REL_SQL}) AS rel
+      FROM orders
+      WHERE length({_KG_REL_SQL}) > 0
+      GROUP BY o_custkey, o_orderdate
+    ),
+    runs AS (
+      SELECT subj, ts, rel,
+             lag(rel) OVER (PARTITION BY subj ORDER BY ts) AS prev
+      FROM per_ts
+    ),
+    starts AS (SELECT subj, ts, rel FROM runs WHERE prev IS NULL OR prev <> rel)
+    SELECT subj, rel, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY subj ORDER BY ts) AS valid_to,
+           lead(ts) OVER (PARTITION BY subj ORDER BY ts) IS NULL AS is_current
+    FROM starts
+    """,
+)
+def kg_edge_history(spark, sf_dir):
+    """SCD-2 temporal KG: collapse the per-snapshot observation log of a
+    subject's predicate value (here: the order-priority relation observed
+    per customer per order date, same cleaned-relation derivation as the
+    O21 edge set) into validity intervals — a new row ONLY where the
+    value changed, open interval flagged current
+    (operators/temporal.py::scd2_history). Same-day conflicts collapse
+    deterministically to min(value), so the result is a pure function of
+    the observation set. Plan: ONE subject-keyed exchange reused by the
+    dedup aggregate, the change-detection lag and the interval lead."""
+    from deepex_spark.operators.temporal import scd2_history
+
+    obs = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("subj"),
+            F.col("o_orderdate").alias("ts"),
+            F.trim(
+                F.regexp_replace("o_orderpriority", r"[^\x00-\x7F]+", " ")
+            ).alias("rel"),
+        )
+        .filter(F.length("rel") > 0)
+    )
+    return scd2_history(obs, ["subj"], "rel", "ts")
+
+
+@register(
+    "kg_merge_incremental",
+    # INDEPENDENT oracle: the single-batch full build. The Spark side
+    # builds TWO doc-disjoint delta edge tables and folds them with the
+    # production merge_edges; correctness = merge(build(A), build(B)) ==
+    # build(A ∪ B), now hash-verified by the driver (not just pytest).
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey AS subj, o_orderkey AS obj, {_KG_REL_SQL} AS pred,
+             CAST(o_orderkey % 97 AS DOUBLE) AS score, o_orderkey AS docid
+      FROM orders
+    ),
+    edges AS (
+      SELECT subj AS subj_id, obj AS obj_id, pred AS pred_canon, score, docid
+      FROM base WHERE length(pred) > 0
+      UNION ALL
+      SELECT obj, subj, pred, score, docid FROM base WHERE length(pred) > 0
+    )
+    SELECT subj_id, obj_id, pred_canon,
+           count(*) AS n_evidence,
+           CAST(count(DISTINCT docid) AS BIGINT) AS n_docs,
+           round(max(score), 9) AS max_score,
+           round(CAST(sum(score) AS DOUBLE), 9) AS sum_score,
+           min(docid) AS sample_docid
+    FROM edges
+    GROUP BY subj_id, obj_id, pred_canon
+    """,
+)
+def kg_merge_incremental(spark, sf_dir):
+    """Incremental KG maintenance, oracle-hardened: split the crawl into
+    two doc-disjoint batches (o_orderkey parity — the docid IS the
+    orderkey, so disjointness is exact), build each batch's aggregated
+    edge table independently, and fold them with the production
+    ``operators/graph.py::merge_edges`` (the maintain_kg.py job path).
+    The DuckDB oracle is the SINGLE-batch build over the full input, so a
+    hash match proves merge(build(A), build(B)) == build(A ∪ B) — counts,
+    doc counts, max/sum scores and sample docids all combine exactly
+    (scores are integral-valued doubles, so the 9 dp rounding in
+    merge_edges is a no-op and float summation order cannot bite).
+
+    Scale: each batch build is one map-side-combined groupBy; the fold is
+    one more groupBy on the same edge key — at scale both sides arrive
+    bucketed (plans/bucketed.py) and old batches are never re-read."""
+    from deepex_spark.operators.graph import merge_edges
+
+    def build(parity: int) -> DataFrame:
+        base = (
+            load(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") % 2 == parity)
+            .select(
+                F.col("o_custkey").alias("subj"),
+                F.col("o_orderkey").alias("obj"),
+                F.trim(
+                    F.regexp_replace("o_orderpriority", r"[^\x00-\x7F]+", " ")
+                ).alias("pred"),
+                (F.col("o_orderkey") % 97).cast("double").alias("score"),
+                F.col("o_orderkey").alias("docid"),
+            )
+            .filter(F.length("pred") > 0)
+        )
+        edges = base.select(
+            F.col("subj").alias("subj_id"),
+            F.col("obj").alias("obj_id"),
+            F.col("pred").alias("pred_canon"),
+            "score",
+            "docid",
+        ).unionByName(
+            base.select(
+                F.col("obj").alias("subj_id"),
+                F.col("subj").alias("obj_id"),
+                F.col("pred").alias("pred_canon"),
+                "score",
+                "docid",
+            )
+        )
+        return edges.groupBy(
+            "subj_id", "obj_id", F.col("pred_canon").alias("pred_id"), "pred_canon"
+        ).agg(
+            F.count("*").alias("n_evidence"),
+            F.countDistinct("docid").alias("n_docs"),
+            F.round(F.max("score"), 9).alias("max_score"),
+            F.round(F.sum("score"), 9).alias("sum_score"),
+            F.min("docid").alias("sample_docid"),
+        )
+
+    merged = merge_edges(build(0), build(1), run_id="parity_merge")
+    return merged.select(
+        "subj_id",
+        "obj_id",
+        "pred_canon",
+        "n_evidence",
+        "n_docs",
+        "max_score",
+        "sum_score",
+        "sample_docid",
+    )
+
+
+@register(
+    "kg_lineage_metrics",
+    oracle=_O21_BASE
+    + """
+    SELECT src % 16 AS bucket,
+           count(*) AS n_rows,
+           CAST(sum(1 - is_rev) AS BIGINT) AS n_fwd,
+           CAST(sum(is_rev) AS BIGINT) AS n_rev,
+           CAST(count(DISTINCT src) AS BIGINT) AS n_distinct_src,
+           CAST(sum((src * 1000003 + dst * 8191 + length(rel) * 131)
+                    % 2147483647) AS BIGINT) AS checksum
+    FROM edges
+    GROUP BY src % 16
+    """,
+)
+def kg_lineage_metrics(spark, sf_dir):
+    """Per-partition lineage metrics over the materialized edge table —
+    the audit row a snapshot writer attaches per storage bucket
+    (plans/catalog.py manifests carry (run_id, bucket, written_at); this
+    adds the content fingerprint): row/direction/distinct counts plus an
+    order-invariant polynomial checksum. Diffing two snapshots' lineage
+    tables localizes corruption or a non-idempotent re-merge to a bucket
+    without comparing row sets. One map-side-combined groupBy on the
+    bucket key; the checksum is a bigint sum, so engine summation order
+    cannot change it."""
+    edges = o21_reverse_union(spark, sf_dir)
+    term = (
+        F.col("src") * F.lit(1000003)
+        + F.col("dst") * F.lit(8191)
+        + F.length("rel") * F.lit(131)
+    ) % F.lit(2147483647)
+    return edges.groupBy((F.col("src") % 16).alias("bucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.lit(1) - F.col("is_rev")).cast("long").alias("n_fwd"),
+        F.sum("is_rev").cast("long").alias("n_rev"),
+        F.countDistinct("src").alias("n_distinct_src"),
+        F.sum(term).cast("long").alias("checksum"),
+    )
+
+
+@register(
+    "web_host_components",
+    # INDEPENDENT oracle: recursive-CTE transitive closure with the
+    # min-label pruning invariant (same technique as the ER-cluster
+    # oracle) over an SQL re-derivation of the host edge list.
+    oracle=_outlinks_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+    , he AS (SELECT DISTINCT src_host AS u, dst_host AS w FROM edges),
+    sym AS (SELECT u, w FROM he UNION SELECT w AS u, u AS w FROM he),
+    reach(v, lab) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym) t
+      UNION
+        SELECT s.w, r.lab FROM reach r JOIN sym s ON s.u = r.v
+        WHERE r.lab < s.w
+    )
+    SELECT v AS host, MIN(lab) AS component FROM reach GROUP BY v
+    """,
+)
+def web_host_components(spark, sf_dir):
+    """Weakly-connected components of the host web graph (component id =
+    lexicographically smallest host): the spam-farm / link-island
+    detector, and the partitioner you'd cluster a 10^12-page crawl's
+    host space with. Same min-label + pointer-jumping iteration as
+    dedup_clusters (O(log diameter) rounds, two key-partitioned shuffles
+    per round, no driver state)."""
+    from deepex_spark.operators.graph import connected_components
+    from deepex_spark.operators.urls import extract_outlinks
+
+    pages = spark.read.parquet(_links_fixture_path())
+    hosts = (
+        extract_outlinks(pages)
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        .distinct()
+    )
+    cc = connected_components(hosts)
+    return cc.select(F.col("v").alias("host"), F.col("comp").alias("component"))
+
+
+def _lpa_iter_sql(i: int) -> str:
+    """One unrolled synchronous LPA step: message counts from l{i-1}
+    through sym, then the per-vertex (cnt DESC, lab ASC) argmax."""
+    return f"""
+    m{i} AS (
+      SELECT s.w AS v, l.lab, count(*) AS cnt
+      FROM sym s JOIN l{i - 1} l ON l.v = s.u
+      GROUP BY s.w, l.lab
+    ),
+    l{i} AS (
+      SELECT v, lab FROM (
+        SELECT v, lab,
+               row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lab ASC) AS rn
+        FROM m{i}
+      ) t WHERE rn = 1
+    )"""
+
+
+@register(
+    "web_host_communities",
+    # INDEPENDENT oracle: the three synchronous iterations unrolled in
+    # SQL (deterministic argmax: count DESC, label ASC), over the same
+    # SQL re-derivation of the host edges.
+    oracle=_outlinks_cte()
+    + """
+    , he AS (SELECT DISTINCT src_host AS u, dst_host AS w FROM edges
+             WHERE src_host <> dst_host),
+    sym AS (SELECT u, w FROM he UNION SELECT w AS u, u AS w FROM he),
+    l0 AS (SELECT DISTINCT u AS v, u AS lab FROM sym),
+    """
+    + ",".join(_lpa_iter_sql(i) for i in (1, 2, 3))
+    + """
+    SELECT v AS host, lab AS community FROM l3
+    """,
+)
+def web_host_communities(spark, sf_dir):
+    """Host communities by deterministic synchronous label propagation
+    (3 fixed iterations, argmax = highest neighbor-label multiplicity,
+    ties to MIN label — partition/scheduling invariant, unlike classic
+    async LPA): the cheap community detector for topically-related host
+    clusters in the crawl graph. Per iteration: one label join, one
+    map-side-combined (v, lab) count, one WindowGroupLimit top-1
+    (operators/graph.py::label_propagation)."""
+    from deepex_spark.operators.graph import label_propagation
+    from deepex_spark.operators.urls import extract_outlinks
+
+    pages = spark.read.parquet(_links_fixture_path())
+    hosts = (
+        extract_outlinks(pages)
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        .distinct()
+    )
+    lp = label_propagation(hosts, n_iter=3)
+    return lp.select(F.col("v").alias("host"), "community")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 
