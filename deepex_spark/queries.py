@@ -3845,6 +3845,223 @@ def web_host_communities(spark, sf_dir):
     return lp.select(F.col("v").alias("host"), "community")
 
 
+@register(
+    "kg_as_of",
+    oracle=f"""
+    WITH per_ts AS (
+      SELECT o_custkey AS subj, o_orderdate AS ts, min({_KG_REL_SQL}) AS rel
+      FROM orders
+      WHERE length({_KG_REL_SQL}) > 0
+      GROUP BY o_custkey, o_orderdate
+    ),
+    runs AS (
+      SELECT subj, ts, rel,
+             lag(rel) OVER (PARTITION BY subj ORDER BY ts) AS prev
+      FROM per_ts
+    ),
+    starts AS (SELECT subj, ts, rel FROM runs WHERE prev IS NULL OR prev <> rel),
+    hist AS (
+      SELECT subj, rel, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY subj ORDER BY ts) AS valid_to
+      FROM starts
+    )
+    SELECT subj, rel, valid_from FROM hist
+    WHERE valid_from <= DATE '1995-06-17'
+      AND (valid_to IS NULL OR valid_to > DATE '1995-06-17')
+    """,
+)
+def kg_as_of(spark, sf_dir):
+    """Point-in-time KG view: the SCD-2 history filtered to the rows
+    valid AT a fixed date (half-open intervals, open = current) — the
+    time-travel read a temporal KG serves ("what did we believe about
+    subj on 1995-06-17?"). ``operators/temporal.py::as_of`` is a pure
+    filter over the history table: on a materialized history it prunes on
+    valid_from/valid_to min-max parquet stats with zero shuffle."""
+    import datetime
+
+    from deepex_spark.operators.temporal import as_of, scd2_history
+
+    obs = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("subj"),
+            F.col("o_orderdate").alias("ts"),
+            F.trim(
+                F.regexp_replace("o_orderpriority", r"[^\x00-\x7F]+", " ")
+            ).alias("rel"),
+        )
+        .filter(F.length("rel") > 0)
+    )
+    hist = scd2_history(obs, ["subj"], "rel", "ts")
+    return as_of(hist, datetime.date(1995, 6, 17)).select(
+        "subj", "rel", "valid_from"
+    )
+
+
+@register(
+    "kg_adjacency",
+    oracle=_O21_BASE
+    + """
+    , packed AS (
+      SELECT src, rel || '->' || CAST(dst AS VARCHAR) AS x
+      FROM (SELECT DISTINCT src, dst, rel FROM edges) t
+    ),
+    ranked AS (
+      SELECT src, x,
+             row_number() OVER (PARTITION BY src ORDER BY x) AS rn
+      FROM packed
+    )
+    SELECT src, count(*) AS degree,
+           string_agg(x, '|' ORDER BY x) FILTER (WHERE rn <= 8) AS adj_head
+    FROM ranked GROUP BY src
+    """,
+)
+def kg_adjacency(spark, sf_dir):
+    """Serving-layer adjacency export: per subject, the total out-degree
+    and the first 8 (rel, dst) neighbors in a canonical packed-string
+    order — the bounded row a KG lookup service or embedding trainer
+    reads. Hub safety: the collect is a null-skipping CONDITIONAL
+    collect_list (rn <= 8), so a 10^7-degree hub contributes at most 8
+    elements to the aggregation buffer — the unbounded collect_list is
+    the classic hub OOM at crawl scale; what a hub still costs is its
+    in-task window sort (CPU, spillable), never memory. ONE exchange
+    total: the explicit src repartition satisfies the (src, dst, rel)
+    distinct (subset rule), the row_number window AND the final groupBy
+    (plan-pinned in tests/test_plan_shape.py)."""
+    from pyspark.sql import Window
+
+    edges = (
+        o21_reverse_union(spark, sf_dir)
+        .select("src", "dst", "rel")
+        .repartition("src")
+        .distinct()
+    )
+    packed = edges.select(
+        "src", F.concat_ws("->", "rel", F.col("dst").cast("string")).alias("x")
+    )
+    w = Window.partitionBy("src").orderBy("x")
+    ranked = packed.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("src").agg(
+        F.count("*").alias("degree"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.when(F.col("rn") <= 8, F.col("x")))),
+            "|",
+        ).alias("adj_head"),
+    )
+
+
+@register(
+    "kg_predicate_canon",
+    # forms = every p_type plus its token-reversed (DESC-sorted) variant,
+    # so the token-multiset key provably merges distinct surface orders;
+    # canonical form = lexicographic min of the merged forms.
+    oracle="""
+    WITH forms AS (
+      SELECT p_type AS form FROM part
+      UNION ALL
+      SELECT array_to_string(list_sort(string_split(p_type, ' '), 'DESC'), ' ')
+      FROM part
+    )
+    SELECT array_to_string(list_sort(string_split(form, ' ')), ' ') AS pred_key,
+           min(form) AS canonical_form,
+           CAST(count(DISTINCT form) AS BIGINT) AS n_forms,
+           count(*) AS n_rows
+    FROM forms
+    GROUP BY array_to_string(list_sort(string_split(form, ' ')), ' ')
+    """,
+)
+def kg_predicate_canon(spark, sf_dir):
+    """Predicate canonicalization by token multiset: surface forms whose
+    tokens are the same bag ("anodized standard tin" vs "standard
+    anodized tin") merge under one canonical key; the canonical form is
+    the lexicographic min of the cluster. TPC-H's p_type vocabulary is
+    order-fixed, so the query injects each form's DESC-token permutation
+    to exercise the merge semantics deterministically (both engines
+    derive the same synthetic forms). Complements the lemma-chain
+    canonicalizer (operators/canonicalize.py): that normalizes WORDS,
+    this normalizes word ORDER. Pure column algebra + one
+    map-side-combined groupBy."""
+    part = load(spark, sf_dir, "part")
+    fwd = part.select(F.col("p_type").alias("form"))
+    rev = part.select(
+        F.array_join(
+            F.sort_array(F.split("p_type", " "), asc=False), " "
+        ).alias("form")
+    )
+    forms = fwd.unionByName(rev)
+    key = F.array_join(F.sort_array(F.split("form", " ")), " ")
+    return forms.groupBy(key.alias("pred_key")).agg(
+        F.min("form").alias("canonical_form"),
+        F.countDistinct("form").alias("n_forms"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "kg_merge_vertices_incremental",
+    # INDEPENDENT oracle: single-batch full vertex build; the Spark side
+    # folds two doc-disjoint batch builds through the production
+    # merge_vertices (sums + surface-set union), so a hash match proves
+    # the vertex statistics decompose exactly.
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey AS subj, {_KG_REL_SQL} AS rel, o_orderkey AS docid
+      FROM orders
+      WHERE length({_KG_REL_SQL}) > 0
+    )
+    SELECT subj AS entity_id,
+           'C' || CAST(subj AS VARCHAR) AS canonical,
+           CAST(count(DISTINCT docid) AS BIGINT) AS n_docs,
+           count(*) AS n_mentions,
+           array_to_string(list_sort(list_distinct(list(rel))), '|') AS surfaces
+    FROM base GROUP BY subj
+    """,
+)
+def kg_merge_vertices_incremental(spark, sf_dir):
+    """Vertex-side incremental maintenance through the production
+    ``operators/graph.py::merge_vertices`` fold (the edge-side twin is
+    kg_merge_incremental): two doc-disjoint batch vertex builds
+    (o_orderkey parity; docid IS the orderkey) merged into one table,
+    hash-checked against the independent single-batch build. Counts add
+    because batches are doc-disjoint; the surface set is the sorted
+    distinct union of the per-batch sorted distinct sets (stringified
+    for the harness hash)."""
+    from deepex_spark.operators.graph import merge_vertices
+
+    def build(parity: int) -> DataFrame:
+        base = (
+            load(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") % 2 == parity)
+            .select(
+                F.col("o_custkey").alias("entity_id"),
+                F.trim(
+                    F.regexp_replace("o_orderpriority", r"[^\x00-\x7F]+", " ")
+                ).alias("rel"),
+                F.col("o_orderkey").alias("docid"),
+            )
+            .filter(F.length("rel") > 0)
+        )
+        return base.groupBy(
+            "entity_id",
+            F.concat(F.lit("C"), F.col("entity_id").cast("string")).alias(
+                "canonical"
+            ),
+        ).agg(
+            F.countDistinct("docid").alias("n_docs"),
+            F.count("*").alias("n_mentions"),
+            F.array_sort(F.collect_set("rel")).alias("surfaces"),
+        )
+
+    merged = merge_vertices(build(0), build(1), run_id="parity_merge")
+    return merged.select(
+        "entity_id",
+        "canonical",
+        "n_docs",
+        "n_mentions",
+        F.array_join("surfaces", "|").alias("surfaces"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 

@@ -89,3 +89,26 @@ def test_pr_curve_window_runs_over_preaggregate(spark, tmp_path):
     # ties are indivisible: one output row per distinct score
     rows = {tuple(r) for r in df.collect()}
     assert rows == {(0.9, 2, 1), (0.5, 3, 2), (0.1, 4, 2)}
+
+
+def test_kg_adjacency_single_exchange(spark):
+    """Serving-layer adjacency export: the explicit src repartition must
+    satisfy the triple distinct, the row_number window and the final
+    groupBy (subset rule) — exactly ONE hash exchange in the executed
+    plan, and the neighbor collect must be the bounded conditional form
+    (no unbounded collect below a filter)."""
+    from deepex_spark.queries import REGISTRY
+
+    df = REGISTRY["kg_adjacency"].spark_fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_scd2_history_single_exchange(spark):
+    """Temporal fold: one entity-key exchange serves the (key, ts) dedup
+    aggregate and both windows (see also tests/test_temporal.py)."""
+    from deepex_spark.queries import REGISTRY
+
+    df = REGISTRY["kg_edge_history"].spark_fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
