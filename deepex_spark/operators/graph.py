@@ -644,3 +644,76 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("v", F.col("lab").alias("community"))
+
+
+def random_walks(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    walk_len: int = 4,
+) -> DataFrame:
+    """DeepWalk-style walk corpus for graph-embedding training ->
+    ``(start, step, v)`` rows: one walk of ``walk_len`` steps from EVERY
+    vertex of the symmetrized graph (step 0 = the start itself).
+
+    The neighbor choice is pseudo-random but a PURE FUNCTION of
+    (start, step, current): pick index ``H(md5(start|step|cur)) %
+    degree`` into the canonically ranked adjacency list, with ``H`` a
+    3-char ascii polynomial over the hex digest. Engine- and
+    partitioning-independent — the walk corpus is reproducible across
+    reruns/resumes and SQL-oracle-checkable, unlike rand()-seeded walks
+    whose draw order depends on task scheduling.
+
+    Scale shape: per step TWO vertex-keyed equi-joins (degree lookup,
+    then the (vertex, rank) adjacency probe) — frontier size stays ONE
+    row per walker, never walker x degree; a hub's adjacency rank is
+    computed once in the ranked-adjacency window. ``localCheckpoint``
+    truncates per-step lineage so step t's plan does not replay steps
+    1..t-1."""
+    from pyspark.sql import Window
+
+    idt = _id_cast_type(edges.schema[src].dataType, edges.schema[dst].dataType)
+    e = edges.select(
+        F.col(src).cast(idt).alias("u"), F.col(dst).cast(idt).alias("w")
+    ).where(F.col("u") != F.col("w"))
+    sym = (
+        e.union(e.select(F.col("w").alias("u"), F.col("u").alias("w")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = sym.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("u").orderBy("w"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("degree"))
+
+    cur = deg.select(F.col("u").alias("start"), F.col("u").alias("v"))
+    out = cur.select("start", F.lit(0).alias("step"), "v")
+    for t in range(1, walk_len + 1):
+        m = F.md5(
+            F.concat_ws(
+                "|",
+                F.col("start").cast("string"),
+                F.lit(str(t)),
+                F.col("v").cast("string"),
+            )
+        )
+        h = (
+            F.ascii(F.substring(m, 1, 1)) * 16384
+            + F.ascii(F.substring(m, 2, 1)) * 128
+            + F.ascii(F.substring(m, 3, 1))
+        )
+        picked = (
+            cur.join(deg, cur["v"] == deg["u"])
+            .select("start", "v", ((h % F.col("degree")) + 1).alias("pick"))
+        )
+        stepped = (
+            picked.join(
+                adj,
+                (adj["u"] == picked["v"]) & (adj["rn"] == picked["pick"]),
+            )
+            .select("start", F.col("w").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(stepped.select("start", F.lit(t).alias("step"), "v"))
+        cur = stepped
+    return out

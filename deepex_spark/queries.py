@@ -4062,6 +4062,65 @@ def kg_merge_vertices_incremental(spark, sf_dir):
     )
 
 
+def _walk_hash_sql(t: int) -> str:
+    m = f"md5(CAST(p.start AS VARCHAR) || '|{t}|' || CAST(p.v AS VARCHAR))"
+    return (
+        f"(ascii(substr({m}, 1, 1)) * 16384"
+        f" + ascii(substr({m}, 2, 1)) * 128"
+        f" + ascii(substr({m}, 3, 1)))"
+    )
+
+
+def _walk_step_sql(t: int) -> str:
+    prev = f"s{t - 1}" if t > 1 else "w0"
+    return f"""
+    s{t} AS (
+      SELECT p.start, a.w AS v
+      FROM {prev} p
+      JOIN deg d ON d.u = p.v
+      JOIN adj a ON a.u = p.v
+       AND a.rn = 1 + ({_walk_hash_sql(t)} % d.degree)
+    )"""
+
+
+@register(
+    "kg_random_walks",
+    # INDEPENDENT oracle: the four steps unrolled — same canonical
+    # adjacency ranking, same md5/ascii pick arithmetic, re-derived from
+    # the O21 edge CTE.
+    oracle=_O21_BASE
+    + """
+    , e AS (SELECT DISTINCT src AS u, dst AS w FROM edges WHERE src <> dst),
+    sym AS (SELECT u, w FROM e UNION SELECT w AS u, u AS w FROM e),
+    adj AS (SELECT u, w, row_number() OVER (PARTITION BY u ORDER BY w) AS rn
+            FROM sym),
+    deg AS (SELECT u, count(*) AS degree FROM sym GROUP BY u),
+    w0 AS (SELECT u AS start, u AS v FROM deg),
+    """
+    + ",".join(_walk_step_sql(t) for t in (1, 2, 3, 4))
+    + """
+    SELECT start, 0 AS step, v FROM w0
+    UNION ALL SELECT start, 1 AS step, v FROM s1
+    UNION ALL SELECT start, 2 AS step, v FROM s2
+    UNION ALL SELECT start, 3 AS step, v FROM s3
+    UNION ALL SELECT start, 4 AS step, v FROM s4
+    """,
+)
+def kg_random_walks(spark, sf_dir):
+    """DeepWalk corpus over the KG: one 4-step walk from every vertex,
+    the training input for skip-gram graph embeddings (the entity/
+    predicate canonicalization escalation path). The neighbor pick is a
+    pure function of (start, step, current) — md5/ascii arithmetic both
+    engines evaluate identically — so the corpus is partition-invariant,
+    resumable, and oracle-checkable; rand()-seeded walks are none of
+    these (operators/graph.py::random_walks). Per step two vertex-keyed
+    joins; frontier stays one row per walker, never walker x degree."""
+    from deepex_spark.operators.graph import random_walks
+
+    edges = o21_reverse_union(spark, sf_dir).select("src", "dst")
+    return random_walks(edges, walk_len=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 
