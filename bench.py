@@ -69,6 +69,23 @@ CURATION = [
     "quality_rare_bigrams",
 ]
 
+# round-5 temporal/serving/graph KG layer — `--graph`, own metric name;
+# snapshot in BENCH/GRAPH.md. Only sf-scaled queries belong here (the
+# web_host_* family runs on a 7-host committed fixture — benching it
+# measures fixed overhead, not the operator).
+GRAPH = [
+    "kg_edges",
+    "kg_pagerank",
+    "kg_adjacency",
+    "kg_random_walks",
+    "kg_edge_history",
+    "kg_as_of",
+    "kg_merge_incremental",
+    "kg_merge_vertices_incremental",
+    "kg_lineage_metrics",
+    "kg_predicate_canon",
+]
+
 
 def _sf_label(sf_dir: str) -> float:
     try:
@@ -364,5 +381,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--curation" in sys.argv:
         print(json.dumps(run_headline(CURATION, "curation_suite_sec")))
+    elif "--graph" in sys.argv:
+        print(json.dumps(run_headline(GRAPH, "graph_suite_sec")))
     else:
         print(json.dumps(run_headline()))
