@@ -4083,13 +4083,10 @@ def _walk_step_sql(t: int) -> str:
     )"""
 
 
-@register(
-    "kg_random_walks",
-    # INDEPENDENT oracle: the four steps unrolled — same canonical
-    # adjacency ranking, same md5/ascii pick arithmetic, re-derived from
-    # the O21 edge CTE.
-    oracle=_O21_BASE
-    + """
+# shared by the kg_random_walks and kg_walk_pairs oracles: symmetrized
+# canonical adjacency + the four unrolled deterministic walk steps
+_WALK_CTES = (
+    """
     , e AS (SELECT DISTINCT src AS u, dst AS w FROM edges WHERE src <> dst),
     sym AS (SELECT u, w FROM e UNION SELECT w AS u, u AS w FROM e),
     adj AS (SELECT u, w, row_number() OVER (PARTITION BY u ORDER BY w) AS rn
@@ -4098,12 +4095,25 @@ def _walk_step_sql(t: int) -> str:
     w0 AS (SELECT u AS start, u AS v FROM deg),
     """
     + ",".join(_walk_step_sql(t) for t in (1, 2, 3, 4))
-    + """
-    SELECT start, 0 AS step, v FROM w0
-    UNION ALL SELECT start, 1 AS step, v FROM s1
-    UNION ALL SELECT start, 2 AS step, v FROM s2
-    UNION ALL SELECT start, 3 AS step, v FROM s3
-    UNION ALL SELECT start, 4 AS step, v FROM s4
+    + """,
+    allsteps AS (
+      SELECT start, 0 AS step, v FROM w0
+      UNION ALL SELECT start, 1 AS step, v FROM s1
+      UNION ALL SELECT start, 2 AS step, v FROM s2
+      UNION ALL SELECT start, 3 AS step, v FROM s3
+      UNION ALL SELECT start, 4 AS step, v FROM s4
+    )
+    """
+)
+
+
+@register(
+    "kg_random_walks",
+    # INDEPENDENT oracle: the four steps unrolled — same canonical
+    # adjacency ranking, same md5/ascii pick arithmetic, re-derived from
+    # the O21 edge CTE.
+    oracle=_O21_BASE + _WALK_CTES + """
+    SELECT start, step, v FROM allsteps
     """,
 )
 def kg_random_walks(spark, sf_dir):
@@ -4119,6 +4129,149 @@ def kg_random_walks(spark, sf_dir):
 
     edges = o21_reverse_union(spark, sf_dir).select("src", "dst")
     return random_walks(edges, walk_len=4)
+
+
+@register(
+    "kg_walk_pairs",
+    oracle=_O21_BASE + _WALK_CTES + """
+    SELECT a.v AS center, b.v AS context, count(*) AS n_pairs
+    FROM allsteps a JOIN allsteps b
+      ON a.start = b.start AND b.step - a.step BETWEEN 1 AND 2
+    GROUP BY a.v, b.v
+    """,
+)
+def kg_walk_pairs(spark, sf_dir):
+    """Skip-gram training pairs from the walk corpus: for every walk,
+    each (center, context) vertex pair within a forward window of 2
+    steps, aggregated to multiplicities — the exact input a word2vec-
+    style embedding trainer consumes. The pair join is per-walker (equi
+    on the walk id, |window| x walk_len rows each), so at 10^12 vertices
+    it stays one key-partitioned self-join whose output is bounded by
+    walkers x walk_len x window, never quadratic in the graph."""
+    from deepex_spark.operators.graph import random_walks
+
+    edges = o21_reverse_union(spark, sf_dir).select("src", "dst")
+    walks = random_walks(edges, walk_len=4)
+    a = walks.alias("a")
+    b = walks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.start") == F.col("b.start"))
+            & (F.col("b.step") - F.col("a.step")).between(1, 2),
+        )
+        .groupBy(
+            F.col("a.v").alias("center"), F.col("b.v").alias("context")
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "kg_negative_samples",
+    # INDEPENDENT oracle: same type-consistent corruption re-derived in
+    # SQL — rank the distinct objects WITHIN each relation, pick
+    # H(md5(subj|rel|obj)) % n, step to the next rank (mod n) on
+    # collision with the true object.
+    oracle=_O21_BASE + """
+    , pos AS (SELECT DISTINCT src AS subj, rel, dst AS obj FROM edges
+              WHERE is_rev = 0),
+    objs AS (SELECT DISTINCT rel, obj FROM pos),
+    ranked AS (
+      SELECT rel, obj,
+             row_number() OVER (PARTITION BY rel ORDER BY obj) AS rn
+      FROM objs
+    ),
+    rels AS (SELECT rel, count(*) AS n FROM objs GROUP BY rel),
+    pick AS (
+      SELECT p.subj, p.rel, p.obj, r.n,
+             1 + ((ascii(substr(md5(CAST(p.subj AS VARCHAR) || '|' || p.rel
+                         || '|' || CAST(p.obj AS VARCHAR)), 1, 1)) * 16384
+                 + ascii(substr(md5(CAST(p.subj AS VARCHAR) || '|' || p.rel
+                         || '|' || CAST(p.obj AS VARCHAR)), 2, 1)) * 128
+                 + ascii(substr(md5(CAST(p.subj AS VARCHAR) || '|' || p.rel
+                         || '|' || CAST(p.obj AS VARCHAR)), 3, 1))) % r.n)
+               AS rn0
+      FROM pos p JOIN rels r ON r.rel = p.rel
+      WHERE r.n > 1
+    ),
+    cand AS (
+      SELECT k.subj, k.rel, k.obj, k.n, k.rn0, c.obj AS cand_obj
+      FROM pick k JOIN ranked c ON c.rel = k.rel AND c.rn = k.rn0
+    )
+    SELECT s.subj, s.rel, s.obj,
+           CASE WHEN s.cand_obj <> s.obj THEN s.cand_obj ELSE w.obj END
+             AS neg_obj
+    FROM cand s
+    JOIN ranked w ON w.rel = s.rel AND w.rn = 1 + (s.rn0 % s.n)
+    """,
+)
+def kg_negative_samples(spark, sf_dir):
+    """Type-consistent negative sampling for KG-embedding training
+    (TransE/DistMult corruption): every positive (subj, rel, obj) gets a
+    deterministic negative object drawn from the SAME relation's object
+    set (harder, type-plausible negatives) — pick rank = H(md5(triple))
+    % n within the relation-local canonical ranking, stepping to the
+    next rank (mod n) when it collides with the true object; relations
+    with a single object are dropped (no negative exists). Everything is
+    keyed on the relation: the object ranking window, the size lookup
+    and both rank probes are rel-partitioned — no global dictionary, no
+    broadcast of a 10^9-entity vocabulary, no driver state. The same
+    md5/ascii arithmetic as the walk corpus makes the draw
+    engine-identical and partition-invariant."""
+    from pyspark.sql import Window
+
+    pos = (
+        o21_reverse_union(spark, sf_dir)
+        .where(F.col("is_rev") == 0)
+        .select(F.col("src").alias("subj"), "rel", F.col("dst").alias("obj"))
+        .distinct()
+    )
+    objs = pos.select("rel", "obj").distinct()
+    ranked = objs.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("rel").orderBy("obj"))
+    )
+    rels = objs.groupBy("rel").agg(F.count("*").alias("n"))
+    m = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("subj").cast("string"),
+            F.col("rel"),
+            F.col("obj").cast("string"),
+        )
+    )
+    h = (
+        F.ascii(F.substring(m, 1, 1)) * 16384
+        + F.ascii(F.substring(m, 2, 1)) * 128
+        + F.ascii(F.substring(m, 3, 1))
+    )
+    pick = (
+        pos.join(rels, "rel")
+        .where(F.col("n") > 1)
+        .select("subj", "rel", "obj", "n", (F.lit(1) + h % F.col("n")).alias("rn0"))
+    )
+    cand = pick.join(
+        ranked.select("rel", F.col("rn").alias("rn0"), F.col("obj").alias("cand_obj")),
+        ["rel", "rn0"],
+    )
+    wrap_tbl = ranked.select(
+        F.col("rel").alias("w_rel"),
+        F.col("rn").alias("w_rn"),
+        F.col("obj").alias("wrap_obj"),
+    )
+    wrap = cand.join(
+        wrap_tbl,
+        (F.col("w_rel") == F.col("rel"))
+        & (F.col("w_rn") == F.lit(1) + (F.col("rn0") % F.col("n"))),
+    )
+    return wrap.select(
+        "subj",
+        "rel",
+        "obj",
+        F.when(F.col("cand_obj") != F.col("obj"), F.col("cand_obj"))
+        .otherwise(F.col("wrap_obj"))
+        .alias("neg_obj"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
