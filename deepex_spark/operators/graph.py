@@ -717,3 +717,43 @@ def random_walks(
         out = out.unionByName(stepped.select("start", F.lit(t).alias("step"), "v"))
         cur = stepped
     return out
+
+
+def adjacency_export(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rel: str = "rel",
+    k: int = 8,
+) -> DataFrame:
+    """Serving-layer adjacency export -> ``(src, degree, adj_head)``:
+    per source vertex, the total distinct-edge out-degree and the first
+    ``k`` ``rel->dst`` neighbor strings in canonical (lexicographic
+    packed) order, joined with ``|``.
+
+    Hub safety: the neighbor collect is a null-skipping CONDITIONAL
+    collect_list (rn <= k), bounding the aggregation buffer at ``k``
+    elements regardless of degree — a hub costs its in-task window sort
+    (CPU, spillable), never memory. ONE exchange total: the explicit src
+    repartition satisfies the (src, dst, rel) distinct, the row_number
+    window and the final groupBy (subset rule; pinned by
+    tests/test_plan_shape.py via the kg_adjacency query)."""
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(src, dst, rel)
+        .repartition(src)
+        .distinct()
+    )
+    packed = e.select(
+        src, F.concat_ws("->", rel, F.col(dst).cast("string")).alias("x")
+    )
+    w = Window.partitionBy(src).orderBy("x")
+    ranked = packed.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy(src).agg(
+        F.count("*").alias("degree"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.when(F.col("rn") <= k, F.col("x")))),
+            "|",
+        ).alias("adj_head"),
+    )

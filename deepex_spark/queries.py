@@ -3927,27 +3927,13 @@ def kg_adjacency(spark, sf_dir):
     in-task window sort (CPU, spillable), never memory. ONE exchange
     total: the explicit src repartition satisfies the (src, dst, rel)
     distinct (subset rule), the row_number window AND the final groupBy
-    (plan-pinned in tests/test_plan_shape.py)."""
-    from pyspark.sql import Window
+    (plan-pinned in tests/test_plan_shape.py). Implementation shared
+    with the build_kg --export-adjacency job stage
+    (operators/graph.py::adjacency_export)."""
+    from deepex_spark.operators.graph import adjacency_export
 
-    edges = (
-        o21_reverse_union(spark, sf_dir)
-        .select("src", "dst", "rel")
-        .repartition("src")
-        .distinct()
-    )
-    packed = edges.select(
-        "src", F.concat_ws("->", "rel", F.col("dst").cast("string")).alias("x")
-    )
-    w = Window.partitionBy("src").orderBy("x")
-    ranked = packed.withColumn("rn", F.row_number().over(w))
-    return ranked.groupBy("src").agg(
-        F.count("*").alias("degree"),
-        F.array_join(
-            F.array_sort(F.collect_list(F.when(F.col("rn") <= 8, F.col("x")))),
-            "|",
-        ).alias("adj_head"),
-    )
+    edges = o21_reverse_union(spark, sf_dir).select("src", "dst", "rel")
+    return adjacency_export(edges, k=8)
 
 
 @register(

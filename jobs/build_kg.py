@@ -62,6 +62,20 @@ def main(argv=None):
         "matcher + connected components) before building vertices/edges",
     )
     p.add_argument(
+        "--export-adjacency",
+        action="store_true",
+        help="publish a serving-layer adjacency snapshot (per-entity "
+        "degree + canonical top-8 neighbor pack) from the built edges",
+    )
+    p.add_argument(
+        "--walk-corpus",
+        type=int,
+        default=None,
+        metavar="LEN",
+        help="publish a deterministic DeepWalk corpus snapshot (one "
+        "LEN-step walk per entity) for embedding training",
+    )
+    p.add_argument(
         "--canonicalize-urls",
         action="store_true",
         help="dedup re-fetches at ingest: keep the newest page per canonical "
@@ -147,6 +161,27 @@ def main(argv=None):
         link_strategy=args.link_strategy, resolve=args.resolve_entities,
     )
     n_t, n_v, n_e = triples.count(), vertices.count(), edges.count()
+    if args.export_adjacency or args.walk_corpus:
+        from pyspark.sql import functions as F
+
+        from deepex_spark.operators.graph import adjacency_export, random_walks
+
+        e = edges.select(
+            F.col("subj_id").alias("src"),
+            F.col("obj_id").alias("dst"),
+            F.col("pred_canon").alias("rel"),
+        )
+        if args.export_adjacency:
+            # idempotent per run_id, same publish protocol as the tables
+            catalog.write_snapshot(
+                adjacency_export(e), "adjacency", run_id=f"{args.run_id}-adj"
+            )
+        if args.walk_corpus:
+            catalog.write_snapshot(
+                random_walks(e.select("src", "dst"), walk_len=args.walk_corpus),
+                "walks",
+                run_id=f"{args.run_id}-walks",
+            )
     wall = time.time() - t0
     print(
         json.dumps(

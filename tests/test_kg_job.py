@@ -314,3 +314,64 @@ def test_strip_boilerplate_kills_template_triples(spark, tmp_path):
     assert any("acme" in s for s in with_boiler)
     assert not any("acme" in s for s in without)
     assert without  # body triples survive the cleaning
+
+
+def test_export_adjacency_and_walk_corpus(spark, tmp_path):
+    """--export-adjacency / --walk-corpus publish catalog snapshots
+    derived from the built edges: adjacency rows are bounded at k=8
+    neighbors, walks start at every edge endpoint and traverse real
+    (symmetrized) edges."""
+    from deepex_spark.plans.catalog import Catalog
+    from deepex_spark.sources.pages import synth_pages
+    from jobs.build_kg import main
+
+    src = tmp_path / "pages"
+    synth_pages(spark, n_docs=8, seed=7).write.parquet(str(src))
+    out = tmp_path / "out"
+    main(
+        [
+            "--input", str(src),
+            "--output", str(out),
+            "--run-id", "adjw",
+            "--dist-const", "2",
+            "--export-adjacency",
+            "--walk-corpus", "2",
+        ]
+    )
+    cat = Catalog(str(out))
+    assert cat.version_of_run("adjacency", "adjw-adj") is not None
+    assert cat.version_of_run("walks", "adjw-walks") is not None
+
+    edges = {
+        (r.subj_id, r.obj_id)
+        for r in cat.read(spark, "edges").select("subj_id", "obj_id").collect()
+    }
+    sym = edges | {(b, a) for a, b in edges}
+    verts = {a for a, _ in sym}
+
+    adj = cat.read_snapshot(spark, "adjacency").collect()
+    assert {r.src for r in adj} == {a for a, _ in edges}
+    for r in adj:
+        assert 1 <= len(r.adj_head.split("|")) <= 8
+        assert r.degree >= 1
+
+    walks = cat.read_snapshot(spark, "walks").collect()
+    paths: dict = {}
+    for r in walks:
+        paths.setdefault(r.start, {})[r.step] = r.v
+    assert set(paths) == verts
+    for start, path in paths.items():
+        assert path[0] == start and len(path) == 3
+        for t in (1, 2):
+            assert (path[t - 1], path[t]) in sym
+
+    # idempotent republish: same run_id does not mint a new version
+    v = cat.version_of_run("adjacency", "adjw-adj")
+    from deepex_spark.operators.graph import adjacency_export  # noqa: F401
+    from pyspark.sql import functions as F
+    e = cat.read(spark, "edges").select(
+        F.col("subj_id").alias("src"),
+        F.col("obj_id").alias("dst"),
+        F.col("pred_canon").alias("rel"),
+    )
+    assert cat.write_snapshot(adjacency_export(e), "adjacency", run_id="adjw-adj") == v
