@@ -21,6 +21,7 @@ The reference's normalization chain, reproduced byte-identically per url:
 from __future__ import annotations
 
 import re
+import unicodedata
 
 import pandas as pd
 from pyspark.sql import Column
@@ -95,3 +96,24 @@ def _html_to_text_series(s: pd.Series) -> pd.Series:
 
 def html_to_text(col: Column) -> Column:
     return pandas_udf(_html_to_text_series, "string")(col)
+
+
+def nfc_normalize_py(text: str) -> str:
+    """Unicode NFC canonical composition — the crawl-ingest normalization
+    that makes byte-level dedup/fingerprints see 'a'+COMBINING ACUTE and
+    the precomposed 'á' as the same document. Pure stdlib
+    (unicodedata.normalize), no external deps; DuckDB's nfc_normalize is
+    the independent oracle (queries.py::text_nfc)."""
+    if text is None:
+        return None
+    return unicodedata.normalize("NFC", text)
+
+
+def _nfc_series(s: pd.Series) -> pd.Series:
+    return s.map(nfc_normalize_py, na_action="ignore")
+
+
+def nfc_normalize(col: Column) -> Column:
+    # Arrow-batched; built lazily like blank_parens (pyspark 4 resolves
+    # the return type against the active session)
+    return pandas_udf(_nfc_series, "string")(col)

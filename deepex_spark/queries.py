@@ -4260,6 +4260,48 @@ def kg_negative_samples(spark, sf_dir):
     )
 
 
+@register(
+    "text_nfc",
+    # INDEPENDENT oracle: DuckDB's built-in nfc_normalize vs the engine's
+    # stdlib unicodedata pandas UDF — two unrelated NFC implementations.
+    # The corpus is ASCII, so both sides first inject a decomposed
+    # sequence deterministically (every 'a' gains U+0301 COMBINING ACUTE)
+    # to exercise real composition.
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS r FROM documents
+    )
+    SELECT doc_id,
+           length(r) AS n_raw,
+           length(nfc_normalize(r)) AS n_nfc,
+           r <> nfc_normalize(r) AS changed
+    FROM raw
+    """,
+)
+def text_nfc(spark, sf_dir):
+    """Unicode NFC canonical composition at ingest
+    (functions/text.py::nfc_normalize, Arrow-batched stdlib
+    unicodedata): the normalization that makes fingerprints/dedup treat
+    'a'+COMBINING ACUTE and precomposed 'á' as the same bytes — on real
+    web text, skipping it silently splits duplicate documents that
+    differ only in composition form. Verified against DuckDB's
+    independent utf8proc-based nfc_normalize per document (lengths in
+    code points shrink by exactly the composed pair count; inequality
+    flags which docs changed)."""
+    from deepex_spark.functions.text import nfc_normalize
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", "a", "a\u0301").alias("r")
+    )
+    nfc = nfc_normalize(F.col("r"))
+    return docs.select(
+        "doc_id",
+        F.length("r").alias("n_raw"),
+        F.length(nfc).alias("n_nfc"),
+        (F.col("r") != nfc).alias("changed"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 

@@ -62,3 +62,14 @@ def test_spark_normalize_chain_byte_identical(spark):
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     got = [r[0] for r in df.select(blank_parens(F.col("text"))).collect()]
     assert got == [reference_blanking(t) for t in texts]
+
+
+def test_nfc_normalize_py_composes_and_preserves():
+    from deepex_spark.functions.text import nfc_normalize_py
+
+    decomposed = "a\u0301b"          # a + COMBINING ACUTE
+    composed = "\u00e1b"             # precomposed LATIN SMALL A ACUTE
+    assert nfc_normalize_py(decomposed) == composed
+    assert nfc_normalize_py(composed) == composed      # idempotent
+    assert nfc_normalize_py("plain ascii") == "plain ascii"
+    assert nfc_normalize_py(None) is None
