@@ -4302,6 +4302,152 @@ def text_nfc(spark, sf_dir):
     )
 
 
+def _bf_round_sql(t: int) -> str:
+    """One unrolled Bellman-Ford relaxation: dist_t(v) = min(dist_{t-1}(v),
+    min over in-edges (dist_{t-1}(u) + w))."""
+    return f"""
+    d{t} AS (
+      SELECT v, MIN(cost) AS cost FROM (
+        SELECT v, cost FROM d{t - 1}
+        UNION ALL
+        SELECT we.w AS v, p.cost + we.wt AS cost
+        FROM d{t - 1} p JOIN we ON we.u = p.v
+      ) t GROUP BY v
+    )"""
+
+
+@register(
+    "kg_shortest_paths",
+    # INDEPENDENT oracle: three relaxation rounds unrolled — integer edge
+    # weights (length of the relation string), so min-plus costs are
+    # exact and hashable.
+    oracle=_O21_BASE
+    + """
+    , we AS (
+      SELECT src AS u, dst AS w, MIN(length(rel)) AS wt
+      FROM edges GROUP BY src, dst
+    ),
+    d0 AS (
+      SELECT DISTINCT u AS v, CAST(0 AS BIGINT) AS cost FROM we WHERE u % 1000 = 0
+    ),
+    """
+    + ",".join(_bf_round_sql(t) for t in (1, 2, 3))
+    + """
+    SELECT v, cost FROM d3
+    """,
+)
+def kg_shortest_paths(spark, sf_dir):
+    """Weighted shortest paths from a deterministic seed set (entity ids
+    divisible by 1000): three synchronous Bellman-Ford relaxation rounds
+    over the KG edge set with integer weights (min relation length per
+    edge — exact min-plus arithmetic, no float ordering hazards). The
+    weighted complement of kg_khop's unweighted BFS: per round ONE
+    edge-keyed join of the frontier to the edge list and ONE min
+    groupBy, state one row per reached vertex; fixed rounds keep the
+    result a pure function of the graph (and SQL-unrollable). At crawl
+    scale each round is two key-partitioned shuffles; ``localCheckpoint``
+    truncates round lineage like the other iterative operators."""
+    edges = o21_reverse_union(spark, sf_dir)
+    we = edges.groupBy(F.col("src").alias("u"), F.col("dst").alias("w")).agg(
+        F.min(F.length("rel")).cast("long").alias("wt")
+    )
+    we = we.localCheckpoint(eager=True)
+    dist = (
+        we.select("u")
+        .where(F.col("u") % 1000 == 0)
+        .distinct()
+        .select(F.col("u").alias("v"), F.lit(0).cast("long").alias("cost"))
+    )
+    for _ in range(3):
+        relaxed = (
+            dist.join(we, dist["v"] == we["u"])
+            .select(F.col("w").alias("v"), (F.col("cost") + F.col("wt")).alias("cost"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("v")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+@register(
+    "kg_entity_types",
+    oracle=_O21_BASE
+    + """
+    , pc AS (
+      SELECT src AS entity_id, rel, count(*) AS n
+      FROM edges GROUP BY src, rel
+    ),
+    tot AS (
+      SELECT entity_id, sum(n) AS n_tot,
+             CAST(count(*) AS BIGINT) AS n_rels
+      FROM pc GROUP BY entity_id
+    ),
+    top AS (
+      SELECT entity_id, rel AS top_rel FROM (
+        SELECT entity_id, rel,
+               row_number() OVER (PARTITION BY entity_id
+                                  ORDER BY n DESC, rel ASC) AS rn
+        FROM pc
+      ) t WHERE rn = 1
+    ),
+    ent AS (
+      SELECT p.entity_id,
+             round(-sum((CAST(p.n AS DOUBLE) / t.n_tot)
+                        * ln(CAST(p.n AS DOUBLE) / t.n_tot)), 6) AS rel_entropy
+      FROM pc p JOIN tot t ON t.entity_id = p.entity_id
+      GROUP BY p.entity_id
+    )
+    SELECT t.entity_id, t.n_rels, tp.top_rel, e.rel_entropy
+    FROM tot t JOIN top tp ON tp.entity_id = t.entity_id
+    JOIN ent e ON e.entity_id = t.entity_id
+    """,
+)
+def kg_entity_types(spark, sf_dir):
+    """Entity typing by predicate signature: per entity, the number of
+    distinct predicates, the dominant predicate (deterministic argmax —
+    count DESC, predicate ASC) and the Shannon entropy of its predicate
+    distribution (rounded to 6 dp so float summation order cannot flip
+    the hash) — the unsupervised type fingerprint used to split person-
+    like from org-like entities before schema induction. Everything keys
+    on entity_id: one (entity, rel) count, then window argmax + entropy
+    aggregate reuse the same partitioning."""
+    from pyspark.sql import Window
+
+    edges = o21_reverse_union(spark, sf_dir)
+    pc = edges.groupBy(F.col("src").alias("entity_id"), "rel").agg(
+        F.count("*").alias("n")
+    )
+    tot = pc.groupBy("entity_id").agg(
+        F.sum("n").alias("n_tot"), F.count("*").alias("n_rels")
+    )
+    top = (
+        pc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("entity_id").orderBy(
+                    F.desc("n"), F.asc("rel")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("entity_id", F.col("rel").alias("top_rel"))
+    )
+    p = F.col("n").cast("double") / F.col("n_tot")
+    ent = (
+        pc.join(tot.select("entity_id", "n_tot"), "entity_id")
+        .groupBy("entity_id")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("rel_entropy"))
+    )
+    return (
+        tot.select("entity_id", "n_rels")
+        .join(top, "entity_id")
+        .join(ent, "entity_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 
