@@ -84,6 +84,11 @@ GRAPH = [
     "kg_merge_vertices_incremental",
     "kg_lineage_metrics",
     "kg_predicate_canon",
+    "kg_walk_pairs",
+    "kg_negative_samples",
+    "kg_shortest_paths",
+    "kg_entity_types",
+    "text_nfc",
 ]
 
 
