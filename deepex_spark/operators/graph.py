@@ -545,9 +545,10 @@ def hits(
 
     Same distributed shape as :func:`pagerank`: per half-step one
     key-partitioned join of scores to edges + one groupBy-sum on the
-    other endpoint; the normalizer is a single aggregated double (one
-    scalar to the driver per half-step, never row data);
-    ``localCheckpoint`` truncates per-round lineage. Fixed ``n_iter``
+    other endpoint; the L1 normalizer is a broadcast 1-row aggregate
+    cross-joined into the rebuild (executor-side — no per-half-step
+    driver synchronization, same restructure as pagerank's dangling
+    mass); ``localCheckpoint`` truncates per-round lineage. Fixed ``n_iter``
     keeps the result a deterministic function of the graph and
     SQL-reproducible by unrolling. L1 (not the textbook L2) so the
     oracle needs no sqrt — the fixed point's RANKING is identical, only
@@ -573,11 +574,11 @@ def hits(
             .groupBy("d")
             .agg(F.sum("h").alias("raw"))
         )
-        a_tot = a_raw.agg(F.sum("raw")).collect()[0][0] or 1.0
         auth = (
             verts.join(a_raw.withColumnRenamed("d", "v"), "v", "left")
+            .crossJoin(F.broadcast(_l1_total(a_raw)))
             .select(
-                "v", (F.coalesce("raw", F.lit(0.0)) / F.lit(a_tot)).alias("a")
+                "v", (F.coalesce("raw", F.lit(0.0)) / F.col("tot")).alias("a")
             )
             .localCheckpoint(eager=True)
         )
@@ -586,15 +587,28 @@ def hits(
             .groupBy("s")
             .agg(F.sum("a").alias("raw"))
         )
-        h_tot = h_raw.agg(F.sum("raw")).collect()[0][0] or 1.0
         hub = (
             verts.join(h_raw.withColumnRenamed("s", "v"), "v", "left")
+            .crossJoin(F.broadcast(_l1_total(h_raw)))
             .select(
-                "v", (F.coalesce("raw", F.lit(0.0)) / F.lit(h_tot)).alias("h")
+                "v", (F.coalesce("raw", F.lit(0.0)) / F.col("tot")).alias("h")
             )
             .localCheckpoint(eager=True)
         )
     return hub.join(auth, "v").select("v", "h", "a")
+
+
+def _l1_total(raw: DataFrame) -> DataFrame:
+    """Broadcast 1-row L1 normalizer for :func:`hits` — the half-step
+    total stays executor-side (cross-joined into the rebuild) instead of
+    a per-half-step driver collect, same restructure as
+    :func:`pagerank`'s dangling mass; ``0/NULL -> 1.0`` preserves the
+    old ``or 1.0`` empty-graph guard exactly."""
+    return raw.agg(F.sum("raw").alias("tot")).select(
+        F.when(F.col("tot").isNull() | (F.col("tot") == 0.0), F.lit(1.0))
+        .otherwise(F.col("tot"))
+        .alias("tot")
+    )
 
 
 def label_propagation(
