@@ -4448,6 +4448,72 @@ def kg_entity_types(spark, sf_dir):
     )
 
 
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d, count(*) AS n
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    stats AS (
+      SELECT event_type, d, n,
+             avg(n) OVER w AS mu,
+             stddev_samp(n) OVER w AS sd,
+             count(*) OVER w AS n_prev
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, d, n,
+           round((n - mu) / sd, 6) AS z,
+           abs((n - mu) / sd) > 3 AS is_anomaly
+    FROM stats WHERE n_prev = 7 AND sd > 0
+    """,
+)
+def events_anomaly_zscore(spark, sf_dir):
+    """Time-series anomaly detection over the event log: per event type,
+    the z-score of each day's volume against the TRAILING 7-day window
+    (rows frame excludes the current day, so a spike can't suppress its
+    own baseline) — the standard ops-monitoring primitive for a crawl /
+    ingest pipeline ("did fetch volume for this host class fall off a
+    cliff today?"). Warm-up rows (< 7 trailing days) and zero-variance
+    windows are excluded, which also keeps the hash clean of inf/NaN.
+    One event_type exchange serves the daily rollup (subset rule via the
+    groupBy's composite key? no — the rollup keys on (type, day), the
+    window on (type): Catalyst plans rollup exchange + window exchange;
+    at scale pre-partitioning by event_type would merge them, but daily
+    rollup rows are tiny (types x days), so the second exchange moves
+    nothing worth optimizing away)."""
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-7, -1)
+    )
+    stats = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sd"),
+        F.count("*").over(w).alias("n_prev"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return stats.where((F.col("n_prev") == 7) & (F.col("sd") > 0)).select(
+        "event_type",
+        "d",
+        "n",
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 3).alias("is_anomaly"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 
