@@ -4478,12 +4478,13 @@ def events_anomaly_zscore(spark, sf_dir):
     ingest pipeline ("did fetch volume for this host class fall off a
     cliff today?"). Warm-up rows (< 7 trailing days) and zero-variance
     windows are excluded, which also keeps the hash clean of inf/NaN.
-    One event_type exchange serves the daily rollup (subset rule via the
-    groupBy's composite key? no — the rollup keys on (type, day), the
-    window on (type): Catalyst plans rollup exchange + window exchange;
-    at scale pre-partitioning by event_type would merge them, but daily
-    rollup rows are tiny (types x days), so the second exchange moves
-    nothing worth optimizing away)."""
+    Plan: the raw-event rollup exchanges on (type, day); the window then
+    re-exchanges its OUTPUT on (type). Deliberately NOT merged via a
+    pre-repartition("event_type"): that would shuffle the raw event log
+    on the low-cardinality type key (hot partitions) to save re-moving
+    the tiny (types x days) rollup. The single-exchange trick pays off
+    when the second pass covers the BIG table (scd2, adjacency), not a
+    collapsed aggregate."""
     from pyspark.sql import Window
 
     daily = (
