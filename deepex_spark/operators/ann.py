@@ -257,3 +257,82 @@ def ivf_oracle_sql(
       FROM cand
     ) WHERE rnk <= {topk}
     """
+
+
+def _dist2_expr(vec_col: str, centroid: list[float]) -> str:
+    arr = "array(" + ", ".join(repr(x) for x in centroid) + ")"
+    return (
+        f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> (x - y) * (x - y)), "
+        f"0D, (acc, x) -> acc + x)"
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Append ``centroid_id`` (argmin squared euclidean distance, ties to
+    the lowest centroid id via strict ``<`` in the running min) and
+    ``dist2``. Like :func:`ivf_assign` this is a NARROW per-row
+    expression chain — the k distance expressions run inside whole-stage
+    codegen; the corpus never shuffles for assignment."""
+    d_cols = [
+        F.expr(_dist2_expr(vec_col, c)).alias(f"_d{i}")
+        for i, c in enumerate(centroids)
+    ]
+    df = emb.select("*", *d_cols)
+    best_id, best_d = F.lit(0), F.col("_d0")
+    for i in range(1, len(centroids)):
+        closer = F.col(f"_d{i}") < best_d
+        best_id = F.when(closer, F.lit(i)).otherwise(best_id)
+        best_d = F.when(closer, F.col(f"_d{i}")).otherwise(best_d)
+    keep = [c for c in emb.columns]
+    return df.select(
+        *keep, best_id.alias("centroid_id"), best_d.alias("dist2")
+    )
+
+
+def kmeans_train(
+    emb: DataFrame,
+    k: int,
+    dim: int,
+    n_iter: int = 2,
+    seed: int = 1337,
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Distributed Lloyd's k-means over an embedding column — the TRAINING
+    step an IVF index needs before :func:`ivf_assign` can bucket a corpus
+    (reference scope: faiss is imported but unused,
+    bert_contrastive.py:8; MLlib is avoided to keep the engine
+    DataFrame-pure and the arithmetic oracle-reproducible).
+
+    Determinism: seeded unit-norm init (:func:`ivf_centroids`), argmin
+    assignment with lowest-id tie-break, and per-(centroid, dim) means
+    ROUNDED to 9 dp each round — the rounding pins the fixpoint so the
+    DuckDB oracle (same literals, same unrolled rounds) matches exactly
+    despite engine-order float summation.
+
+    Scale shape per round: assignment is row-local codegen (no shuffle);
+    the update is ONE posexplode + (centroid, dim) groupBy-avg —
+    k x dim rows — collected to the driver (k x dim doubles, the same
+    driver traffic MLlib's KMeans accepts; at k=2^16, dim=1024 that is
+    512 MB and the update should instead stay a joined table — noted,
+    not needed at IVF's k<=4096). Empty clusters keep their previous
+    centroid. Returns (assignment df of the FINAL round, final
+    centroids)."""
+    cents = ivf_centroids(k, dim, seed)
+    assigned = kmeans_assign(emb, cents, vec_col)
+    for _ in range(n_iter):
+        upd = (
+            assigned.select(
+                "centroid_id", F.posexplode(vec_col).alias("pos", "x")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg("x"), 9).alias("val"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in upd:
+            new[r["centroid_id"]][r["pos"]] = float(r["val"])
+        cents = new
+        assigned = kmeans_assign(emb, cents, vec_col)
+    return assigned, cents

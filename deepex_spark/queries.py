@@ -4515,6 +4515,80 @@ def events_anomaly_zscore(spark, sf_dir):
     )
 
 
+def _kmeans_oracle(k: int, dim: int, n_iter: int, seed: int) -> str:
+    """Unrolled Lloyd's iterations in DuckDB: same seeded centroid
+    literals, same argmin/lowest-id tie-break, same 9 dp mean rounding —
+    assignment t runs under centroids t-1; output is the assignment
+    under the final centroids."""
+    from deepex_spark.operators.ann import ivf_centroids
+
+    cents = ivf_centroids(k, dim, seed)
+    c0 = ", ".join(
+        f"({cid}, {pos}, {val!r})"
+        for cid, row in enumerate(cents)
+        for pos, val in enumerate(row)
+    )
+    parts = [
+        f"""
+    WITH ev AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             unnest(range(len(embedding))) AS pos
+      FROM embeddings
+    ),
+    c0(cid, pos, val) AS (VALUES {c0})"""
+    ]
+    for t in range(1, n_iter + 2):
+        parts.append(f""",
+    d{t} AS (
+      SELECT e.vec_id, c.cid,
+             sum((e.x - c.val) * (e.x - c.val)) AS d2
+      FROM ev e JOIN c{t - 1} c ON c.pos = e.pos
+      GROUP BY e.vec_id, c.cid
+    ),
+    a{t} AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM d{t}) z WHERE rn = 1
+    )""")
+        if t <= n_iter:
+            parts.append(f""",
+    c{t} AS (
+      SELECT p.cid, p.pos, COALESCE(round(u.val, 9), p.val) AS val
+      FROM c{t - 1} p LEFT JOIN (
+        SELECT a.cid, e.pos, avg(e.x) AS val
+        FROM a{t} a JOIN ev e ON e.vec_id = a.vec_id
+        GROUP BY a.cid, e.pos
+      ) u ON u.cid = p.cid AND u.pos = p.pos
+    )""")
+    parts.append(f"""
+    SELECT vec_id, cid AS centroid_id, round(d2, 6) AS dist2
+    FROM a{n_iter + 1}
+    """)
+    return "".join(parts)
+
+
+@register("ann_kmeans", oracle=_kmeans_oracle(4, 64, 2, 1337))
+def ann_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embedding corpus — the IVF
+    TRAINING step (operators/ann.py::kmeans_train): 2 update rounds from
+    seeded unit-norm centroids, final assignment reported with 6
+    dp-rounded squared distances. Assignment is row-local whole-stage
+    codegen (the corpus never shuffles); each update is one posexplode +
+    (centroid, dim) groupBy — k x dim rows — with per-dimension means
+    rounded to 9 dp, which pins the fixpoint so the unrolled DuckDB
+    re-derivation matches exactly despite engine-order float
+    summation."""
+    from deepex_spark.operators.ann import kmeans_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_train(emb, k=4, dim=64, n_iter=2, seed=1337)
+    return assigned.select(
+        "vec_id", "centroid_id", F.round("dist2", 6).alias("dist2")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 

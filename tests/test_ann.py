@@ -146,3 +146,59 @@ def test_ivf_assign_matches_numpy_argmax(spark):
         want = int(np.argmax(C @ v))
         assert got[i] == want, (i, got[i], want)
     assert got[0] == 0  # all-ties -> first centroid
+
+
+class TestKMeans:
+    """Lloyd's training (kmeans_train): independent pure-Python reference,
+    lowest-id tie-break, empty-cluster retention. The registered
+    ann_kmeans query is hash-verified against an unrolled DuckDB oracle
+    at (k=4, dim=64, 2 rounds) by the driver."""
+
+    @staticmethod
+    def _ref(vecs, cents, n_iter):
+        def assign(cs):
+            out = []
+            for v in vecs:
+                ds = [sum((a - b) ** 2 for a, b in zip(v, c)) for c in cs]
+                best = min(range(len(cs)), key=lambda i: (ds[i], i))
+                out.append((best, ds[best]))
+            return out
+
+        cs = [list(c) for c in cents]
+        asg = assign(cs)
+        for _ in range(n_iter):
+            for cid in range(len(cs)):
+                members = [v for v, (a, _) in zip(vecs, asg) if a == cid]
+                if members:
+                    cs[cid] = [
+                        round(sum(col) / len(members), 9)
+                        for col in zip(*members)
+                    ]
+            asg = assign(cs)
+        return asg, cs
+
+    def test_matches_reference_and_keeps_empty_cluster(self, spark):
+        from deepex_spark.operators.ann import ivf_centroids, kmeans_train
+
+        # two tight blobs far from origin: with k=3 seeded unit-norm
+        # centroids at the origin sphere, at least one cluster usually
+        # ends up empty or tiny — exercising the retention branch
+        vecs = [
+            [10.0 + dx, 10.0 + dy] for dx in (0.0, 0.1, 0.2) for dy in (0.0, 0.1)
+        ] + [[-8.0 + dx, -8.0 + dy] for dx in (0.0, 0.3) for dy in (0.0, 0.3)]
+        emb = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id int, embedding array<double>",
+        )
+        assigned, cents = kmeans_train(emb, k=3, dim=2, n_iter=2, seed=7)
+        got = {
+            r.vec_id: (r.centroid_id, round(r.dist2, 6))
+            for r in assigned.collect()
+        }
+        ref_asg, ref_cents = self._ref(vecs, ivf_centroids(3, 2, 7), 2)
+        assert got == {
+            i: (a, round(d, 6)) for i, (a, d) in enumerate(ref_asg)
+        }
+        for c, rc in zip(cents, ref_cents):
+            for x, y in zip(c, rc):
+                assert abs(x - y) < 1e-9
