@@ -336,3 +336,48 @@ def kmeans_train(
         cents = new
         assigned = kmeans_assign(emb, cents, vec_col)
     return assigned, cents
+
+
+def pq_train_encode(
+    emb: DataFrame,
+    m: int,
+    k: int,
+    dim: int,
+    n_iter: int = 1,
+    seed: int = 1337,
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product quantization — train a k-centroid codebook per contiguous
+    ``dim/m`` subspace (:func:`kmeans_train` on the slice) and encode
+    every vector as m small integers: the compression layer of IVF-PQ,
+    the standard web-scale ANN index (a 1024-dim float corpus becomes m
+    bytes/vector + m tiny codebooks).
+
+    Training runs per subspace (k x dim/m driver-side codebook each);
+    ENCODING is a single row-local pass — the m argmin chains run over
+    ``slice(vec, ...)`` expressions inside whole-stage codegen, so the
+    corpus is read once and never shuffled. Deterministic end to end
+    (seeded init per subspace, lowest-id ties, 9 dp-rounded means), so
+    the DuckDB oracle re-derives codes exactly. Returns (encoded df with
+    code{j} / dist{j} columns, codebooks)."""
+    sub = dim // m
+    assert sub * m == dim, "dim must divide evenly into m subspaces"
+    codebooks = []
+    for j in range(m):
+        sliced = emb.select(
+            F.slice(vec_col, j * sub + 1, sub).alias("embedding")
+        )
+        _, cents = kmeans_train(
+            sliced, k=k, dim=sub, n_iter=n_iter, seed=seed + j
+        )
+        codebooks.append(cents)
+    out = emb
+    for j in range(m):
+        out = (
+            kmeans_assign(
+                out, codebooks[j], vec_col=f"slice({vec_col}, {j * sub + 1}, {sub})"
+            )
+            .withColumnRenamed("centroid_id", f"code{j}")
+            .withColumnRenamed("dist2", f"dist{j}")
+        )
+    return out, codebooks

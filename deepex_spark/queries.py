@@ -4569,6 +4569,98 @@ def _kmeans_oracle(k: int, dim: int, n_iter: int, seed: int) -> str:
     return "".join(parts)
 
 
+def _pq_oracle(m: int, k: int, dim: int, n_iter: int, seed: int) -> str:
+    """Product-quantization oracle: per subspace, the same unrolled
+    Lloyd's chain as _kmeans_oracle over the re-based slice of ev, then
+    a vec_id join of the m final assignments."""
+    from deepex_spark.operators.ann import ivf_centroids
+
+    sub = dim // m
+    parts = [
+        """
+    WITH ev AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             unnest(range(len(embedding))) AS pos
+      FROM embeddings
+    )"""
+    ]
+    for j in range(m):
+        cents = ivf_centroids(k, sub, seed + j)
+        c0 = ", ".join(
+            f"({cid}, {pos}, {val!r})"
+            for cid, row in enumerate(cents)
+            for pos, val in enumerate(row)
+        )
+        parts.append(f""",
+    ev{j} AS (
+      SELECT vec_id, x, pos - {j * sub} AS pos FROM ev
+      WHERE pos >= {j * sub} AND pos < {(j + 1) * sub}
+    ),
+    c{j}_0(cid, pos, val) AS (VALUES {c0})""")
+        for t in range(1, n_iter + 2):
+            parts.append(f""",
+    d{j}_{t} AS (
+      SELECT e.vec_id, c.cid, sum((e.x - c.val) * (e.x - c.val)) AS d2
+      FROM ev{j} e JOIN c{j}_{t - 1} c ON c.pos = e.pos
+      GROUP BY e.vec_id, c.cid
+    ),
+    a{j}_{t} AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM d{j}_{t}) z WHERE rn = 1
+    )""")
+            if t <= n_iter:
+                parts.append(f""",
+    c{j}_{t} AS (
+      SELECT p.cid, p.pos, COALESCE(round(u.val, 9), p.val) AS val
+      FROM c{j}_{t - 1} p LEFT JOIN (
+        SELECT a.cid, e.pos, avg(e.x) AS val
+        FROM a{j}_{t} a JOIN ev{j} e ON e.vec_id = a.vec_id
+        GROUP BY a.cid, e.pos
+      ) u ON u.cid = p.cid AND u.pos = p.pos
+    )""")
+    fin = n_iter + 1
+    sel = ", ".join(
+        f"a{j}_{fin}.cid AS code{j}, round(a{j}_{fin}.d2, 6) AS dist{j}"
+        for j in range(m)
+    )
+    joins = " ".join(
+        f"JOIN a{j}_{fin} ON a{j}_{fin}.vec_id = a0_{fin}.vec_id"
+        for j in range(1, m)
+    )
+    parts.append(f"""
+    SELECT a0_{fin}.vec_id, {sel}
+    FROM a0_{fin} {joins}
+    """)
+    return "".join(parts)
+
+
+@register("ann_pq_codes", oracle=_pq_oracle(2, 4, 64, 1, 1337))
+def ann_pq_codes(spark, sf_dir):
+    """Product-quantization codes over the embedding corpus
+    (operators/ann.py::pq_train_encode): 2 subspaces x 4 centroids, one
+    Lloyd's round each — the compression layer of IVF-PQ, the standard
+    web-scale ANN index (at production shape: 1024-dim floats -> m bytes
+    per vector plus m tiny codebooks). Training is per-subspace k-means;
+    encoding is ONE row-local codegen pass over slice() expressions —
+    the corpus is read once and never shuffles. Deterministic end to
+    end; the DuckDB oracle re-derives every code and 6 dp-rounded
+    subspace distance."""
+    from deepex_spark.operators.ann import pq_train_encode
+
+    emb = load(spark, sf_dir, "embeddings")
+    enc, _ = pq_train_encode(emb, m=2, k=4, dim=64, n_iter=1, seed=1337)
+    return enc.select(
+        "vec_id",
+        "code0",
+        F.round("dist0", 6).alias("dist0"),
+        "code1",
+        F.round("dist1", 6).alias("dist1"),
+    )
+
+
 @register("ann_kmeans", oracle=_kmeans_oracle(4, 64, 2, 1337))
 def ann_kmeans(spark, sf_dir):
     """Distributed Lloyd's k-means over the embedding corpus — the IVF

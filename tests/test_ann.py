@@ -202,3 +202,46 @@ class TestKMeans:
         for c, rc in zip(cents, ref_cents):
             for x, y in zip(c, rc):
                 assert abs(x - y) < 1e-9
+
+
+class TestPQ:
+    def test_codes_match_per_slice_kmeans_and_are_partition_invariant(self, spark):
+        from deepex_spark.operators.ann import kmeans_train, pq_train_encode
+
+        vecs = [
+            [float(i % 5), float((i * 7) % 3), float(i % 2) * 4.0, -float(i % 4)]
+            for i in range(24)
+        ]
+        emb = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id int, embedding array<double>",
+        )
+        enc, books = pq_train_encode(emb, m=2, k=3, dim=4, n_iter=2, seed=11)
+        got = {
+            r.vec_id: (r.code0, r.code1, round(r.dist0, 9), round(r.dist1, 9))
+            for r in enc.collect()
+        }
+        # per-slice reference: train k-means on each half independently
+        import pyspark.sql.functions as F
+
+        for j, (lo, hi) in enumerate([(0, 2), (2, 4)]):
+            half = spark.createDataFrame(
+                [(i, v[lo:hi]) for i, v in enumerate(vecs)],
+                "vec_id int, embedding array<double>",
+            )
+            assigned, cents = kmeans_train(half, k=3, dim=2, n_iter=2, seed=11 + j)
+            for c, bc in zip(cents, books[j]):
+                assert c == bc
+            ref = {
+                r.vec_id: (r.centroid_id, round(r.dist2, 9))
+                for r in assigned.collect()
+            }
+            for i in got:
+                assert (got[i][j], got[i][2 + j]) == ref[i]
+        # partition invariance
+        enc2, _ = pq_train_encode(emb.repartition(7), m=2, k=3, dim=4, n_iter=2, seed=11)
+        got2 = {
+            r.vec_id: (r.code0, r.code1, round(r.dist0, 9), round(r.dist1, 9))
+            for r in enc2.collect()
+        }
+        assert got == got2
