@@ -381,3 +381,76 @@ def pq_train_encode(
             .withColumnRenamed("dist2", f"dist{j}")
         )
     return out, codebooks
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    dim: int,
+    topk: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the query path of
+    an IVF-PQ index: each query precomputes an m x k distance table
+    against the codebooks (tiny, broadcast), and a candidate's distance
+    is the SUM of m table lookups on its codes — the corpus side never
+    touches raw vectors again.
+
+    Scale shape: the corpus scan reads m small ints per row and joins m
+    BROADCAST tables (|queries| x k rows each) on the code columns —
+    row-local, zero corpus shuffle; only the per-query top-k window
+    moves the candidate rows through one query-keyed exchange (at scale
+    the IVF coarse filter prunes candidates to the probed buckets
+    first). Distances are rounded to 6 dp BEFORE ranking with an id
+    tie-break, so the ranking is engine-exact and the DuckDB oracle
+    matches code for code."""
+    from functools import reduce
+    from operator import add
+
+    m = len(codebooks)
+    sub = dim // m
+    cur = codes
+    for j in range(m):
+        k = len(codebooks[j])
+        slice_expr = f"slice({vec_col}, {j * sub + 1}, {sub})"
+        tab = (
+            queries.select(
+                F.col(id_col).alias(f"qid{j}"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("cid"),
+                                F.expr(
+                                    _dist2_expr(slice_expr, codebooks[j][c])
+                                ).alias("d"),
+                            )
+                            for c in range(k)
+                        ]
+                    )
+                ).alias("e"),
+            )
+            .select(
+                f"qid{j}",
+                F.col("e.cid").alias(f"c{j}"),
+                F.col("e.d").alias(f"d{j}"),
+            )
+        )
+        cond = F.col(f"code{j}") == F.col(f"c{j}")
+        if j > 0:
+            cond = cond & (F.col(f"qid{j}") == F.col("qid0"))
+        cur = cur.join(F.broadcast(tab), cond)
+    adc = F.round(reduce(add, [F.col(f"d{j}") for j in range(m)]), 6)
+    ranked = cur.select(
+        F.col("qid0").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        adc.alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return ranked.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= topk
+    )

@@ -4637,6 +4637,76 @@ def _pq_oracle(m: int, k: int, dim: int, n_iter: int, seed: int) -> str:
     return "".join(parts)
 
 
+def _pq_adc_oracle(m: int, k: int, dim: int, n_iter: int, seed: int, topk: int) -> str:
+    """ADC oracle: reuse the PQ chains (codebooks c{j}_{n_iter}, final
+    assignments a{j}_{n_iter+1} = the codes), derive each query's
+    per-subspace distance table in SQL, and rank the summed lookups."""
+    base = _pq_oracle(m, k, dim, n_iter, seed)
+    fin = n_iter + 1
+    # strip the final SELECT of the code oracle, keep its CTE chain
+    cte = base[: base.rindex("SELECT")]
+    tabs = "".join(
+        f""",
+    t{j} AS (
+      SELECT e.vec_id AS qid, c.cid, sum((e.x - c.val) * (e.x - c.val)) AS d
+      FROM ev{j} e JOIN c{j}_{n_iter} c ON c.pos = e.pos
+      WHERE e.vec_id % 100 = 0
+      GROUP BY e.vec_id, c.cid
+    )"""
+        for j in range(m)
+    )
+    code_cols = ", ".join(f"a{j}_{fin}.cid AS code{j}" for j in range(m))
+    code_joins = " ".join(
+        f"JOIN a{j}_{fin} ON a{j}_{fin}.vec_id = a0_{fin}.vec_id"
+        for j in range(1, m)
+    )
+    lookup_joins = " ".join(
+        f"JOIN t{j} ON t{j}.cid = codes.code{j}"
+        + ("" if j == 0 else f" AND t{j}.qid = t0.qid")
+        for j in range(m)
+    )
+    d_sum = " + ".join(f"t{j}.d" for j in range(m))
+    return (
+        cte
+        + tabs
+        + f""",
+    codes AS (
+      SELECT a0_{fin}.vec_id, {code_cols} FROM a0_{fin} {code_joins}
+    ),
+    adc AS (
+      SELECT t0.qid AS query_id, codes.vec_id AS neighbor_id,
+             round({d_sum}, 6) AS adc
+      FROM codes {lookup_joins}
+    )
+    SELECT query_id, neighbor_id, adc, rank FROM (
+      SELECT query_id, neighbor_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc ASC, neighbor_id ASC) AS rank
+      FROM adc
+    ) z WHERE rank <= {topk}
+    """
+    )
+
+
+@register("ann_pq_adc_topk", oracle=_pq_adc_oracle(2, 4, 64, 1, 1337, 5))
+def ann_pq_adc_topk(spark, sf_dir):
+    """IVF-PQ query path: asymmetric-distance top-5 over the PQ codes
+    (operators/ann.py::pq_adc_topk) for a deterministic query subset
+    (vec_id % 100 == 0). Each query precomputes an m x k lookup table
+    against the trained codebooks; a candidate's distance is the sum of
+    m broadcast table lookups on its codes — the corpus never touches
+    raw vectors at query time and never shuffles before the per-query
+    top-k window. Distances rounded to 6 dp BEFORE ranking (id
+    tie-break) so the ranking is engine-exact."""
+    from deepex_spark.operators.ann import pq_adc_topk, pq_train_encode
+
+    emb = load(spark, sf_dir, "embeddings")
+    enc, books = pq_train_encode(emb, m=2, k=4, dim=64, n_iter=1, seed=1337)
+    codes = enc.select("vec_id", "code0", "code1")
+    queries_df = emb.where(F.col("vec_id") % 100 == 0)
+    return pq_adc_topk(codes, queries_df, books, dim=64, topk=5)
+
+
 @register("ann_pq_codes", oracle=_pq_oracle(2, 4, 64, 1, 1337))
 def ann_pq_codes(spark, sf_dir):
     """Product-quantization codes over the embedding corpus
