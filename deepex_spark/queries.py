@@ -3165,6 +3165,91 @@ def _ivf_oracle() -> str:
     return ivf_oracle_sql(k_centroids=8, nprobe=3, topk=3, seed=733, dim=64)
 
 
+def _ivf_recall_oracle() -> str:
+    """Measure-the-index oracle: reuse the IVF candidate CTE chain, rank
+    its top-1 per query, and compare against the exact brute-force top-1
+    derived independently — one aggregated recall row."""
+    from deepex_spark.operators.ann import ivf_oracle_sql
+
+    base = ivf_oracle_sql(k_centroids=8, nprobe=3, topk=1, seed=733, dim=64)
+    cte = base[: base.rindex("SELECT query_id")]
+    return cte + """
+    , ivf1 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+        FROM cand) z WHERE rnk = 1
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY list_dot_product(q.v, a.v)
+                                    / (sqrt(list_dot_product(q.v, q.v))
+                                       * sqrt(list_dot_product(a.v, a.v))) DESC,
+                                  a.vec_id ASC) AS rnk
+        FROM e q JOIN e a ON a.vec_id != q.vec_id
+        WHERE q.vec_id < 5) z WHERE rnk = 1
+    )
+    SELECT count(*) AS n_queries,
+           CAST(sum(CASE WHEN ivf1.neighbor_id = bf.neighbor_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           round(avg(CASE WHEN ivf1.neighbor_id = bf.neighbor_id
+                          THEN 1.0 ELSE 0.0 END), 6) AS recall_at_1
+    FROM bf JOIN ivf1 USING (query_id)
+    """
+
+
+@register("ann_ivf_recall", oracle=_ivf_recall_oracle())
+def ann_ivf_recall(spark, sf_dir):
+    """Measure the index, don't guess: recall@1 of the IVF probe path
+    against the exact brute-force top-1 for the same query set — the
+    number that tells you whether nprobe/K is set right BEFORE a 100 TB
+    corpus gets indexed with it. Both arms are engine-side (the exact
+    arm broadcasts the 5-query side exactly like ann_cosine_topk); the
+    output is one aggregated row, so at scale this runs as a sampled
+    audit job over a query panel, not per-corpus work."""
+    from deepex_spark.operators.ann import ivf_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    ivf1 = (
+        ivf_search(emb, F.col("vec_id") < 5, k_centroids=8, nprobe=3, topk=1, seed=733)
+        .select("query_id", F.col("neighbor_id").alias("ivf_nb"))
+    )
+    embd = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = embd.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    n = embd.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    dot = "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    qq = "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    nn = "aggregate(zip_with(nv, nv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    pairs = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.expr(f"{dot} / (sqrt({qq}) * sqrt({nn}))"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    bf = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("query_id", "neighbor_id")
+    )
+    hit = F.when(F.col("ivf_nb") == F.col("neighbor_id"), 1).otherwise(0)
+    return bf.join(ivf1, "query_id").agg(
+        F.count("*").alias("n_queries"),
+        F.sum(hit).cast("long").alias("n_hits"),
+        F.round(F.avg(hit.cast("double")), 6).alias("recall_at_1"),
+    )
+
+
 @register("ann_ivf_topk", oracle=_ivf_oracle())
 def ann_ivf_topk(spark, sf_dir):
     """IVF coarse-quantized ANN — the corpus-scale path: narrow codegen'd
