@@ -109,6 +109,7 @@ def ivf_search(
     topk: int = 3,
     seed: int = 733,
     dim: int = 64,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF top-k cosine search. ``emb`` has (vec_id, embedding ARRAY);
     ``query_filter`` is a Column predicate selecting the query rows.
@@ -138,7 +139,11 @@ def ivf_search(
             )
         ),
     )
-    centroids = ivf_centroids(k_centroids, dim, seed)
+    if centroids is None:
+        centroids = ivf_centroids(k_centroids, dim, seed)
+    else:
+        # trained codebook (kmeans_train) — same length contract
+        assert len(centroids) == k_centroids and len(centroids[0]) == dim
 
     if k_centroids * dim <= _MAX_INLINE_LITERALS:
         indexed = ivf_assign(e, centroids)
