@@ -91,6 +91,20 @@ GRAPH = [
     "text_nfc",
 ]
 
+# vector-index layer — `--ann`, own metric name; snapshot in BENCH/ANN.md.
+# ann_cosine_topk / ann_ivf_topk stay in HEADLINE (cross-round
+# comparability); this suite covers the training/compression/audit path
+# added late in round 5.
+ANN = [
+    "ann_kmeans",
+    "ann_pq_codes",
+    "ann_pq_adc_topk",
+    "ann_ivf_recall",
+    "ann_ivf_recall_trained",
+    "dedup_embedding_lsh",
+    "multimodal_feature_ann",
+]
+
 
 def _sf_label(sf_dir: str) -> float:
     try:
@@ -388,5 +402,7 @@ if __name__ == "__main__":
         print(json.dumps(run_headline(CURATION, "curation_suite_sec")))
     elif "--graph" in sys.argv:
         print(json.dumps(run_headline(GRAPH, "graph_suite_sec")))
+    elif "--ann" in sys.argv:
+        print(json.dumps(run_headline(ANN, "ann_suite_sec")))
     else:
         print(json.dumps(run_headline()))
