@@ -784,3 +784,79 @@ def adjacency_export(
             "|",
         ).alias("adj_head"),
     )
+
+
+def retract_docs(
+    triples: DataFrame,
+    edges: DataFrame,
+    deleted_docs: DataFrame,
+) -> DataFrame:
+    """Right-to-be-forgotten for the KG: remove every contribution of the
+    given docids from the aggregated edge table WITHOUT rebuilding it.
+
+    The merge folds (merge_edges) can only ADD — counts and score sums
+    are not subtractable (max_score/sample_docid lose information), so
+    deletion recomputes exactly the AFFECTED edge keys from the surviving
+    triples and stitches them back:
+
+      1. affected = edge keys touched by any deleted docid (semi join of
+         triples against the tombstone set — |deleted| keyed, tiny);
+      2. recomputed = full aggregate over SURVIVING triples of ONLY those
+         keys (semi join + groupBy — proportional to the affected slice,
+         not the corpus);
+      3. result = (edges anti-join affected) ∪ recomputed — untouched
+         keys never re-aggregate, edges whose evidence vanishes entirely
+         drop out.
+
+    At 10^12 docs a deletion batch touches a vanishing fraction of edge
+    keys, so this costs two key-partitioned joins over the triples slice
+    instead of a corpus re-scan; the checkpointed triples table
+    (plans/catalog.py) is exactly what makes it possible. Returns the
+    post-retraction edge table (same schema as the batch build:
+    subj_id, obj_id, pred_canon, n_evidence, n_docs, max_score,
+    sum_score, sample_docid)."""
+    key = ["subj_id", "obj_id", "pred_canon"]
+    tomb = deleted_docs.select(F.col(deleted_docs.columns[0]).alias("docid"))
+    affected = (
+        triples.join(tomb, "docid", "left_semi").select(*key).distinct()
+    )
+    surviving = triples.join(tomb, "docid", "left_anti")
+    recomputed = (
+        surviving.join(affected, key, "left_semi")
+        .groupBy(*key)
+        .agg(
+            F.count("*").alias("n_evidence"),
+            F.countDistinct("docid").alias("n_docs"),
+            F.round(F.max("score"), 9).alias("max_score"),
+            F.round(F.sum("score"), 9).alias("sum_score"),
+            F.min("docid").alias("sample_docid"),
+        )
+    )
+    untouched = edges.join(affected, key, "left_anti")
+    return untouched.unionByName(recomputed)
+
+
+def diff_edge_snapshots(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Audit diff between two edge-table snapshots -> one row per edge
+    key whose evidence CHANGED: status added / removed / changed with the
+    old/new evidence counts (unchanged keys are filtered out — at
+    10^12-doc scale the diff is the small set, the unchanged mass never
+    leaves the join). One full-outer join on the edge key; both sides
+    arrive bucket-partitioned from the snapshot layout, so at scale the
+    join is co-partitioned. This is what a consumer runs between
+    ``read_snapshot(v)`` and ``read_snapshot(v+1)`` after a maintenance
+    fold or a retraction."""
+    key = ["subj_id", "obj_id", "pred_canon"]
+    o = old.select(*key, F.col("n_evidence").alias("old_n"))
+    n = new.select(*key, F.col("n_evidence").alias("new_n"))
+    j = o.join(n, key, "full_outer")
+    status = (
+        F.when(F.col("old_n").isNull(), F.lit("added"))
+        .when(F.col("new_n").isNull(), F.lit("removed"))
+        .when(F.col("old_n") != F.col("new_n"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select(*key, "status", "old_n", "new_n")
+    )

@@ -5011,6 +5011,138 @@ def ann_kmeans(spark, sf_dir):
     )
 
 
+_KG_TRIPLE_ROWS_SQL = f"""
+    WITH base AS (
+      SELECT o_custkey AS subj, o_orderkey AS obj, {_KG_REL_SQL} AS pred,
+             CAST(o_orderkey % 97 AS DOUBLE) AS score, o_orderkey AS docid
+      FROM orders
+    ),
+    trips AS (
+      SELECT subj AS subj_id, obj AS obj_id, pred AS pred_canon, score, docid
+      FROM base WHERE length(pred) > 0
+      UNION ALL
+      SELECT obj, subj, pred, score, docid FROM base WHERE length(pred) > 0
+    )
+"""
+
+
+def _kg_triple_rows(spark, sf_dir) -> DataFrame:
+    base = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("subj"),
+            F.col("o_orderkey").alias("obj"),
+            F.trim(
+                F.regexp_replace("o_orderpriority", r"[^\x00-\x7F]+", " ")
+            ).alias("pred"),
+            (F.col("o_orderkey") % 97).cast("double").alias("score"),
+            F.col("o_orderkey").alias("docid"),
+        )
+        .filter(F.length("pred") > 0)
+    )
+    fwd = base.select(
+        F.col("subj").alias("subj_id"),
+        F.col("obj").alias("obj_id"),
+        F.col("pred").alias("pred_canon"),
+        "score",
+        "docid",
+    )
+    rev = base.select(
+        F.col("obj").alias("subj_id"),
+        F.col("subj").alias("obj_id"),
+        F.col("pred").alias("pred_canon"),
+        "score",
+        "docid",
+    )
+    return fwd.unionByName(rev)
+
+
+def _kg_edge_build(trips: DataFrame) -> DataFrame:
+    return trips.groupBy("subj_id", "obj_id", "pred_canon").agg(
+        F.count("*").alias("n_evidence"),
+        F.countDistinct("docid").alias("n_docs"),
+        F.round(F.max("score"), 9).alias("max_score"),
+        F.round(F.sum("score"), 9).alias("sum_score"),
+        F.min("docid").alias("sample_docid"),
+    )
+
+
+@register(
+    "kg_retract_docs",
+    # INDEPENDENT oracle: the build over SURVIVING triples only — a hash
+    # match proves the affected-key recompute + stitch equals a full
+    # rebuild without the engine ever re-aggregating untouched keys.
+    oracle=_KG_TRIPLE_ROWS_SQL
+    + """
+    , surv AS (SELECT * FROM trips WHERE docid % 97 <> 0)
+    SELECT subj_id, obj_id, pred_canon,
+           count(*) AS n_evidence,
+           CAST(count(DISTINCT docid) AS BIGINT) AS n_docs,
+           round(max(score), 9) AS max_score,
+           round(CAST(sum(score) AS DOUBLE), 9) AS sum_score,
+           min(docid) AS sample_docid
+    FROM surv GROUP BY subj_id, obj_id, pred_canon
+    """,
+)
+def kg_retract_docs(spark, sf_dir):
+    """Right-to-be-forgotten retraction (operators/graph.py::
+    retract_docs): delete every contribution of a docid tombstone set
+    (docid % 97 == 0) from the aggregated edge table by recomputing ONLY
+    the affected edge keys from surviving checkpointed triples and
+    stitching them back over an anti-join — never a corpus rebuild
+    (counts/maxes/samples are not subtractable, so pure merge algebra
+    cannot delete). The oracle builds from scratch over the surviving
+    triples; a hash match proves the incremental path is exact."""
+    from deepex_spark.operators.graph import retract_docs
+
+    trips = _kg_triple_rows(spark, sf_dir)
+    edges = _kg_edge_build(trips)
+    deleted = trips.select("docid").where(F.col("docid") % 97 == 0).distinct()
+    return retract_docs(trips, edges, deleted)
+
+
+@register(
+    "kg_snapshot_diff",
+    oracle=_KG_TRIPLE_ROWS_SQL
+    + """
+    , v1 AS (
+      SELECT subj_id, obj_id, pred_canon, count(*) AS n
+      FROM trips WHERE docid % 2 = 0 GROUP BY subj_id, obj_id, pred_canon
+    ),
+    v2 AS (
+      SELECT subj_id, obj_id, pred_canon, count(*) AS n
+      FROM trips GROUP BY subj_id, obj_id, pred_canon
+    )
+    SELECT COALESCE(v1.subj_id, v2.subj_id) AS subj_id,
+           COALESCE(v1.obj_id, v2.obj_id) AS obj_id,
+           COALESCE(v1.pred_canon, v2.pred_canon) AS pred_canon,
+           CASE WHEN v1.n IS NULL THEN 'added'
+                WHEN v2.n IS NULL THEN 'removed'
+                WHEN v1.n <> v2.n THEN 'changed' END AS status,
+           v1.n AS old_n, v2.n AS new_n
+    FROM v1 FULL OUTER JOIN v2
+      ON v1.subj_id = v2.subj_id AND v1.obj_id = v2.obj_id
+     AND v1.pred_canon = v2.pred_canon
+    WHERE (v1.n IS NULL OR v2.n IS NULL OR v1.n <> v2.n)
+    """,
+)
+def kg_snapshot_diff(spark, sf_dir):
+    """Snapshot audit diff (operators/graph.py::diff_edge_snapshots):
+    edge keys whose evidence changed between two table versions (here:
+    the even-docid batch build vs the full build — i.e., before/after a
+    maintenance fold), status added/removed/changed with old/new counts.
+    One full-outer join on the edge key (co-partitioned from the bucket
+    layout at scale); unchanged keys never leave the join. Together with
+    kg_lineage_metrics this is how a consumer localizes what a fold or a
+    retraction actually did."""
+    from deepex_spark.operators.graph import diff_edge_snapshots
+
+    trips = _kg_triple_rows(spark, sf_dir)
+    v1 = _kg_edge_build(trips.where(F.col("docid") % 2 == 0))
+    v2 = _kg_edge_build(trips)
+    return diff_edge_snapshots(v1, v2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 

@@ -132,3 +132,114 @@ def test_maintain_job_idempotent_per_run_id(spark, tmp_path, canon_halves):
     r1_late = maintain(spark, live, delta, run_id="m1")
     assert r1_late["vertices"][0] == r1["vertices"][0]
     assert live._snapshot_manifest("vertices")["current"] > r1["vertices"][0]
+
+
+# --- right-to-be-forgotten + snapshot audit diff -------------------------
+
+_TRIP_COLS = ["subj_id", "obj_id", "pred_canon", "score", "docid"]
+
+
+@pytest.fixture(scope="module")
+def trip_table(spark):
+    rows = [
+        (1, 2, "rel_a", 1.0, 10),
+        (1, 2, "rel_a", 2.0, 11),
+        (1, 2, "rel_a", 3.0, 12),
+        (3, 4, "rel_b", 5.0, 10),   # only evidence is a deleted doc
+        (5, 6, "rel_c", 7.0, 13),   # untouched by any tombstone
+        (5, 6, "rel_c", 8.0, 14),
+    ]
+    df = spark.createDataFrame(rows, _TRIP_COLS).persist()
+    yield df
+    df.unpersist()
+
+
+def _edge_build(trips):
+    return trips.groupBy("subj_id", "obj_id", "pred_canon").agg(
+        F.count("*").alias("n_evidence"),
+        F.countDistinct("docid").alias("n_docs"),
+        F.round(F.max("score"), 9).alias("max_score"),
+        F.round(F.sum("score"), 9).alias("sum_score"),
+        F.min("docid").alias("sample_docid"),
+    )
+
+
+def _edge_rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_retract_equals_rebuild_over_survivors(spark, trip_table):
+    """The affected-key recompute + anti-join stitch must equal a full
+    rebuild over surviving triples — including dropping edges whose
+    entire evidence was deleted (counts are not subtractable, which is
+    why retraction cannot be merge algebra)."""
+    from deepex_spark.operators.graph import retract_docs
+
+    edges = _edge_build(trip_table)
+    deleted = spark.createDataFrame([(10,), (11,)], ["docid"])
+    got = retract_docs(trip_table, edges, deleted)
+    surviving = trip_table.where(~F.col("docid").isin(10, 11))
+    assert _edge_rows(got) == _edge_rows(_edge_build(surviving))
+    # rel_b's only evidence was docid 10 -> the edge must vanish
+    assert got.where(F.col("pred_canon") == "rel_b").count() == 0
+    # rel_a survives with only docid 12's contribution
+    rel_a = got.where(F.col("pred_canon") == "rel_a").collect()
+    assert len(rel_a) == 1 and rel_a[0]["n_evidence"] == 1
+    assert rel_a[0]["max_score"] == 3.0 and rel_a[0]["sample_docid"] == 12
+
+
+def test_retract_empty_tombstones_is_identity(spark, trip_table):
+    from deepex_spark.operators.graph import retract_docs
+
+    edges = _edge_build(trip_table)
+    none = spark.createDataFrame([], "docid bigint")
+    assert _edge_rows(retract_docs(trip_table, edges, none)) == _edge_rows(edges)
+
+
+def test_retract_never_touches_unaffected_keys(spark, trip_table):
+    """Untouched edge keys must pass through the anti-join verbatim —
+    even if the stored edge row disagrees with what a rebuild would say
+    (proves the recompute really is scoped to the affected slice)."""
+    from deepex_spark.operators.graph import retract_docs
+
+    edges = _edge_build(trip_table)
+    # poison the untouched rel_c row: a rebuild would "fix" it, the
+    # scoped retraction must NOT
+    poisoned = edges.withColumn(
+        "n_evidence",
+        F.when(F.col("pred_canon") == "rel_c", F.lit(999)).otherwise(
+            F.col("n_evidence")
+        ),
+    )
+    deleted = spark.createDataFrame([(10,), (11,)], ["docid"])
+    got = retract_docs(trip_table, poisoned, deleted)
+    assert (
+        got.where(F.col("pred_canon") == "rel_c").collect()[0]["n_evidence"]
+        == 999
+    )
+
+
+def test_snapshot_diff_statuses(spark, trip_table):
+    from deepex_spark.operators.graph import diff_edge_snapshots
+
+    v1 = _edge_build(trip_table.where(F.col("docid") <= 12))
+    v2 = _edge_build(trip_table.where(F.col("docid") >= 11))
+    d = {
+        (r["subj_id"], r["obj_id"], r["pred_canon"]): (
+            r["status"], r["old_n"], r["new_n"]
+        )
+        for r in diff_edge_snapshots(v1, v2).collect()
+    }
+    # rel_a: 3 evidence rows in v1 (docids 10-12), 2 in v2 (11-12)
+    assert d[(1, 2, "rel_a")] == ("changed", 3, 2)
+    # rel_b: only docid 10 -> present in v1 only
+    assert d[(3, 4, "rel_b")] == ("removed", 1, None)
+    # rel_c: docids 13,14 -> present in v2 only
+    assert d[(5, 6, "rel_c")] == ("added", None, 2)
+
+
+def test_snapshot_diff_filters_unchanged(spark, trip_table):
+    from deepex_spark.operators.graph import diff_edge_snapshots
+
+    v = _edge_build(trip_table)
+    assert diff_edge_snapshots(v, v).count() == 0
