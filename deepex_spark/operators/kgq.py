@@ -1,0 +1,283 @@
+"""KG quality & consistency operators: contradiction detection, truth
+discovery, and RDFS-style type-closure inference.
+
+These are the post-construction steps a web-scale KG pipeline runs after
+edge assembly (reference: the merged triple store built by
+``scripts/run.py`` stages, deepex README pipeline overview) — the
+reference stops at ranked triples; resolving CONFLICTING triples and
+propagating ontology types is what makes the output a usable KG:
+
+* ``conflict_report`` — find subjects asserted with ≥ 2 distinct values
+  for a (implicitly functional) predicate, with per-value distinct-source
+  support. Contradiction detection à la NELL / Knowledge Vault triage.
+* ``truth_discovery`` — TruthFinder-lite (Yin et al., KDD'07 lineage):
+  majority vote → source trust = agreement rate with the vote → ONE
+  trust-weighted re-vote. Votes are summed as ``round(trust·10^6)``
+  BIGINTs so the re-vote is integer-exact and summation order (which
+  differs across engines/partitionings) can never flip a ranking.
+* ``subclass_closure`` / ``type_extension`` — transitive ``subClassOf``
+  closure by path doubling (log2(depth) self-joins, NOT depth-many
+  driver rounds) and the inferred per-type extension counts
+  (rdfs:subClassOf + rdf:type entailment).
+
+Scale notes (100 TB): every operator keys its shuffles once —
+``conflict_report`` is ONE subject exchange end-to-end (the claim
+distinct, the per-value count and the per-subject rollup all satisfy
+their ClusteredDistribution from the same subject hash via the subset
+rule); ``truth_discovery`` adds one source-keyed exchange for the trust
+table, which is then BROADCAST back (sources ≪ claims in any real
+corpus) so the re-vote stays on the subject partitioning; the closure
+doubling touches only the ontology (tiny vs the instance data) and the
+instance join is a broadcast of the closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TRUST_SCALE = 1_000_000  # trust quantum: round(trust·1e6) as BIGINT
+
+
+def _votes(claims: DataFrame) -> DataFrame:
+    """Distinct (subj, val, src) votes, hash-partitioned by subj.
+
+    The explicit repartition is the ONLY subject exchange downstream
+    aggregations need: HashPartitioning(subj) satisfies
+    ClusteredDistribution for any superset key set (subset rule, pinned
+    by tests/test_plan_shape.py), so distinct → per-(subj,val) count →
+    per-subj rollup all run exchange-free after it."""
+    return (
+        claims.select("subj", "val", "src")
+        .repartition(F.col("subj"))
+        .distinct()
+    )
+
+
+def conflict_report(claims: DataFrame) -> DataFrame:
+    """Contradiction detection for a functional predicate: subjects with
+    ≥ 2 distinct asserted values, each value weighted by DISTINCT-source
+    support (a source repeating itself never inflates a claim).
+
+    Input: ``claims(subj, val, src)``. Output one row per conflicting
+    subject: ``n_vals``, the sorted value list, total distinct-source
+    votes, and the majority share (rounded — integer counts, one float
+    division). One subject-keyed exchange total."""
+    sv = _votes(claims).groupBy("subj", "val").agg(
+        F.count("*").alias("n_src")
+    )
+    return (
+        sv.groupBy("subj")
+        .agg(
+            F.count("*").alias("n_vals"),
+            F.array_join(F.sort_array(F.collect_list("val")), ",").alias(
+                "vals"
+            ),
+            F.sum("n_src").alias("n_votes"),
+            F.max("n_src").alias("top_votes"),
+        )
+        .where(F.col("n_vals") >= 2)
+        .select(
+            "subj",
+            "n_vals",
+            "vals",
+            "n_votes",
+            F.round(
+                F.col("top_votes").cast("double") / F.col("n_votes"), 6
+            ).alias("top_share"),
+        )
+    )
+
+
+def truth_discovery(claims: DataFrame) -> DataFrame:
+    """Resolve conflicting claims by one source-trust iteration
+    (TruthFinder-lite): majority vote → per-source trust = fraction of
+    its votes that agree with the majority → trust-weighted re-vote.
+
+    Ties break deterministically (support DESC, value ASC) in BOTH
+    rounds; trust is quantized to ``round(trust·10^6)`` BIGINT before
+    the weighted sum, so the re-vote ranking is integer-exact — float
+    summation order across partitions can never flip a winner.
+
+    Output one row per subject: ``resolved_val`` (round-2 winner),
+    ``weight`` (its summed trust quanta), ``n_src`` (its distinct
+    supporting sources), ``majority_val`` (round-1 winner) and
+    ``changed`` (trust moved the verdict).
+
+    Plan: one subject exchange (shared by the vote distinct, both
+    per-(subj,val) aggregates and both windows via the subset rule) plus
+    one source exchange for the trust table, which is broadcast back —
+    sources ≪ claims, so the big side never reshuffles."""
+    votes = _votes(claims).persist()
+    # Materialize the cache NOW: under AQE an unmaterialized cached plan
+    # has no final output partitioning yet, so consumers planned against
+    # it re-shuffle (ENSURE_REQUIREMENTS) instead of reusing the subject
+    # hash. After this count, every aggregate/window/subject-join below
+    # plans exchange-free on top of the one cached exchange
+    # (canChangeCachedPlanOutputPartitioning=false in session.py).
+    votes.count()
+
+    sv1 = votes.groupBy("subj", "val").agg(F.count("*").alias("n_src"))
+    rank1 = Window.partitionBy("subj").orderBy(
+        F.desc("n_src"), F.asc("val")
+    )
+    winner1 = (
+        sv1.withColumn("rn", F.row_number().over(rank1))
+        .where(F.col("rn") == 1)
+        .select("subj", F.col("val").alias("majority_val"))
+    )
+
+    trust = (
+        votes.join(winner1, "subj")
+        .groupBy("src")
+        .agg(
+            F.round(
+                _TRUST_SCALE
+                * F.avg(
+                    (F.col("val") == F.col("majority_val")).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("trust_q")
+        )
+    )
+
+    sv2 = (
+        votes.join(F.broadcast(trust), "src")
+        .groupBy("subj", "val")
+        .agg(
+            F.sum("trust_q").alias("weight"),
+            F.count("*").alias("n_src"),
+        )
+    )
+    rank2 = Window.partitionBy("subj").orderBy(
+        F.desc("weight"), F.asc("val")
+    )
+    return (
+        sv2.withColumn("rn", F.row_number().over(rank2))
+        .where(F.col("rn") == 1)
+        .join(winner1, "subj")
+        .select(
+            "subj",
+            F.col("val").alias("resolved_val"),
+            "weight",
+            "n_src",
+            "majority_val",
+            (F.col("val") != F.col("majority_val")).alias("changed"),
+        )
+    )
+
+
+def inverse_rules(
+    edges: DataFrame, min_support: int = 1
+) -> DataFrame:
+    """AMIE-style inverse-rule mining: for every ordered predicate pair
+    (p, q), the support and confidence of the rule ``p(x,y) ⇒ q(y,x)``
+    — ``q == p`` rows are symmetry rules. The schema-induction step that
+    discovers ``placed/ordered_by``-style inverse pairs (and flags
+    near-symmetric predicates) from the assembled KG itself.
+
+    Input ``edges(src, dst, rel)``; facts are deduplicated first so
+    repeated evidence can't inflate support. Output one row per
+    predicate pair with support ≥ ``min_support``: ``n_p`` (distinct
+    facts of p), ``inv_support`` (facts of p whose reverse is a fact of
+    q), ``inv_confidence = inv_support / n_p`` (rounded).
+
+    Scale: the candidate join is keyed on the FULL entity pair —
+    (src,dst) against (dst,src) — never on the predicate, so predicate
+    skew (a 'links-to' that is half the corpus) cannot hot-spot a
+    partition; the per-pair rollup is a map-side-combinable count and
+    the per-predicate totals join is a broadcast (|predicates| rows)."""
+    facts = edges.select("src", "dst", "rel").distinct()
+    rev = facts.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.col("rel").alias("q_rel"),
+    )
+    pairs = (
+        facts.join(rev, ["src", "dst"])
+        .groupBy(F.col("rel").alias("p_rel"), "q_rel")
+        .agg(F.count("*").alias("inv_support"))
+        .where(F.col("inv_support") >= min_support)
+    )
+    totals = facts.groupBy(F.col("rel").alias("p_rel")).agg(
+        F.count("*").alias("n_p")
+    )
+    return pairs.join(F.broadcast(totals), "p_rel").select(
+        "p_rel",
+        "q_rel",
+        "n_p",
+        "inv_support",
+        F.round(
+            F.col("inv_support").cast("double") / F.col("n_p"), 6
+        ).alias("inv_confidence"),
+    )
+
+
+def subclass_closure(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """Transitive closure of ``subClassOf`` edges ``(child, anc)`` by
+    path DOUBLING: after round k every path of length ≤ 2^(k+1) is
+    present, so ``rounds = ceil(log2(max_depth))`` — an ontology 1000
+    levels deep needs 10 self-joins, not 1000 driver iterations. The
+    ontology is tiny next to the instance data; each round is one
+    equi-join + distinct over it."""
+    c = edges.select("child", "anc").distinct()
+    for _ in range(rounds):
+        step = (
+            c.alias("a")
+            .join(c.alias("b"), F.col("a.anc") == F.col("b.child"))
+            .select(F.col("a.child").alias("child"), F.col("b.anc").alias("anc"))
+        )
+        c = c.unionByName(step).distinct()
+    return c
+
+
+def type_extension(
+    edges: DataFrame, typing: DataFrame, rounds: int = 2
+) -> DataFrame:
+    """RDFS entailment counts: for every type node, the number of proper
+    descendant types (``n_subtypes``), directly-asserted instances
+    (``n_direct``), and instances in the INFERRED extension — direct or
+    typed under any descendant (``n_inferred``; rdfs:subClassOf +
+    rdf:type closure).
+
+    ``typing(instance_id, type_id)`` is the big side and is touched by
+    exactly one broadcast join against the (tiny, reflexive-extended)
+    closure, then one type-keyed aggregate — no instance self-join ever
+    happens."""
+    clo = subclass_closure(edges, rounds=rounds)
+    nodes = (
+        clo.select(F.col("child").alias("type_id"))
+        .unionByName(clo.select(F.col("anc").alias("type_id")))
+        .distinct()
+    )
+    refl = clo.unionByName(
+        nodes.select(
+            F.col("type_id").alias("child"), F.col("type_id").alias("anc")
+        )
+    )
+    ext = (
+        typing.join(
+            F.broadcast(refl), typing["type_id"] == refl["child"]
+        )
+        .groupBy("anc")
+        .agg(F.countDistinct("instance_id").alias("n_inferred"))
+        .select(F.col("anc").alias("type_id"), "n_inferred")
+    )
+    subs = (
+        clo.groupBy("anc")
+        .agg(F.countDistinct("child").alias("n_subtypes"))
+        .select(F.col("anc").alias("type_id"), "n_subtypes")
+    )
+    direct = typing.groupBy("type_id").agg(F.count("*").alias("n_direct"))
+    return (
+        nodes.join(subs, "type_id", "left")
+        .join(direct, "type_id", "left")
+        .join(ext, "type_id", "left")
+        .select(
+            "type_id",
+            F.coalesce("n_subtypes", F.lit(0)).alias("n_subtypes"),
+            F.coalesce("n_direct", F.lit(0)).alias("n_direct"),
+            F.coalesce("n_inferred", F.lit(0)).alias("n_inferred"),
+        )
+    )

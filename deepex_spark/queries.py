@@ -5143,6 +5143,281 @@ def kg_snapshot_diff(spark, sf_dir):
     return diff_edge_snapshots(v1, v2)
 
 
+_KGQ_VOTES_SQL = """
+    WITH votes AS (
+      SELECT DISTINCT l_orderkey AS subj, l_returnflag AS val,
+             l_suppkey AS src
+      FROM lineitem
+    )
+"""
+
+
+@register(
+    "kg_conflict_report",
+    oracle=_KGQ_VOTES_SQL
+    + """
+    , sv AS (
+      SELECT subj, val, count(*) AS n_src FROM votes GROUP BY subj, val
+    ),
+    agg AS (
+      SELECT subj, count(*) AS n_vals,
+             string_agg(val, ',' ORDER BY val) AS vals,
+             CAST(sum(n_src) AS BIGINT) AS n_votes,
+             max(n_src) AS top_votes
+      FROM sv GROUP BY subj
+    )
+    SELECT subj, n_vals, vals, n_votes,
+           round(CAST(top_votes AS DOUBLE) / n_votes, 6) AS top_share
+    FROM agg WHERE n_vals >= 2
+    """,
+)
+def kg_conflict_report(spark, sf_dir):
+    """Contradiction detection (operators/kgq.py::conflict_report):
+    subjects asserted with >= 2 distinct values for a functional
+    predicate, each value backed by DISTINCT-source votes (claim:
+    order's return_flag, source: the asserting supplier). One
+    subject-keyed exchange serves the vote distinct, the per-value count
+    and the per-subject rollup (subset rule). The KG-construction triage
+    step before truth discovery."""
+    from deepex_spark.operators.kgq import conflict_report
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("subj"),
+        F.col("l_returnflag").alias("val"),
+        F.col("l_suppkey").alias("src"),
+    )
+    return conflict_report(li)
+
+
+@register(
+    "kg_truth_discovery",
+    oracle=_KGQ_VOTES_SQL
+    + """
+    , sv1 AS (
+      SELECT subj, val, count(*) AS n_src FROM votes GROUP BY subj, val
+    ),
+    w1 AS (
+      SELECT subj, val AS majority_val FROM (
+        SELECT subj, val, row_number() OVER (
+          PARTITION BY subj ORDER BY n_src DESC, val ASC) AS rn
+        FROM sv1) t WHERE rn = 1
+    ),
+    trust AS (
+      SELECT src, CAST(round(1000000 * avg(
+               CASE WHEN v.val = w.majority_val THEN 1.0 ELSE 0.0 END))
+             AS BIGINT) AS trust_q
+      FROM votes v JOIN w1 w USING (subj) GROUP BY src
+    ),
+    sv2 AS (
+      SELECT subj, val, CAST(sum(trust_q) AS BIGINT) AS weight,
+             count(*) AS n_src
+      FROM votes v JOIN trust t USING (src) GROUP BY subj, val
+    ),
+    w2 AS (
+      SELECT subj, val, weight, n_src, row_number() OVER (
+        PARTITION BY subj ORDER BY weight DESC, val ASC) AS rn
+      FROM sv2
+    )
+    SELECT w2.subj, w2.val AS resolved_val, w2.weight, w2.n_src,
+           w1.majority_val, (w2.val <> w1.majority_val) AS changed
+    FROM w2 JOIN w1 ON w1.subj = w2.subj WHERE w2.rn = 1
+    """,
+)
+def kg_truth_discovery(spark, sf_dir):
+    """TruthFinder-lite claim resolution (operators/kgq.py::
+    truth_discovery): majority vote -> per-source trust = agreement rate
+    with the vote -> ONE trust-weighted re-vote. Trust is quantized to
+    round(trust*1e6) BIGINT before the weighted sum, so the re-vote
+    ranking is integer-exact — partition summation order can never flip
+    a winner — and both rounds tie-break (support DESC, value ASC). The
+    oracle re-derives both voting rounds independently in SQL."""
+    from deepex_spark.operators.kgq import truth_discovery
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("subj"),
+        F.col("l_returnflag").alias("val"),
+        F.col("l_suppkey").alias("src"),
+    )
+    return truth_discovery(li)
+
+
+@register(
+    "kg_type_closure",
+    oracle="""
+    WITH RECURSIVE direct AS (
+      SELECT p_partkey AS instance_id, p_type || '/' || p_name AS type_id,
+             p_name, string_split(p_name, ' ')[2] AS noun
+      FROM part
+    ),
+    -- NOTE: inside a WITH RECURSIVE scope DuckDB 1.0 gives a top-level
+    -- bare UNION in a NON-recursive CTE UNION ALL semantics (the UNION
+    -- is reserved as the recursion separator), so every non-recursive
+    -- union below dedups explicitly via SELECT DISTINCT ... UNION ALL.
+    edges AS (
+      SELECT DISTINCT child, anc FROM (
+        SELECT type_id AS child, p_name AS anc FROM direct
+        UNION ALL
+        SELECT p_name, noun FROM direct
+        UNION ALL
+        SELECT noun, 'part' FROM direct
+      ) t
+    ),
+    clo(child, anc) AS (
+      SELECT child, anc FROM edges
+      UNION
+      SELECT c.child, e.anc FROM clo c JOIN edges e ON e.child = c.anc
+    ),
+    nodes AS (
+      SELECT DISTINCT type_id FROM (
+        SELECT child AS type_id FROM edges
+        UNION ALL
+        SELECT anc FROM edges
+      ) t
+    ),
+    refl AS (
+      SELECT DISTINCT child, anc FROM (
+        SELECT type_id AS child, type_id AS anc FROM nodes
+        UNION ALL
+        SELECT child, anc FROM clo
+      ) t
+    ),
+    ext AS (
+      SELECT r.anc AS type_id,
+             CAST(count(DISTINCT d.instance_id) AS BIGINT) AS n_inferred
+      FROM refl r JOIN direct d ON d.type_id = r.child GROUP BY r.anc
+    ),
+    subs AS (
+      SELECT anc AS type_id,
+             CAST(count(DISTINCT child) AS BIGINT) AS n_subtypes
+      FROM clo GROUP BY anc
+    ),
+    dir AS (SELECT type_id, count(*) AS n_direct FROM direct
+            GROUP BY type_id)
+    SELECT n.type_id,
+           COALESCE(s.n_subtypes, 0) AS n_subtypes,
+           COALESCE(dir.n_direct, 0) AS n_direct,
+           COALESCE(e.n_inferred, 0) AS n_inferred
+    FROM nodes n
+    LEFT JOIN subs s USING (type_id)
+    LEFT JOIN dir USING (type_id)
+    LEFT JOIN ext e USING (type_id)
+    """,
+)
+def kg_type_closure(spark, sf_dir):
+    """RDFS-style type inference (operators/kgq.py::subclass_closure /
+    type_extension) over a 3-level taxonomy derived from the part table
+    (leaf 'TYPE/name' -> name -> head noun -> root 'part'): transitive
+    subClassOf closure by PATH DOUBLING (2 self-joins cover depth <= 4 —
+    log2(depth) rounds, never depth-many driver iterations), then the
+    inferred per-type extension: instances typed at-or-below each node
+    via ONE broadcast join of the reflexive closure against the typing
+    table. The oracle is an independent WITH RECURSIVE re-derivation."""
+    from deepex_spark.operators.kgq import type_extension
+
+    part = load(spark, sf_dir, "part")
+    direct = part.select(
+        F.col("p_partkey").alias("instance_id"),
+        F.concat_ws("/", "p_type", "p_name").alias("type_id"),
+        F.col("p_name"),
+        F.split("p_name", " ").getItem(1).alias("noun"),
+    )
+    edges = (
+        direct.select(
+            F.col("type_id").alias("child"), F.col("p_name").alias("anc")
+        )
+        .unionByName(
+            direct.select(
+                F.col("p_name").alias("child"), F.col("noun").alias("anc")
+            )
+        )
+        .unionByName(
+            direct.select(
+                F.col("noun").alias("child"), F.lit("part").alias("anc")
+            )
+        )
+        .distinct()
+    )
+    typing = direct.select("instance_id", "type_id")
+    return type_extension(edges, typing, rounds=2)
+
+
+@register(
+    "kg_inverse_rules",
+    oracle="""
+    WITH facts AS (
+      SELECT DISTINCT src, dst, rel FROM (
+        SELECT o_custkey AS src, o_orderkey AS dst, 'placed' AS rel
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'ordered_by' FROM orders
+        UNION ALL
+        SELECT l_orderkey, l_partkey, 'contains' FROM lineitem
+        UNION ALL
+        SELECT l_partkey, l_orderkey, 'returned_part' FROM lineitem
+        WHERE l_returnflag = 'R'
+      ) t
+    ),
+    pairs AS (
+      SELECT f.rel AS p_rel, r.rel AS q_rel,
+             CAST(count(*) AS BIGINT) AS inv_support
+      FROM facts f JOIN facts r ON r.src = f.dst AND r.dst = f.src
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT rel AS p_rel, CAST(count(*) AS BIGINT) AS n_p
+      FROM facts GROUP BY rel
+    )
+    SELECT p.p_rel, p.q_rel, t.n_p, p.inv_support,
+           round(CAST(p.inv_support AS DOUBLE) / t.n_p, 6)
+             AS inv_confidence
+    FROM pairs p JOIN tot t USING (p_rel)
+    WHERE p.inv_support >= 1
+    """,
+)
+def kg_inverse_rules(spark, sf_dir):
+    """AMIE-style inverse/symmetry rule mining (operators/kgq.py::
+    inverse_rules) over a 4-predicate KG derived from orders+lineitem:
+    'placed'/'ordered_by' are exact inverses (confidence 1.0 both ways)
+    and 'returned_part' is a PARTIAL inverse of 'contains' (confidence =
+    the corpus return rate one way, 1.0 the other) — the miner must
+    recover both exact and partial rules plus any accidental id-overlap
+    pairs. The candidate join keys on the full entity pair, never the
+    predicate, so predicate skew cannot hot-spot."""
+    from deepex_spark.operators.kgq import inverse_rules
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        orders.select(
+            F.col("o_custkey").alias("src"),
+            F.col("o_orderkey").alias("dst"),
+            F.lit("placed").alias("rel"),
+        )
+        .unionByName(
+            orders.select(
+                F.col("o_orderkey").alias("src"),
+                F.col("o_custkey").alias("dst"),
+                F.lit("ordered_by").alias("rel"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.col("l_orderkey").alias("src"),
+                F.col("l_partkey").alias("dst"),
+                F.lit("contains").alias("rel"),
+            )
+        )
+        .unionByName(
+            li.where(F.col("l_returnflag") == "R").select(
+                F.col("l_partkey").alias("src"),
+                F.col("l_orderkey").alias("dst"),
+                F.lit("returned_part").alias("rel"),
+            )
+        )
+    )
+    return inverse_rules(edges, min_support=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 

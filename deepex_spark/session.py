@@ -52,6 +52,18 @@ def build_session(
         # 32-thread saturation: fewer JVM<->python round trips per task —
         # python-worker IPC is syscall-heavy and anti-scales when every
         # core is busy.
+        # Preserve the output partitioning of cached plans (Spark >= 3.5
+        # flipped this to true, letting AQE re-plan cache materialization
+        # at the cost of downstream consumers seeing UnknownPartitioning).
+        # The engine's multi-consumer operators (truth_discovery, rerank,
+        # temporal) persist an explicitly key-partitioned table precisely
+        # so every consumer's aggregate/window/join reuses that one
+        # exchange (subset rule) — losing it re-shuffles the cached table
+        # once per consumer, which at 100 TB is the dominant cost.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "false",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
         .config("spark.buffer.size", "1048576")

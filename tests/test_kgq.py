@@ -1,0 +1,175 @@
+"""KG quality operators (operators/kgq.py): contradiction detection,
+TruthFinder-lite truth discovery, subClassOf closure + type inference."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepex_spark.operators.kgq import (
+    conflict_report,
+    subclass_closure,
+    truth_discovery,
+    type_extension,
+)
+
+_CLAIM_COLS = ["subj", "val", "src"]
+
+
+def _claims(spark, rows):
+    return spark.createDataFrame(rows, _CLAIM_COLS)
+
+
+def test_conflict_report_distinct_source_votes(spark):
+    """A source repeating the same claim must count once; subjects with
+    a single asserted value never appear."""
+    df = _claims(
+        spark,
+        [
+            (1, "x", "a"),
+            (1, "x", "a"),  # duplicate vote, same source
+            (1, "x", "b"),
+            (1, "y", "c"),
+            (2, "z", "a"),  # no conflict -> excluded
+            (2, "z", "b"),
+        ],
+    )
+    rows = {r["subj"]: r for r in conflict_report(df).collect()}
+    assert set(rows) == {1}
+    r = rows[1]
+    assert r["n_vals"] == 2
+    assert r["vals"] == "x,y"
+    assert r["n_votes"] == 3  # a+b for x, c for y — NOT 4
+    assert r["top_share"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_truth_discovery_trust_flips_majority(spark):
+    """Two untrusted sources outvote one trusted source in round 1; the
+    trust-weighted re-vote must flip the verdict. Calibration subjects
+    pin the trust: g agrees with 3 majorities, b1/b2 with none."""
+    rows = []
+    for cal in (10, 11, 12):
+        rows += [
+            (cal, "v", "g"),
+            (cal, "v", "g2"),
+            (cal, "v", "g3"),
+            (cal, "w", "b1"),
+            (cal, "w", "b2"),
+        ]
+    rows += [(1, "x", "b1"), (1, "x", "b2"), (1, "y", "g")]
+    out = {r["subj"]: r for r in truth_discovery(_claims(spark, rows)).collect()}
+    r = out[1]
+    # round 1: x has 2 votes, y has 1 -> majority x
+    assert r["majority_val"] == "x"
+    # trust: g = 3/4 agree (cal yes, subj-1 no) -> 750000
+    #        b  = 1/4 agree (cal no, subj-1 x IS the majority) -> 250000
+    # re-vote: x = 2*250000 = 500000 < y = 750000 -> flipped
+    assert r["resolved_val"] == "y"
+    assert r["weight"] == 750_000
+    assert r["changed"] is True
+    # calibration subjects keep their majority, changed = False
+    assert out[10]["resolved_val"] == "v" and out[10]["changed"] is False
+
+
+def test_truth_discovery_tie_breaks_on_value(spark):
+    """Equal support and equal trust -> lexicographically smallest value
+    wins in both rounds (deterministic across engines/partitionings)."""
+    df = _claims(spark, [(1, "b", "s1"), (1, "a", "s2")])
+    r = truth_discovery(df).collect()[0]
+    assert r["majority_val"] == "a" and r["resolved_val"] == "a"
+    assert r["changed"] is False
+
+
+def test_subclass_closure_path_doubling_depth(spark):
+    """A depth-4 chain a->b->c->d->e closes in 2 doubling rounds
+    (paths of length <= 4), yielding all 10 ancestor pairs."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], ["child", "anc"]
+    )
+    got = {(r["child"], r["anc"]) for r in subclass_closure(edges, rounds=2).collect()}
+    want = {
+        (c, a)
+        for i, c in enumerate("abcd")
+        for a in "abcde"[i + 1 :]
+    }
+    assert got == want
+    # 1 round only reaches path length 2 — pairs at distance 3-4 missing
+    got1 = {(r["child"], r["anc"]) for r in subclass_closure(edges, rounds=1).collect()}
+    assert ("a", "d") not in got1 and ("a", "e") not in got1
+
+
+def test_type_extension_inferred_counts(spark):
+    """rdf:type instances roll up through the closure: inferred counts
+    include every descendant's instances, direct counts do not."""
+    edges = spark.createDataFrame(
+        [("leaf1", "mid"), ("leaf2", "mid"), ("mid", "root")],
+        ["child", "anc"],
+    )
+    typing = spark.createDataFrame(
+        [(1, "leaf1"), (2, "leaf1"), (3, "leaf2"), (4, "mid")],
+        ["instance_id", "type_id"],
+    )
+    out = {r["type_id"]: r for r in type_extension(edges, typing, rounds=2).collect()}
+    assert set(out) == {"leaf1", "leaf2", "mid", "root"}
+    assert (out["leaf1"]["n_direct"], out["leaf1"]["n_inferred"]) == (2, 2)
+    assert (out["mid"]["n_direct"], out["mid"]["n_inferred"]) == (1, 4)
+    assert (out["root"]["n_direct"], out["root"]["n_inferred"]) == (0, 4)
+    assert out["root"]["n_subtypes"] == 3  # leaf1, leaf2, mid
+    assert out["leaf1"]["n_subtypes"] == 0
+
+
+def _executed(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_conflict_report_single_exchange_plan(spark):
+    """The explicit subject repartition is the ONLY shuffle: the vote
+    distinct, per-value count and per-subject rollup all satisfy their
+    distribution from it (subset rule) — no ENSURE_REQUIREMENTS exchange
+    may appear."""
+    df = _claims(spark, [(1, "x", "a"), (1, "y", "b")])
+    plan = _executed(conflict_report(df))
+    assert "ENSURE_REQUIREMENTS" not in plan
+    assert plan.count("REPARTITION_BY_COL") == 1
+
+
+def test_truth_discovery_two_exchange_plan(spark):
+    """Post-cache, exactly ONE required shuffle survives (the
+    source-keyed trust aggregate); every subject-keyed consumer reuses
+    the cached repartition — the pattern depends on
+    canChangeCachedPlanOutputPartitioning=false (session.py) plus eager
+    cache materialization, so a regression here means one of those broke."""
+    df = _claims(spark, [(1, "x", "a"), (1, "y", "b"), (2, "x", "a")])
+    plan = _executed(truth_discovery(df))
+    ensures = [
+        ln for ln in plan.splitlines() if "ENSURE_REQUIREMENTS" in ln
+    ]
+    assert len(ensures) == 1 and "src" in ensures[0]
+
+
+def test_inverse_rules_exact_partial_symmetric(spark):
+    """The miner must recover exact inverses (conf 1.0 both ways),
+    partial inverses (conf = overlap share), symmetry (p==q), and must
+    dedup repeated facts before counting support."""
+    from deepex_spark.operators.kgq import inverse_rules
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, "p"), (3, 4, "p"),
+            (1, 2, "p"),            # duplicate fact — must not inflate
+            (2, 1, "q"), (4, 3, "q"),
+            (2, 1, "r"),            # reverses only HALF of p
+            (5, 6, "s"), (6, 5, "s"),  # symmetric predicate
+        ],
+        ["src", "dst", "rel"],
+    )
+    out = {
+        (r["p_rel"], r["q_rel"]): r
+        for r in inverse_rules(edges, min_support=1).collect()
+    }
+    assert out[("p", "q")]["inv_confidence"] == 1.0
+    assert out[("q", "p")]["inv_confidence"] == 1.0
+    assert out[("p", "q")]["n_p"] == 2 and out[("p", "q")]["inv_support"] == 2
+    assert out[("p", "r")]["inv_confidence"] == 0.5
+    assert out[("r", "p")]["inv_confidence"] == 1.0
+    assert out[("s", "s")]["inv_confidence"] == 1.0
+    # no self-inverse rule for p: p(x,y) never has p(y,x) here
+    assert ("p", "p") not in out
