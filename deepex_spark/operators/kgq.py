@@ -214,6 +214,82 @@ def inverse_rules(
     )
 
 
+def link_prediction_eval(
+    test: DataFrame,
+    candidates: DataFrame,
+    ent_emb,
+    rel_emb,
+    dim: int = 4,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """KG-embedding link-prediction evaluation (the standard
+    filtered-candidate protocol): for every test triple (subj, rel, obj)
+    rank the true object among the SAME relation's candidate objects by
+    a DistMult score Σ_j (e_subj·e_rel)_j · e_cand_j, then report
+    per-relation hits@1, hits@10 and MRR.
+
+    ``ent_emb(col, j)`` / ``rel_emb(col, j)`` return the j-th embedding
+    component as a Column — the caller owns the embedding source, the
+    operator owns the ranking protocol. Ranks are deterministic: a
+    candidate outranks the truth iff its score is strictly greater OR
+    exactly equal with a smaller id (exact float equality is safe
+    because both sides of the oracle compute the identical expression
+    tree in the identical order).
+
+    Scale: the test×candidate join keys on the relation, which is
+    heavily skewed (a handful of predicates carry most triples), so the
+    small test side takes a deterministic salt and the candidate side is
+    replicated ``salt_buckets``× — the join key becomes (rel, salt) and
+    one hot relation spreads over ``salt_buckets`` partitions. Salting
+    never changes the result set, only the partitioning, so the SQL
+    oracle can ignore it. The per-test-triple rank is one
+    map-side-combinable aggregate."""
+    sr = [
+        (ent_emb(F.col("subj"), j) * rel_emb(F.col("rel"), j)).alias(
+            f"sr{j}"
+        )
+        for j in range(dim)
+    ]
+    s_true = sum(
+        (ent_emb(F.col("subj"), j) * rel_emb(F.col("rel"), j))
+        * ent_emb(F.col("obj"), j)
+        for j in range(dim)
+    ).alias("s_true")
+    t = test.select(
+        "subj",
+        "rel",
+        "obj",
+        *sr,
+        s_true,
+        F.pmod(F.hash("subj", "obj"), F.lit(salt_buckets)).alias("salt"),
+    )
+    c = candidates.select(
+        "rel",
+        F.col("cand"),
+        *[ent_emb(F.col("cand"), j).alias(f"ec{j}") for j in range(dim)],
+        F.explode(
+            F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+        ).alias("salt"),
+    )
+    s_cand = sum(F.col(f"sr{j}") * F.col(f"ec{j}") for j in range(dim))
+    beats = (
+        (s_cand > F.col("s_true"))
+        | ((s_cand == F.col("s_true")) & (F.col("cand") < F.col("obj")))
+    ).cast("long")
+    ranks = (
+        t.join(c, ["rel", "salt"])
+        .groupBy("subj", "rel", "obj")
+        .agg((F.lit(1) + F.sum(beats)).alias("rnk"))
+    )
+    in_k = lambda k: F.when(F.col("rnk") <= k, 1.0).otherwise(0.0)  # noqa: E731
+    return ranks.groupBy("rel").agg(
+        F.count("*").alias("n_test"),
+        F.round(F.avg(in_k(1)), 6).alias("hits1"),
+        F.round(F.avg(in_k(10)), 6).alias("hits10"),
+        F.round(F.avg(F.lit(1.0) / F.col("rnk")), 6).alias("mrr"),
+    )
+
+
 def subclass_closure(edges: DataFrame, rounds: int = 2) -> DataFrame:
     """Transitive closure of ``subClassOf`` edges ``(child, anc)`` by
     path DOUBLING: after round k every path of length ≤ 2^(k+1) is

@@ -5418,6 +5418,104 @@ def kg_inverse_rules(spark, sf_dir):
     return inverse_rules(edges, min_support=1)
 
 
+def _lp_emb(prefix: str):
+    """Deterministic dense embedding component from md5 — the same
+    ascii-arithmetic hash as the walk corpus, mapped to [-1, 1] with a
+    step of 1/1000 (engine-identical in Spark and DuckDB)."""
+
+    def emb(col, j):
+        m = F.md5(
+            F.concat(F.lit(prefix + "|"), col.cast("string"), F.lit(f":{j}"))
+        )
+        h = (
+            F.ascii(F.substring(m, 1, 1)) * 16384
+            + F.ascii(F.substring(m, 2, 1)) * 128
+            + F.ascii(F.substring(m, 3, 1))
+        )
+        return ((h % 2001) - 1000) / F.lit(1000.0)
+
+    return emb
+
+
+def _lp_emb_sql(prefix: str, expr: str, j: int) -> str:
+    m = f"md5('{prefix}|' || {expr} || ':{j}')"
+    h = (
+        f"ascii(substr({m}, 1, 1)) * 16384"
+        f" + ascii(substr({m}, 2, 1)) * 128"
+        f" + ascii(substr({m}, 3, 1))"
+    )
+    return f"((({h}) % 2001 - 1000) / 1000.0)"
+
+
+def _lp_oracle(dim: int = 4, mod: int = 199) -> str:
+    es = [_lp_emb_sql("e", "CAST(t.subj AS VARCHAR)", j) for j in range(dim)]
+    er = [_lp_emb_sql("r", "t.rel", j) for j in range(dim)]
+    eo = [_lp_emb_sql("e", "CAST(t.obj AS VARCHAR)", j) for j in range(dim)]
+    ec = [_lp_emb_sql("e", "CAST(c.cand AS VARCHAR)", j) for j in range(dim)]
+    s_true = " + ".join(
+        f"(({es[j]}) * ({er[j]})) * ({eo[j]})" for j in range(dim)
+    )
+    s_cand = " + ".join(
+        f"(({es[j]}) * ({er[j]})) * ({ec[j]})" for j in range(dim)
+    )
+    return (
+        _O21_BASE
+        + f""",
+    pos AS (SELECT DISTINCT src AS subj, rel, dst AS obj FROM edges
+            WHERE is_rev = 0),
+    test AS (SELECT * FROM pos WHERE subj % {mod} = 0),
+    cands AS (SELECT DISTINCT rel, obj AS cand FROM pos),
+    scored AS (
+      SELECT t.subj, t.rel, t.obj, c.cand,
+             {s_cand} AS s_cand,
+             {s_true} AS s_true
+      FROM test t JOIN cands c ON c.rel = t.rel
+    ),
+    ranks AS (
+      SELECT subj, rel, obj,
+             1 + CAST(sum(CASE WHEN s_cand > s_true
+                            OR (s_cand = s_true AND cand < obj)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS rnk
+      FROM scored GROUP BY subj, rel, obj
+    )
+    SELECT rel, CAST(count(*) AS BIGINT) AS n_test,
+           round(avg(CASE WHEN rnk <= 1 THEN CAST(1.0 AS DOUBLE)
+                          ELSE CAST(0.0 AS DOUBLE) END), 6) AS hits1,
+           round(avg(CASE WHEN rnk <= 10 THEN CAST(1.0 AS DOUBLE)
+                          ELSE CAST(0.0 AS DOUBLE) END), 6) AS hits10,
+           round(avg(CAST(1.0 AS DOUBLE) / rnk), 6) AS mrr
+    FROM ranks GROUP BY rel
+    """
+    )
+
+
+@register("kg_link_pred_eval", oracle=_lp_oracle())
+def kg_link_pred_eval(spark, sf_dir):
+    """KG-embedding link-prediction evaluation (operators/kgq.py::
+    link_prediction_eval): rank every held-out triple's true object
+    among its relation's candidate set under a DistMult score over
+    deterministic md5-derived embeddings; report per-relation hits@1 /
+    hits@10 / MRR. Completes the embedding-training loop around
+    kg_random_walks → kg_walk_pairs → kg_negative_samples: same hash
+    arithmetic, so the whole train/eval path is engine-exact. The
+    skewed rel-keyed candidate join is salted (test side hashed into 8
+    buckets, candidates replicated) — result-invariant, so the oracle
+    ignores the salt."""
+    from deepex_spark.operators.kgq import link_prediction_eval
+
+    pos = (
+        o21_reverse_union(spark, sf_dir)
+        .where(F.col("is_rev") == 0)
+        .select(F.col("src").alias("subj"), "rel", F.col("dst").alias("obj"))
+        .distinct()
+    )
+    test = pos.where(F.col("subj") % 199 == 0)
+    cands = pos.select("rel", F.col("obj").alias("cand")).distinct()
+    return link_prediction_eval(
+        test, cands, _lp_emb("e"), _lp_emb("r"), dim=4, salt_buckets=8
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 
