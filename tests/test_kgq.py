@@ -173,3 +173,103 @@ def test_inverse_rules_exact_partial_symmetric(spark):
     assert out[("s", "s")]["inv_confidence"] == 1.0
     # no self-inverse rule for p: p(x,y) never has p(y,x) here
     assert ("p", "p") not in out
+
+
+# ---------------------------------------------------------------- link pred
+
+def _lattice_emb(col, j):
+    """Deterministic integer-lattice embedding: exact in float64, so a
+    pure-Python mirror reproduces Spark's scores bit-for-bit."""
+    return ((col.cast("long") * 7 + j * 3) % 5 - 2) / F.lit(2.0)
+
+
+def _py_lattice(x, j):
+    return ((x * 7 + j * 3) % 5 - 2) / 2.0
+
+
+def _py_link_pred(test, cands, dim):
+    """Pure-Python mirror of link_prediction_eval over integer ids."""
+    from collections import defaultdict
+
+    by_rel = defaultdict(list)
+    for rel, cand in cands:
+        by_rel[rel].append(cand)
+    agg = defaultdict(lambda: [0, 0.0, 0.0, 0.0])  # n, h1, h10, mrr
+    for subj, rel, obj in test:
+        def score(c):
+            return sum(
+                _py_lattice(subj, j) * _py_lattice(rel, j) * _py_lattice(c, j)
+                for j in range(dim)
+            )
+        s_true = score(obj)
+        rnk = 1 + sum(
+            1
+            for c in by_rel[rel]
+            if score(c) > s_true or (score(c) == s_true and c < obj)
+        )
+        a = agg[rel]
+        a[0] += 1
+        a[1] += 1.0 if rnk <= 1 else 0.0
+        a[2] += 1.0 if rnk <= 10 else 0.0
+        a[3] += 1.0 / rnk
+    return {
+        rel: {
+            "n_test": n,
+            "hits1": round(h1 / n, 6),
+            "hits10": round(h10 / n, 6),
+            "mrr": round(mrr / n, 6),
+        }
+        for rel, (n, h1, h10, mrr) in agg.items()
+    }
+
+
+def _lp_toy(spark):
+    """12 test triples over 2 relations, 15 candidates per relation —
+    big enough that ranks spread across [1, 15] and hits@1 < 1."""
+    pos = [(s, s % 2, (s * 11) % 15) for s in range(1, 31)]
+    test = [t for t in pos if t[0] <= 12]
+    cands = sorted({(r, o) for _, r, o in pos})
+    tdf = spark.createDataFrame(test, ["subj", "rel", "obj"])
+    cdf = spark.createDataFrame(cands, ["rel", "cand"])
+    return test, cands, tdf, cdf
+
+
+def test_link_prediction_matches_python_mirror(spark):
+    """Per-relation n_test/hits@1/hits@10/MRR must equal a pure-Python
+    re-derivation exactly (the lattice embedding is exact in float64)."""
+    from deepex_spark.operators.kgq import link_prediction_eval
+
+    test, cands, tdf, cdf = _lp_toy(spark)
+    want = _py_link_pred(test, cands, dim=4)
+    got = {
+        r["rel"]: r
+        for r in link_prediction_eval(
+            tdf, cdf, _lattice_emb, _lattice_emb, dim=4, salt_buckets=4
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for rel, w in want.items():
+        g = got[rel]
+        assert g["n_test"] == w["n_test"]
+        assert g["hits1"] == w["hits1"]
+        assert g["hits10"] == w["hits10"]
+        assert g["mrr"] == w["mrr"]
+    # the toy is non-degenerate: some rank is neither 1 nor > 10
+    assert any(0.0 < w["hits1"] < w["hits10"] for w in want.values())
+
+
+def test_link_prediction_salt_invariant(spark):
+    """Salting only re-partitions the skewed rel join — result sets at
+    salt_buckets=1 and salt_buckets=8 must be identical."""
+    from deepex_spark.operators.kgq import link_prediction_eval
+
+    _, _, tdf, cdf = _lp_toy(spark)
+    rows = lambda b: sorted(  # noqa: E731
+        map(
+            tuple,
+            link_prediction_eval(
+                tdf, cdf, _lattice_emb, _lattice_emb, dim=4, salt_buckets=b
+            ).collect(),
+        )
+    )
+    assert rows(1) == rows(8)
