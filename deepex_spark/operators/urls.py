@@ -456,3 +456,79 @@ def crawl_frontier(pages: DataFrame, url_col: str = "url", html_col: str = "html
             F.count_distinct("src_host").alias("n_src_hosts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML -> plain text extraction (the north-star ingest stage: the text
+# column of the pages table is DERIVED from html, byte-identical per url
+# to an independent DOM-based rendering of the same spec)
+# ---------------------------------------------------------------------------
+
+# The extraction spec is this ordered replacement chain. Every pattern is
+# portable across java.util.regex (Spark), RE2 (DuckDB) and Python `re`
+# — no backreferences (RE2 lacks them), no `\s` (Java includes \x0B,
+# RE2 does not: explicit classes instead), inline (?i)/(?s) flags only.
+# The SQL oracle and the pure-Python mirror in tests reuse these strings
+# verbatim, so all three engines execute the identical spec.
+_NL = "\n"
+_BLOCK_TAGS = (
+    "p|div|li|tr|h[1-6]|ul|ol|table|blockquote|section|article|"
+    "header|footer|title|pre"
+)
+HTML_TEXT_STEPS: list[tuple[str, str]] = [
+    # script/style subtrees vanish wholesale (lazy match to the FIRST
+    # closer — embedded "</script>" in string literals is out of spec)
+    (r"(?is)<script\b[^>]*>.*?</script[^>]*>", ""),
+    (r"(?is)<style\b[^>]*>.*?</style[^>]*>", ""),
+    (r"(?s)<!--.*?-->", ""),
+    # block boundaries (open or close) and <br> become newlines,
+    # table-cell closers become spaces, every other tag just vanishes
+    (rf"(?i)<(?:br|/?(?:{_BLOCK_TAGS}))\b[^>]*>", _NL),
+    (r"(?i)</t[dh]\b[^>]*>", " "),
+    (r"<[^>]*>", ""),
+    # the named/numeric entities the spec covers; &amp; LAST so
+    # double-escaped forms ("&amp;lt;") unescape exactly one level
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", '"'),
+    (r"&#39;", "'"),
+    (r"&apos;", "'"),
+    (r"&amp;", "&"),
+    # whitespace normalization: horizontal runs -> one space, spaces
+    # hugging a newline dropped, >2 blank lines -> one blank line,
+    # then trim both ends
+    (r"[ \t\r\f]+", " "),
+    (r" *\n *", _NL),
+    (r"\n{3,}", _NL + _NL),
+    (r"^[ \n]+|[ \n]+$", ""),
+]
+
+
+def html_to_text(html: Column) -> Column:
+    """Plain text rendered from raw page ``html`` (binary, UTF-8) by the
+    :data:`HTML_TEXT_STEPS` chain — pure JVM ``regexp_replace`` algebra,
+    no UDF, no shuffle; at 100 TB this runs inside the scan stage's
+    whole-stage codegen. Spec bounds (documented, shared by all three
+    engine mirrors): quoted well-formed HTML; a bare ``<`` in text must
+    be written ``&lt;``; script/style content may not embed its own
+    closer inside a string literal."""
+    c = html.cast("string")
+    for pat, rep in HTML_TEXT_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def extract_page_text(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """``(url, page_text)`` for every page — the ingest stage that
+    derives the pages table's ``text`` column from ``html``. Row-local;
+    the per-url byte-identity contract vs an independent DOM-based
+    rendering is pinned by tests/test_html_text.py and the
+    ``html_page_text`` driver oracle (which reads the fixture's
+    ground-truth text column rather than re-running this spec)."""
+    return pages.select(
+        F.col(url_col).alias("url"),
+        html_to_text(F.col(html_col)).alias("page_text"),
+    )

@@ -5489,6 +5489,39 @@ def _lp_oracle(dim: int = 4, mod: int = 199) -> str:
     )
 
 
+def _html_fixture_path() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "pages_html.parquet",
+    )
+
+
+def _html_text_oracle() -> str:
+    return (
+        "SELECT url, text AS page_text "
+        f"FROM read_parquet('{_html_fixture_path()}')"
+    )
+
+
+@register("html_page_text", oracle=_html_text_oracle())
+def html_page_text(spark, sf_dir):
+    """HTML -> plain-text extraction (operators/urls.py::html_to_text):
+    the ingest stage deriving the pages table's text column from raw
+    html — script/style/comment removal, block-tag newlines, entity
+    unescape, whitespace normalization, all as a pure-JVM
+    regexp_replace chain inside the scan stage's codegen (no UDF, no
+    shuffle). The oracle is GENUINELY independent: it reads the
+    fixture's ground-truth text column, rendered by a DOM-based
+    html.parser event renderer (tools/make_html_fixture.py), so the
+    hash match pins the north-star per-url byte-identity contract
+    against a second implementation, not the spec against itself."""
+    from deepex_spark.operators.urls import extract_page_text
+
+    return extract_page_text(spark.read.parquet(_html_fixture_path()))
+
+
 @register("kg_link_pred_eval", oracle=_lp_oracle())
 def kg_link_pred_eval(spark, sf_dir):
     """KG-embedding link-prediction evaluation (operators/kgq.py::

@@ -43,6 +43,15 @@ def main(argv=None):
     p.add_argument("--min-alias-conf", type=float, default=0.5,
                    help="mined aliases need this dominant-target page share")
     p.add_argument(
+        "--derive-text",
+        action="store_true",
+        help="derive the text column from raw html at ingest "
+        "(operators/urls.py::html_to_text — script/style/comment strip, "
+        "block-tag newlines, entity unescape, whitespace normalize; "
+        "row-local JVM regex, runs inside the scan stage) instead of "
+        "trusting a pre-extracted text column",
+    )
+    p.add_argument(
         "--strip-boilerplate",
         action="store_true",
         help="remove per-host template lines (nav bars, footers — lines on "
@@ -104,6 +113,14 @@ def main(argv=None):
     )
     catalog = Catalog(args.output, fmt=args.output_format)
     pages = read_pages(spark, args.input, fmt=args.input_format)
+    if args.derive_text:
+        # FIRST, so every downstream consumer (boilerplate detection,
+        # alias mining, the kernel) sees the freshly rendered text
+        from pyspark.sql import functions as F
+
+        from deepex_spark.operators.urls import html_to_text
+
+        pages = pages.withColumn("text", html_to_text(F.col("html")))
     if args.canonicalize_urls:
         # BEFORE the resume anti-join: resumed docids must be canonical,
         # or a re-crawl under a new surface url re-processes a done page
