@@ -357,3 +357,162 @@ def type_extension(
             F.coalesce("n_inferred", F.lit(0)).alias("n_inferred"),
         )
     )
+
+
+def _sgns_pairs(pos_pairs: DataFrame, neg_pairs: DataFrame) -> DataFrame:
+    """Positives (weight = multiplicity, label 1) ∪ negatives (weight 1,
+    label 0) — the example stream both epoch forms share."""
+    return pos_pairs.select(
+        "center",
+        "context",
+        F.col("n_pairs").cast("double").alias("w"),
+        F.lit(1.0).alias("y"),
+    ).unionByName(
+        neg_pairs.select(
+            "center", "context", F.lit(1.0).alias("w"), F.lit(0.0).alias("y")
+        )
+    )
+
+
+def _sgns_grad_update(ex: DataFrame, ei, eo, dim: int, lr: float) -> DataFrame:
+    """Shared gradient core: fast-sigmoid link, weighted batch gradient,
+    10^9-quantized integer sum per (side, node, j), one de-quantized
+    update. ``ei``/``eo`` are the per-dimension center/context embedding
+    Columns evaluated against ``ex``'s rows."""
+    s = ei[0] * eo[0]
+    for j in range(1, dim):
+        s = s + ei[j] * eo[j]
+    sig = F.lit(0.5) + (F.lit(0.5) * s) / (F.lit(1.0) + F.abs(s))
+    err = (sig - F.col("y")) * F.col("w")
+
+    def q(g):
+        return F.round(g * F.lit(1e9)).cast("long")
+
+    rows = []
+    for j in range(dim):
+        rows.append(
+            F.struct(
+                F.lit("in").alias("side"),
+                F.col("center").alias("node"),
+                F.lit(j).alias("j"),
+                q(err * eo[j]).alias("gq"),
+                ei[j].alias("init"),
+            )
+        )
+        rows.append(
+            F.struct(
+                F.lit("out").alias("side"),
+                F.col("context").alias("node"),
+                F.lit(j).alias("j"),
+                q(err * ei[j]).alias("gq"),
+                eo[j].alias("init"),
+            )
+        )
+    g = ex.select(F.inline(F.array(*rows)))
+    return (
+        g.groupBy("side", "node", "j")
+        .agg(F.sum("gq").alias("gq"), F.max("init").alias("init"))
+        .select(
+            "side",
+            "node",
+            "j",
+            F.round(
+                F.col("init")
+                - F.lit(lr) * (F.col("gq").cast("double") / F.lit(1e9)),
+                9,
+            ).alias("emb"),
+        )
+    )
+
+
+def skipgram_epoch(
+    pos_pairs: DataFrame,
+    neg_pairs: DataFrame,
+    emb_in,
+    emb_out,
+    dim: int = 4,
+    lr: float = 0.05,
+) -> DataFrame:
+    """ONE exact full-batch epoch of skip-gram-with-negative-sampling
+    over KG walk pairs — the training step between the walk corpus
+    (``graph.py::random_walks`` → pairs → negatives) and
+    :func:`link_prediction_eval`.
+
+    Semantics (deliberately chosen so a distributed run is bit-exact
+    and SQL-oracle-checkable):
+
+    * score s = Σ_j in(center)_j · out(context)_j; the link is the
+      rational "fast sigmoid" σ̂(s) = 0.5 + (0.5·s)/(1+|s|) (Elliott
+      activation) — same shape/gradient direction as the logistic link
+      but pure +,·,/,abs arithmetic, which IEEE 754 rounds identically
+      on every engine, unlike exp() whose libm differs by ULPs between
+      JVM and C.
+    * full-BATCH gradient descent, not SGD: every pair's gradient is
+      computed against the epoch-start embeddings, then summed. SGD's
+      sequential dependence cannot be reproduced by a shuffle-order-
+      free engine; batch GD is order-independent by construction.
+    * per-pair gradient components are quantized to
+      ``round(g·10^9)`` BIGINTs before the sum, so the one aggregation
+      is integer-exact across partitionings (same trick as
+      :func:`truth_discovery`); the update de-quantizes once.
+    * positives carry their multiplicity ``n_pairs`` as the gradient
+      weight; negatives weigh 1 with label 0.
+
+    Output: the touched half of both parameter tables —
+    ``(side 'in'|'out', node, j, emb)`` after the update, 9 dp. Epoch 1
+    needs NO parameter join at all: initial embeddings are pure
+    hash functions of the node id (caller-supplied ``emb_in(col, j)`` /
+    ``emb_out(col, j)`` Column factories), so the gradient pass is
+    row-local over the pairs and the ONLY exchange is the final
+    (side, node, j) integer sum — map-side combinable, skew-free (a
+    hub node's gradient rows partial-aggregate inside each task).
+    Later epochs read the materialized table back through
+    :func:`skipgram_epoch_from_table`, whose two parameter joins are
+    node-keyed equi-joins (the parameter-server pattern as Spark
+    joins)."""
+    ex = _sgns_pairs(pos_pairs, neg_pairs)
+    ei = [emb_in(F.col("center"), j) for j in range(dim)]
+    eo = [emb_out(F.col("context"), j) for j in range(dim)]
+    return _sgns_grad_update(ex, ei, eo, dim, lr)
+
+
+def skipgram_epoch_from_table(
+    pos_pairs: DataFrame,
+    neg_pairs: DataFrame,
+    emb: DataFrame,
+    dim: int = 4,
+    lr: float = 0.05,
+) -> DataFrame:
+    """The iterative form of :func:`skipgram_epoch`: parameters come
+    from a materialized ``(side, node, j, emb)`` table (a previous
+    epoch's output) instead of hash init. Missing parameters default to
+    0.0 — a node the table has never seen contributes nothing and takes
+    the full gradient step from zero.
+
+    Shape: the long table pivots to one wide row per (side, node) —
+    ``max(when(j=k))`` over the node exchange — then TWO node-keyed
+    equi-joins attach in(center) and out(context) rows to the pairs.
+    This is the parameter-server read expressed as joins: at 10^12
+    nodes both sides hash-partition on the node id, no broadcast, no
+    driver state. The rest (fast-sigmoid, weighted batch gradient,
+    10^9 quantization, one integer-sum exchange) is identical to
+    epoch 1, and `tests/test_kgq.py` pins that running THIS function
+    over the hash-init table reproduces :func:`skipgram_epoch`
+    exactly."""
+    def wide(side, prefix):
+        agg = [
+            F.max(F.when(F.col("j") == j, F.col("emb"))).alias(f"{prefix}{j}")
+            for j in range(dim)
+        ]
+        return emb.where(F.col("side") == side).groupBy("node").agg(*agg)
+
+    ex = (
+        _sgns_pairs(pos_pairs, neg_pairs)
+        .join(wide("in", "ei"), F.col("center") == F.col("node"), "left")
+        .drop("node")
+        .join(wide("out", "eo"), F.col("context") == F.col("node"), "left")
+        .drop("node")
+    )
+    ei = [F.coalesce(F.col(f"ei{j}"), F.lit(0.0)) for j in range(dim)]
+    eo = [F.coalesce(F.col(f"eo{j}"), F.lit(0.0)) for j in range(dim)]
+    return _sgns_grad_update(ex, ei, eo, dim, lr)

@@ -4413,13 +4413,11 @@ def kg_walk_pairs(spark, sf_dir):
     )
 
 
-@register(
-    "kg_negative_samples",
-    # INDEPENDENT oracle: same type-consistent corruption re-derived in
-    # SQL — rank the distinct objects WITHIN each relation, pick
-    # H(md5(subj|rel|obj)) % n, step to the next rank (mod n) on
-    # collision with the true object.
-    oracle=_O21_BASE + """
+# type-consistent corruption, re-derived in SQL: rank the distinct
+# objects WITHIN each relation, pick H(md5(subj|rel|obj)) % n, step to
+# the next rank (mod n) on collision with the true object. Factored so
+# the kg_embedding_train oracle can reuse the chain as a CTE.
+_NEG_CTES = """
     , pos AS (SELECT DISTINCT src AS subj, rel, dst AS obj FROM edges
               WHERE is_rev = 0),
     objs AS (SELECT DISTINCT rel, obj FROM pos),
@@ -4445,12 +4443,20 @@ def kg_walk_pairs(spark, sf_dir):
       SELECT k.subj, k.rel, k.obj, k.n, k.rn0, c.obj AS cand_obj
       FROM pick k JOIN ranked c ON c.rel = k.rel AND c.rn = k.rn0
     )
+"""
+_NEG_SELECT = """
     SELECT s.subj, s.rel, s.obj,
            CASE WHEN s.cand_obj <> s.obj THEN s.cand_obj ELSE w.obj END
              AS neg_obj
     FROM cand s
     JOIN ranked w ON w.rel = s.rel AND w.rn = 1 + (s.rn0 % s.n)
-    """,
+"""
+
+
+@register(
+    "kg_negative_samples",
+    # INDEPENDENT oracle: see _NEG_CTES.
+    oracle=_O21_BASE + _NEG_CTES + _NEG_SELECT,
 )
 def kg_negative_samples(spark, sf_dir):
     """Type-consistent negative sampling for KG-embedding training
@@ -5547,6 +5553,92 @@ def kg_link_pred_eval(spark, sf_dir):
     return link_prediction_eval(
         test, cands, _lp_emb("e"), _lp_emb("r"), dim=4, salt_buckets=8
     )
+
+
+def _sg_oracle(dim: int = 4, lr: float = 0.05) -> str:
+    """Full SQL re-derivation of one skip-gram batch epoch: walks →
+    window pairs → type-consistent negatives → fast-sigmoid weighted
+    gradients → 10^9-quantized integer sum → de-quantized update. Every
+    float expression is written with the exact parenthesization the
+    Spark operator uses, so doubles agree bitwise; the one summation is
+    over BIGINTs, so partition order can never matter."""
+    ei = [_lp_emb_sql("e", "CAST(center AS VARCHAR)", j) for j in range(dim)]
+    eo = [_lp_emb_sql("c", "CAST(context AS VARCHAR)", j) for j in range(dim)]
+    s = " + ".join(f"(({ei[j]}) * ({eo[j]}))" for j in range(dim))
+    arms = []
+    for j in range(dim):
+        arms.append(
+            f"SELECT 'in' AS side, center AS node, {j} AS j, "
+            f"CAST(round((err * ({eo[j]})) * 1000000000.0) AS BIGINT) AS gq, "
+            f"({ei[j]}) AS init FROM er"
+        )
+        arms.append(
+            f"SELECT 'out' AS side, context AS node, {j} AS j, "
+            f"CAST(round((err * ({ei[j]})) * 1000000000.0) AS BIGINT) AS gq, "
+            f"({eo[j]}) AS init FROM er"
+        )
+    grads = "\n      UNION ALL ".join(arms)
+    return (
+        _O21_BASE
+        + _WALK_CTES
+        + _NEG_CTES
+        + f""",
+    pp AS (
+      SELECT a.v AS center, b.v AS context, count(*) AS n_pairs
+      FROM allsteps a JOIN allsteps b
+        ON a.start = b.start AND b.step - a.step BETWEEN 1 AND 2
+      GROUP BY a.v, b.v
+    ),
+    negs AS ({_NEG_SELECT}),
+    ex AS (
+      SELECT center, context, CAST(n_pairs AS DOUBLE) AS w,
+             CAST(1.0 AS DOUBLE) AS y FROM pp
+      UNION ALL
+      SELECT subj AS center, neg_obj AS context, CAST(1.0 AS DOUBLE),
+             CAST(0.0 AS DOUBLE) FROM negs
+    ),
+    er AS (
+      SELECT center, context,
+             (((0.5 + (0.5 * ({s})) / (1.0 + abs({s}))) - y) * w) AS err
+      FROM ex
+    ),
+    grads AS (
+      {grads}
+    ),
+    gs AS (
+      SELECT side, node, j, sum(gq) AS gq, max(init) AS init
+      FROM grads GROUP BY side, node, j
+    )
+    SELECT side, node, j,
+           round(init - ({lr} * (CAST(gq AS DOUBLE) / 1000000000.0)), 9)
+             AS emb
+    FROM gs
+    """
+    )
+
+
+@register("kg_embedding_train", oracle=_sg_oracle())
+def kg_embedding_train(spark, sf_dir):
+    """Distributed KG-embedding TRAINING: one exact full-batch epoch of
+    skip-gram with negative sampling (operators/kgq.py::skipgram_epoch)
+    over the DeepWalk corpus — positives = kg_walk_pairs with their
+    multiplicities, negatives = kg_negative_samples' type-consistent
+    corruptions, parameters initialized by the same md5 hash scheme the
+    whole embedding stack shares. Rational fast-sigmoid link + integer-
+    quantized gradient sum make the distributed update bit-exact (no
+    exp(), no float summation order), so the oracle re-derives the
+    entire epoch — walks, pairs, negatives, gradients, update — in SQL.
+    The only exchange beyond the pair generation is ONE map-side-
+    combinable (side, node, j) integer sum; epoch 1 needs no parameter
+    join at all (hash init), later epochs run skipgram_epoch_from_table
+    whose node-keyed joins are the parameter-server read."""
+    from deepex_spark.operators.kgq import skipgram_epoch
+
+    pos = kg_walk_pairs(spark, sf_dir)
+    neg = kg_negative_samples(spark, sf_dir).select(
+        F.col("subj").alias("center"), F.col("neg_obj").alias("context")
+    )
+    return skipgram_epoch(pos, neg, _lp_emb("e"), _lp_emb("c"), dim=4, lr=0.05)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

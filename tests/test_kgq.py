@@ -273,3 +273,133 @@ def test_link_prediction_salt_invariant(spark):
         )
     )
     assert rows(1) == rows(8)
+
+
+# ------------------------------------------------------------ skip-gram
+
+def _round_half_up(x, digits):
+    import math
+
+    p = 10.0 ** digits
+    return math.copysign(math.floor(abs(x) * p + 0.5), x) / p
+
+
+def _py_sgns_epoch(pos, neg, emb_in, emb_out, dim, lr=0.05):
+    """Pure-Python mirror of skipgram_epoch: fast-sigmoid link,
+    weighted batch gradient, 1e9 integer quantization, one update."""
+    from collections import defaultdict
+
+    ex = [(c, x, float(w), 1.0) for c, x, w in pos] + [
+        (c, x, 1.0, 0.0) for c, x in neg
+    ]
+    gsum = defaultdict(int)
+    init = {}
+    for c, x, w, y in ex:
+        ei = [emb_in(c, j) for j in range(dim)]
+        eo = [emb_out(x, j) for j in range(dim)]
+        s = 0.0
+        for j in range(dim):
+            s = s + ei[j] * eo[j]
+        sig = 0.5 + (0.5 * s) / (1.0 + abs(s))
+        err = (sig - y) * w
+        for j in range(dim):
+            gsum[("in", c, j)] += int(_round_half_up(err * eo[j] * 1e9, 0))
+            gsum[("out", x, j)] += int(_round_half_up(err * ei[j] * 1e9, 0))
+            init[("in", c, j)] = ei[j]
+            init[("out", x, j)] = eo[j]
+    return {
+        k: _round_half_up(init[k] - lr * (g / 1e9), 9)
+        for k, g in gsum.items()
+    }
+
+
+def _sg_toy(spark):
+    pos = [(1, 2, 2), (2, 3, 1), (3, 1, 1), (1, 3, 4)]
+    neg = [(1, 4), (2, 4), (3, 2)]
+    pdf = spark.createDataFrame(pos, ["center", "context", "n_pairs"])
+    ndf = spark.createDataFrame(neg, ["center", "context"])
+    return pos, neg, pdf, ndf
+
+
+def test_skipgram_epoch_matches_python_mirror(spark):
+    """Every updated (side, node, j, emb) must equal the pure-Python
+    batch-gradient re-derivation exactly — the lattice embeddings and
+    the integer-quantized sum leave no rounding slack."""
+    from deepex_spark.operators.kgq import skipgram_epoch
+
+    pos, neg, pdf, ndf = _sg_toy(spark)
+    want = _py_sgns_epoch(pos, neg, _py_lattice, _py_lattice, dim=3)
+    got = {
+        (r["side"], r["node"], r["j"]): r["emb"]
+        for r in skipgram_epoch(
+            pdf, ndf, _lattice_emb, _lattice_emb, dim=3
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
+    # training moved something
+    assert any(got[k] != _py_lattice(k[1], k[2]) for k in got)
+
+
+def test_skipgram_from_table_reproduces_hash_epoch(spark):
+    """Feeding the hash-init parameters through the iterative
+    (join-based) form must reproduce epoch 1 exactly — pins that the
+    parameter-server read path computes the same update as the
+    row-local hash path."""
+    from deepex_spark.operators.kgq import (
+        skipgram_epoch,
+        skipgram_epoch_from_table,
+    )
+
+    _, _, pdf, ndf = _sg_toy(spark)
+    dim = 3
+    nodes = (
+        pdf.select(F.col("center").alias("node"))
+        .union(pdf.select("context"))
+        .union(ndf.select("center"))
+        .union(ndf.select("context"))
+        .distinct()
+    )
+    init = nodes.selectExpr(
+        "node",
+        f"explode(sequence(0, {dim - 1})) AS j",
+    ).selectExpr(
+        "explode(array('in', 'out')) AS side",
+        "node",
+        "j",
+        "CAST(((node * 7 + j * 3) % 5 - 2) / 2.0 AS DOUBLE) AS emb",
+    )
+    a = sorted(
+        map(
+            tuple,
+            skipgram_epoch(
+                pdf, ndf, _lattice_emb, _lattice_emb, dim=dim
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            skipgram_epoch_from_table(pdf, ndf, init, dim=dim).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_skipgram_second_epoch_runs(spark):
+    """Epoch 2 = from_table over epoch 1's output: schema-stable, and
+    parameters keep moving."""
+    from deepex_spark.operators.kgq import (
+        skipgram_epoch,
+        skipgram_epoch_from_table,
+    )
+
+    _, _, pdf, ndf = _sg_toy(spark)
+    e1 = skipgram_epoch(pdf, ndf, _lattice_emb, _lattice_emb, dim=3)
+    e2 = skipgram_epoch_from_table(pdf, ndf, e1, dim=3)
+    assert e2.schema.simpleString() == e1.schema.simpleString()
+    m1 = {(r["side"], r["node"], r["j"]): r["emb"] for r in e1.collect()}
+    m2 = {(r["side"], r["node"], r["j"]): r["emb"] for r in e2.collect()}
+    assert set(m1) == set(m2)
+    assert any(m1[k] != m2[k] for k in m1)
