@@ -516,3 +516,91 @@ def skipgram_epoch_from_table(
     ei = [F.coalesce(F.col(f"ei{j}"), F.lit(0.0)) for j in range(dim)]
     eo = [F.coalesce(F.col(f"eo{j}"), F.lit(0.0)) for j in range(dim)]
     return _sgns_grad_update(ex, ei, eo, dim, lr)
+
+
+def link_prediction_eval_from_table(
+    test: DataFrame,
+    candidates: DataFrame,
+    emb: DataFrame,
+    dim: int = 4,
+    salt_buckets: int = 8,
+    suffix: str = "",
+) -> DataFrame:
+    """:func:`link_prediction_eval` over a MATERIALIZED embedding table
+    ``(side, node, j, emb)`` (e.g. a :func:`skipgram_epoch` output)
+    instead of hash-function embeddings, scoring by the skip-gram
+    inner product in(subj)·out(cand). Missing parameters score 0.0 —
+    same convention as :func:`skipgram_epoch_from_table`. Metric
+    columns take ``suffix`` so a trained arm and a baseline arm can be
+    joined side by side. Scale shape: the long table pivots wide on one
+    node exchange, the three parameter attachments are node-keyed
+    equi-joins, and the skewed rel-keyed candidate join is salted
+    exactly as the hash-embedding form."""
+    def wide(side, prefix):
+        agg = [
+            F.max(F.when(F.col("j") == j, F.col("emb"))).alias(f"{prefix}{j}")
+            for j in range(dim)
+        ]
+        return emb.where(F.col("side") == side).groupBy("node").agg(*agg)
+
+    win = wide("in", "i")
+    wout = wide("out", "o")
+    tob = wout.select(
+        F.col("node").alias("_tn"),
+        *[F.col(f"o{j}").alias(f"t{j}") for j in range(dim)],
+    )
+    ei = [F.coalesce(F.col(f"i{j}"), F.lit(0.0)) for j in range(dim)]
+    to = [F.coalesce(F.col(f"t{j}"), F.lit(0.0)) for j in range(dim)]
+    s_true = ei[0] * to[0]
+    for j in range(1, dim):
+        s_true = s_true + ei[j] * to[j]
+    t = (
+        test.join(win, test["subj"] == win["node"], "left")
+        .drop("node")
+        .join(tob, F.col("obj") == F.col("_tn"), "left")
+        .drop("_tn")
+        .select(
+            "subj",
+            "rel",
+            "obj",
+            *[F.col(f"i{j}") for j in range(dim)],
+            s_true.alias("s_true"),
+            F.pmod(F.hash("subj", "obj"), F.lit(salt_buckets)).alias("salt"),
+        )
+    )
+    c = (
+        candidates.join(wout, candidates["cand"] == wout["node"], "left")
+        .drop("node")
+        .select(
+            "rel",
+            "cand",
+            *[
+                F.coalesce(F.col(f"o{j}"), F.lit(0.0)).alias(f"o{j}")
+                for j in range(dim)
+            ],
+            F.explode(
+                F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+            ).alias("salt"),
+        )
+    )
+    s_cand = F.coalesce(F.col("i0"), F.lit(0.0)) * F.col("o0")
+    for j in range(1, dim):
+        s_cand = s_cand + F.coalesce(F.col(f"i{j}"), F.lit(0.0)) * F.col(
+            f"o{j}"
+        )
+    beats = (
+        (s_cand > F.col("s_true"))
+        | ((s_cand == F.col("s_true")) & (F.col("cand") < F.col("obj")))
+    ).cast("long")
+    ranks = (
+        t.join(c, ["rel", "salt"])
+        .groupBy("subj", "rel", "obj")
+        .agg((F.lit(1) + F.sum(beats)).alias("rnk"))
+    )
+    in_k = lambda k: F.when(F.col("rnk") <= k, 1.0).otherwise(0.0)  # noqa: E731
+    return ranks.groupBy("rel").agg(
+        F.count("*").alias("n_test"),
+        F.round(F.avg(in_k(1)), 6).alias(f"hits1{suffix}"),
+        F.round(F.avg(in_k(10)), 6).alias(f"hits10{suffix}"),
+        F.round(F.avg(F.lit(1.0) / F.col("rnk")), 6).alias(f"mrr{suffix}"),
+    )

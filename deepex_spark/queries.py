@@ -5555,10 +5555,10 @@ def kg_link_pred_eval(spark, sf_dir):
     )
 
 
-def _sg_oracle(dim: int = 4, lr: float = 0.05) -> str:
-    """Full SQL re-derivation of one skip-gram batch epoch: walks →
-    window pairs → type-consistent negatives → fast-sigmoid weighted
-    gradients → 10^9-quantized integer sum → de-quantized update. Every
+def _sg_ctes(dim: int = 4) -> str:
+    """CTE chain of one skip-gram batch epoch, ending at gs(side, node,
+    j, gq, init): walks → window pairs → type-consistent negatives →
+    fast-sigmoid weighted gradients → 10^9-quantized integer sum. Every
     float expression is written with the exact parenthesization the
     Spark operator uses, so doubles agree bitwise; the one summation is
     over BIGINTs, so partition order can never matter."""
@@ -5609,12 +5609,22 @@ def _sg_oracle(dim: int = 4, lr: float = 0.05) -> str:
       SELECT side, node, j, sum(gq) AS gq, max(init) AS init
       FROM grads GROUP BY side, node, j
     )
+    """
+    )
+
+
+_SG_SELECT_TMPL = """
     SELECT side, node, j,
            round(init - ({lr} * (CAST(gq AS DOUBLE) / 1000000000.0)), 9)
              AS emb
     FROM gs
-    """
-    )
+"""
+
+
+def _sg_oracle(dim: int = 4, lr: float = 0.05) -> str:
+    """Full SQL re-derivation of one skip-gram batch epoch (see
+    _sg_ctes): CTE chain + the de-quantized update select."""
+    return _sg_ctes(dim) + _SG_SELECT_TMPL.format(lr=lr)
 
 
 @register("kg_embedding_train", oracle=_sg_oracle())
@@ -5639,6 +5649,125 @@ def kg_embedding_train(spark, sf_dir):
         F.col("subj").alias("center"), F.col("neg_obj").alias("context")
     )
     return skipgram_epoch(pos, neg, _lp_emb("e"), _lp_emb("c"), dim=4, lr=0.05)
+
+
+def _sg_eval_oracle(dim: int = 4, lr: float = 0.05, mod: int = 199) -> str:
+    """Trained-vs-init link-prediction audit in one SQL: re-derive the
+    whole training epoch (see _sg_ctes), pivot the updated parameters
+    wide, and rank every held-out triple's true object among its
+    relation's candidates under BOTH the trained inner product and the
+    hash-init inner product."""
+    win = ", ".join(
+        f"max(CASE WHEN j = {j} THEN emb END) AS i{j}" for j in range(dim)
+    )
+    wout = ", ".join(
+        f"max(CASE WHEN j = {j} THEN emb END) AS o{j}" for j in range(dim)
+    )
+    sc_tr = " + ".join(
+        f"(COALESCE(wi.i{j}, 0.0)) * (COALESCE(wc.o{j}, 0.0))"
+        for j in range(dim)
+    )
+    st_tr = " + ".join(
+        f"(COALESCE(wi.i{j}, 0.0)) * (COALESCE(wo.o{j}, 0.0))"
+        for j in range(dim)
+    )
+    ein = [_lp_emb_sql("e", "CAST(t.subj AS VARCHAR)", j) for j in range(dim)]
+    ecc = [_lp_emb_sql("c", "CAST(c.cand AS VARCHAR)", j) for j in range(dim)]
+    eco = [_lp_emb_sql("c", "CAST(t.obj AS VARCHAR)", j) for j in range(dim)]
+    sc_in = " + ".join(f"(({ein[j]})) * (({ecc[j]}))" for j in range(dim))
+    st_in = " + ".join(f"(({ein[j]})) * (({eco[j]}))" for j in range(dim))
+
+    def metrics(r, suffix):
+        return (
+            f"round(avg(CASE WHEN {r} <= 1 THEN CAST(1.0 AS DOUBLE) "
+            f"ELSE CAST(0.0 AS DOUBLE) END), 6) AS hits1{suffix},\n"
+            f"       round(avg(CASE WHEN {r} <= 10 THEN CAST(1.0 AS DOUBLE) "
+            f"ELSE CAST(0.0 AS DOUBLE) END), 6) AS hits10{suffix},\n"
+            f"       round(avg(CAST(1.0 AS DOUBLE) / {r}), 6) AS mrr{suffix}"
+        )
+
+    return (
+        _sg_ctes(dim)
+        + f""",
+    emb AS ({_SG_SELECT_TMPL.format(lr=lr)}),
+    win AS (SELECT node, {win} FROM emb WHERE side = 'in' GROUP BY node),
+    wou AS (SELECT node, {wout} FROM emb WHERE side = 'out' GROUP BY node),
+    test AS (SELECT subj, rel, obj FROM pos WHERE subj % {mod} = 0),
+    cnds AS (SELECT DISTINCT rel, obj AS cand FROM pos),
+    sc AS (
+      SELECT t.subj, t.rel, t.obj, c.cand,
+             {sc_tr} AS sc_tr,
+             {st_tr} AS st_tr,
+             {sc_in} AS sc_in,
+             {st_in} AS st_in
+      FROM test t
+      JOIN cnds c ON c.rel = t.rel
+      LEFT JOIN win wi ON wi.node = t.subj
+      LEFT JOIN wou wc ON wc.node = c.cand
+      LEFT JOIN wou wo ON wo.node = t.obj
+    ),
+    ranks AS (
+      SELECT subj, rel, obj,
+             1 + CAST(sum(CASE WHEN sc_tr > st_tr
+                            OR (sc_tr = st_tr AND cand < obj)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS r_tr,
+             1 + CAST(sum(CASE WHEN sc_in > st_in
+                            OR (sc_in = st_in AND cand < obj)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS r_in
+      FROM sc GROUP BY subj, rel, obj
+    )
+    SELECT rel, CAST(count(*) AS BIGINT) AS n_test,
+           {metrics("r_in", "_init")},
+           {metrics("r_tr", "_tr")}
+    FROM ranks GROUP BY rel
+    """
+    )
+
+
+@register("kg_link_pred_trained_vs_init", oracle=_sg_eval_oracle())
+def kg_link_pred_trained_vs_init(spark, sf_dir):
+    """The embedding loop's closing audit: run link prediction over the
+    SAME held-out triples twice — once with hash-INIT parameters, once
+    with the parameters after one skipgram_epoch — and report both
+    metric sets per relation side by side (operators/kgq.py::
+    link_prediction_eval_from_table, skip-gram inner-product scoring
+    for both arms so the comparison isolates the training step). The
+    oracle re-derives everything — walks, pairs, negatives, the full
+    gradient epoch, both rankings — in one SQL statement. See
+    EXPLAIN.md for the measured lift."""
+    from functools import reduce
+
+    from deepex_spark.operators.kgq import link_prediction_eval_from_table
+
+    pos = (
+        o21_reverse_union(spark, sf_dir)
+        .where(F.col("is_rev") == 0)
+        .select(F.col("src").alias("subj"), "rel", F.col("dst").alias("obj"))
+        .distinct()
+    )
+    test = pos.where(F.col("subj") % 199 == 0)
+    cands = pos.select("rel", F.col("obj").alias("cand")).distinct()
+    trained = kg_embedding_train(spark, sf_dir)
+    nodes = (
+        pos.select(F.col("subj").alias("node"))
+        .union(pos.select("obj"))
+        .distinct()
+    )
+    parts = []
+    for side, prefix in (("in", "e"), ("out", "c")):
+        for j in range(4):
+            parts.append(
+                nodes.select(
+                    F.lit(side).alias("side"),
+                    "node",
+                    F.lit(j).alias("j"),
+                    _lp_emb(prefix)(F.col("node"), j).alias("emb"),
+                )
+            )
+    init = reduce(lambda a, b: a.unionByName(b), parts)
+    a = link_prediction_eval_from_table(test, cands, init, suffix="_init")
+    b = link_prediction_eval_from_table(test, cands, trained, suffix="_tr")
+    return a.join(b, ["rel", "n_test"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -403,3 +403,118 @@ def test_skipgram_second_epoch_runs(spark):
     m2 = {(r["side"], r["node"], r["j"]): r["emb"] for r in e2.collect()}
     assert set(m1) == set(m2)
     assert any(m1[k] != m2[k] for k in m1)
+
+
+def _py_eval_from_table(test, cands, table, dim):
+    """Pure-Python mirror of link_prediction_eval_from_table: missing
+    parameters score 0.0, ties break toward the smaller candidate id."""
+    from collections import defaultdict
+
+    def vec(side, node):
+        return [table.get((side, node, j), 0.0) for j in range(dim)]
+
+    by_rel = defaultdict(list)
+    for rel, cand in cands:
+        by_rel[rel].append(cand)
+    agg = defaultdict(lambda: [0, 0.0, 0.0, 0.0])
+    for subj, rel, obj in test:
+        ei = vec("in", subj)
+
+        def score(c):
+            eo = vec("out", c)
+            s = 0.0
+            for j in range(dim):
+                s = s + ei[j] * eo[j]
+            return s
+
+        st = score(obj)
+        rnk = 1 + sum(
+            1
+            for c in by_rel[rel]
+            if score(c) > st or (score(c) == st and c < obj)
+        )
+        a = agg[rel]
+        a[0] += 1
+        a[1] += 1.0 if rnk <= 1 else 0.0
+        a[2] += 1.0 if rnk <= 10 else 0.0
+        a[3] += 1.0 / rnk
+    return {
+        rel: (n, round(h1 / n, 6), round(h10 / n, 6), round(mrr / n, 6))
+        for rel, (n, h1, h10, mrr) in agg.items()
+    }
+
+
+def test_eval_from_table_matches_python_mirror(spark):
+    """Metrics over a materialized (trained) embedding table must equal
+    the pure-Python re-derivation, including the missing-parameter →
+    0.0 convention."""
+    from deepex_spark.operators.kgq import (
+        link_prediction_eval_from_table,
+        skipgram_epoch,
+    )
+
+    pos, neg, pdf, ndf = _sg_toy(spark)
+    dim = 3
+    table = _py_sgns_epoch(pos, neg, _py_lattice, _py_lattice, dim=dim)
+    test = [(1, "r", 2), (2, "r", 3), (4, "r", 1)]  # subj 4 untrained
+    cands = [("r", c) for c in (1, 2, 3, 4)]
+    want = _py_eval_from_table(test, cands, table, dim)
+    tdf = spark.createDataFrame(test, ["subj", "rel", "obj"])
+    cdf = spark.createDataFrame(cands, ["rel", "cand"])
+    emb = skipgram_epoch(pdf, ndf, _lattice_emb, _lattice_emb, dim=dim)
+    got = {
+        r["rel"]: (r["n_test"], r["hits1_t"], r["hits10_t"], r["mrr_t"])
+        for r in link_prediction_eval_from_table(
+            tdf, cdf, emb, dim=dim, salt_buckets=4, suffix="_t"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_training_lifts_designed_toy(spark):
+    """On a toy where each subject's true object is a heavily-weighted
+    training pair and every candidate is trained (no zero-score mass),
+    two epochs — the second through the ITERATIVE from_table path —
+    must strictly lift hits@1 and MRR over the hash init: the machinery
+    can learn; the sf-graph audit (kg_link_pred_trained_vs_init,
+    EXPLAIN.md) documents why the single-walk corpus there cannot."""
+    from deepex_spark.operators.kgq import (
+        link_prediction_eval_from_table,
+        skipgram_epoch,
+        skipgram_epoch_from_table,
+    )
+
+    dim = 3
+    subs, objs = [1, 2, 3], [11, 12, 13, 14]
+    truth = {1: 12, 2: 13, 3: 14}  # misaligned with the mod-5 lattice
+    pos = [(s, o, 10) for s, o in truth.items()]
+    # every object appears in training so no candidate scores exactly 0
+    neg = [(s, o) for s in subs for o in objs if o != truth[s]]
+    pdf = spark.createDataFrame(pos, ["center", "context", "n_pairs"])
+    ndf = spark.createDataFrame(neg, ["center", "context"])
+    test = spark.createDataFrame(
+        [(s, "r", o) for s, o in truth.items()], ["subj", "rel", "obj"]
+    )
+    cands = spark.createDataFrame(
+        [("r", o) for o in objs], ["rel", "cand"]
+    )
+    init_rows = [
+        (side, n, j, _py_lattice(n, j))
+        for side in ("in", "out")
+        for n in subs + objs
+        for j in range(dim)
+    ]
+    init = spark.createDataFrame(init_rows, ["side", "node", "j", "emb"])
+    e1 = skipgram_epoch(pdf, ndf, _lattice_emb, _lattice_emb, dim=dim, lr=0.5)
+    e2 = skipgram_epoch_from_table(pdf, ndf, e1, dim=dim, lr=0.5)
+
+    def metrics(table):
+        r = link_prediction_eval_from_table(
+            test, cands, table, dim=dim, salt_buckets=2, suffix=""
+        ).collect()[0]
+        return r["hits1"], r["mrr"]
+
+    h1_init, mrr_init = metrics(init)
+    h1_tr, mrr_tr = metrics(e2)
+    assert h1_init == 0.0 and mrr_init == 0.333333
+    assert h1_tr == 0.666667 and mrr_tr == 0.833333
