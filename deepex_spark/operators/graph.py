@@ -860,3 +860,68 @@ def diff_edge_snapshots(old: DataFrame, new: DataFrame) -> DataFrame:
         .where(F.col("status").isNotNull())
         .select(*key, "status", "old_n", "new_n")
     )
+
+
+def negative_samples(pos: DataFrame) -> DataFrame:
+    """Type-consistent negative sampling for KG-embedding training
+    (TransE/DistMult-style corruption) over distinct positives
+    ``(subj, rel, obj)``: each positive gets one deterministic negative
+    object drawn from the SAME relation's object set — pick rank =
+    H(md5(subj|rel|obj)) % n within the relation-local canonical
+    ranking, stepping to the next rank (mod n) on collision with the
+    true object; single-object relations drop out (no negative
+    exists). Everything is keyed on the relation (ranking window, size
+    lookup, both rank probes) — no global dictionary, no broadcast of a
+    10^9-entity vocabulary, no driver state; the md5/ascii pick is the
+    same engine-exact arithmetic as the walk corpus."""
+    from pyspark.sql import Window
+
+    objs = pos.select("rel", "obj").distinct()
+    ranked = objs.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("rel").orderBy("obj"))
+    )
+    rels = objs.groupBy("rel").agg(F.count("*").alias("n"))
+    m = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("subj").cast("string"),
+            F.col("rel"),
+            F.col("obj").cast("string"),
+        )
+    )
+    h = (
+        F.ascii(F.substring(m, 1, 1)) * 16384
+        + F.ascii(F.substring(m, 2, 1)) * 128
+        + F.ascii(F.substring(m, 3, 1))
+    )
+    pick = (
+        pos.join(rels, "rel")
+        .where(F.col("n") > 1)
+        .select(
+            "subj", "rel", "obj", "n",
+            (F.lit(1) + h % F.col("n")).alias("rn0"),
+        )
+    )
+    cand = pick.join(
+        ranked.select(
+            "rel", F.col("rn").alias("rn0"), F.col("obj").alias("cand_obj")
+        ),
+        ["rel", "rn0"],
+    )
+    wrap = cand.join(
+        ranked.select(
+            F.col("rel").alias("w_rel"),
+            F.col("rn").alias("w_rn"),
+            F.col("obj").alias("wrap_obj"),
+        ),
+        (F.col("w_rel") == F.col("rel"))
+        & (F.col("w_rn") == F.lit(1) + (F.col("rn0") % F.col("n"))),
+    )
+    return wrap.select(
+        "subj",
+        "rel",
+        "obj",
+        F.when(F.col("cand_obj") != F.col("obj"), F.col("cand_obj"))
+        .otherwise(F.col("wrap_obj"))
+        .alias("neg_obj"),
+    )

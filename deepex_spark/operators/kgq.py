@@ -359,6 +359,27 @@ def type_extension(
     )
 
 
+def hash_embedding(prefix: str):
+    """Deterministic dense embedding component factory: md5 of
+    ``prefix|node:j`` through the shared ascii-arithmetic hash, mapped
+    to [-1, 1] in steps of 1/1000 — engine-identical in Spark and
+    DuckDB, so hash-initialized parameters never need a join and SQL
+    oracles can recompute them in place."""
+
+    def emb(col, j):
+        m = F.md5(
+            F.concat(F.lit(prefix + "|"), col.cast("string"), F.lit(f":{j}"))
+        )
+        h = (
+            F.ascii(F.substring(m, 1, 1)) * 16384
+            + F.ascii(F.substring(m, 2, 1)) * 128
+            + F.ascii(F.substring(m, 3, 1))
+        )
+        return ((h % 2001) - 1000) / F.lit(1000.0)
+
+    return emb
+
+
 def _sgns_pairs(pos_pairs: DataFrame, neg_pairs: DataFrame) -> DataFrame:
     """Positives (weight = multiplicity, label 1) ∪ negatives (weight 1,
     label 0) — the example stream both epoch forms share."""

@@ -4471,7 +4471,7 @@ def kg_negative_samples(spark, sf_dir):
     broadcast of a 10^9-entity vocabulary, no driver state. The same
     md5/ascii arithmetic as the walk corpus makes the draw
     engine-identical and partition-invariant."""
-    from pyspark.sql import Window
+    from deepex_spark.operators.graph import negative_samples
 
     pos = (
         o21_reverse_union(spark, sf_dir)
@@ -4479,51 +4479,7 @@ def kg_negative_samples(spark, sf_dir):
         .select(F.col("src").alias("subj"), "rel", F.col("dst").alias("obj"))
         .distinct()
     )
-    objs = pos.select("rel", "obj").distinct()
-    ranked = objs.withColumn(
-        "rn", F.row_number().over(Window.partitionBy("rel").orderBy("obj"))
-    )
-    rels = objs.groupBy("rel").agg(F.count("*").alias("n"))
-    m = F.md5(
-        F.concat_ws(
-            "|",
-            F.col("subj").cast("string"),
-            F.col("rel"),
-            F.col("obj").cast("string"),
-        )
-    )
-    h = (
-        F.ascii(F.substring(m, 1, 1)) * 16384
-        + F.ascii(F.substring(m, 2, 1)) * 128
-        + F.ascii(F.substring(m, 3, 1))
-    )
-    pick = (
-        pos.join(rels, "rel")
-        .where(F.col("n") > 1)
-        .select("subj", "rel", "obj", "n", (F.lit(1) + h % F.col("n")).alias("rn0"))
-    )
-    cand = pick.join(
-        ranked.select("rel", F.col("rn").alias("rn0"), F.col("obj").alias("cand_obj")),
-        ["rel", "rn0"],
-    )
-    wrap_tbl = ranked.select(
-        F.col("rel").alias("w_rel"),
-        F.col("rn").alias("w_rn"),
-        F.col("obj").alias("wrap_obj"),
-    )
-    wrap = cand.join(
-        wrap_tbl,
-        (F.col("w_rel") == F.col("rel"))
-        & (F.col("w_rn") == F.lit(1) + (F.col("rn0") % F.col("n"))),
-    )
-    return wrap.select(
-        "subj",
-        "rel",
-        "obj",
-        F.when(F.col("cand_obj") != F.col("obj"), F.col("cand_obj"))
-        .otherwise(F.col("wrap_obj"))
-        .alias("neg_obj"),
-    )
+    return negative_samples(pos)
 
 
 @register(
@@ -5425,22 +5381,12 @@ def kg_inverse_rules(spark, sf_dir):
 
 
 def _lp_emb(prefix: str):
-    """Deterministic dense embedding component from md5 — the same
-    ascii-arithmetic hash as the walk corpus, mapped to [-1, 1] with a
-    step of 1/1000 (engine-identical in Spark and DuckDB)."""
+    """Deterministic hash-embedding factory (moved to
+    operators/kgq.py::hash_embedding; kept as the local name every
+    registered query uses)."""
+    from deepex_spark.operators.kgq import hash_embedding
 
-    def emb(col, j):
-        m = F.md5(
-            F.concat(F.lit(prefix + "|"), col.cast("string"), F.lit(f":{j}"))
-        )
-        h = (
-            F.ascii(F.substring(m, 1, 1)) * 16384
-            + F.ascii(F.substring(m, 2, 1)) * 128
-            + F.ascii(F.substring(m, 3, 1))
-        )
-        return ((h % 2001) - 1000) / F.lit(1000.0)
-
-    return emb
+    return hash_embedding(prefix)
 
 
 def _lp_emb_sql(prefix: str, expr: str, j: int) -> str:

@@ -1,0 +1,132 @@
+"""spark-submit entry point: train KG node embeddings from an edge table
+and publish them as a catalog snapshot.
+
+    zip -r deepex_spark.zip deepex_spark
+    spark-submit --py-files deepex_spark.zip jobs/train_embeddings.py \\
+        --input /warehouse/kg/edges --output /warehouse/kg \\
+        --dim 16 --epochs 3 --lr 0.5 --walk-len 4 --run-id emb1
+
+Pipeline (every stage is the oracle-verified operator the registered
+queries run): deterministic DeepWalk corpus over the symmetrized edges
+(graph.py::random_walks — the neighbor pick is a pure hash of
+(start, step, current), so the corpus is partition-invariant and a
+rebuild is byte-identical), skip-gram window pairs with multiplicities,
+type-consistent negative corruption within each relation, then
+``--epochs`` exact full-batch skip-gram epochs (kgq.py::skipgram_epoch
+for epoch 1 — join-free, hash-init parameters — and
+skipgram_epoch_from_table for the rest — node-keyed parameter joins).
+The fast-sigmoid link and 1e9-quantized integer gradient sums make
+every epoch bit-reproducible across cluster sizes, which is what makes
+the idempotent run_id publish meaningful: same input, same knobs, same
+bytes.
+
+Publishes ``kg_embeddings (side, node, j, emb)`` through the snapshot
+catalog; previous versions stay readable while the new one lands.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def train_embeddings(
+    spark,
+    edges,
+    catalog,
+    dim: int = 8,
+    epochs: int = 2,
+    lr: float = 0.5,
+    walk_len: int = 4,
+    window: int = 2,
+    pos_weight: int = 1,
+    run_id: str = "emb0",
+):
+    """Walks → pairs → negatives → epochs → snapshot; returns a report
+    dict. ``edges`` needs (src, dst) plus rel for type-consistent
+    negatives (a constant pseudo-relation is used when absent — the
+    corruption then draws from the global object set)."""
+    from pyspark.sql import functions as F
+
+    from deepex_spark.operators.graph import negative_samples, random_walks
+    from deepex_spark.operators.kgq import (
+        hash_embedding,
+        skipgram_epoch,
+        skipgram_epoch_from_table,
+    )
+
+    if "rel" not in edges.columns:
+        edges = edges.withColumn("rel", F.lit("_all"))
+    walks = random_walks(edges.select("src", "dst"), walk_len=walk_len)
+    a, b = walks.alias("a"), walks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.start") == F.col("b.start"))
+            & (F.col("b.step") - F.col("a.step")).between(1, window),
+        )
+        .groupBy(F.col("a.v").alias("center"), F.col("b.v").alias("context"))
+        .agg((F.count("*") * pos_weight).alias("n_pairs"))
+    )
+    pos_triples = edges.select(
+        F.col("src").alias("subj"), "rel", F.col("dst").alias("obj")
+    ).distinct()
+    neg = negative_samples(pos_triples).select(
+        F.col("subj").alias("center"), F.col("neg_obj").alias("context")
+    )
+    emb = skipgram_epoch(
+        pairs, neg, hash_embedding("e"), hash_embedding("c"), dim=dim, lr=lr
+    )
+    for _ in range(1, epochs):
+        emb = skipgram_epoch_from_table(pairs, neg, emb, dim=dim, lr=lr)
+    version = catalog.write_snapshot(emb, "kg_embeddings", run_id=run_id)
+    rows = catalog.read_snapshot(spark, "kg_embeddings").count()
+    return {
+        "table": "kg_embeddings",
+        "version": version,
+        "rows": rows,
+        "epochs": epochs,
+        "dim": dim,
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="edge parquet/table (src, dst[, rel])")
+    p.add_argument("--output", required=True, help="catalog base dir")
+    p.add_argument("--dim", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--lr", type=float, default=0.5)
+    p.add_argument("--walk-len", type=int, default=4)
+    p.add_argument("--window", type=int, default=2)
+    p.add_argument("--pos-weight", type=int, default=1,
+                   help="positive-pair gradient weight multiplier")
+    p.add_argument("--run-id", default="emb0")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from deepex_spark.plans.catalog import Catalog
+    from deepex_spark.session import build_session
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = build_session(app_name=f"deepex-emb-{args.run_id}")
+    catalog = Catalog(args.output)
+    edges = spark.read.parquet(args.input)
+    t0 = time.time()
+    report = train_embeddings(
+        spark, edges, catalog,
+        dim=args.dim, epochs=args.epochs, lr=args.lr,
+        walk_len=args.walk_len, window=args.window,
+        pos_weight=args.pos_weight, run_id=args.run_id,
+    )
+    report["wall_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(report))
+    if not preexisting:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
