@@ -89,6 +89,8 @@ GRAPH = [
     "kg_shortest_paths",
     "kg_entity_types",
     "text_nfc",
+    "kg_embedding_train",
+    "kg_link_pred_eval",
 ]
 
 # vector-index layer — `--ann`, own metric name; snapshot in BENCH/ANN.md.

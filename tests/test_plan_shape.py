@@ -112,3 +112,36 @@ def test_scd2_history_single_exchange(spark):
     df = REGISTRY["kg_edge_history"].spark_fn(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_skipgram_epoch_single_aggregate_no_join(spark):
+    """Epoch 1 of the embedding trainer must stay join-free (hash-init
+    parameters are computed in place) with exactly ONE aggregate — the
+    (side, node, j) integer gradient sum. A Join or second Aggregate
+    here means the parameter-server read leaked into the hash path."""
+    from deepex_spark.operators.kgq import hash_embedding, skipgram_epoch
+
+    pos = spark.createDataFrame(
+        [(1, 2, 3)], ["center", "context", "n_pairs"]
+    )
+    neg = spark.createDataFrame([(2, 3)], ["center", "context"])
+    out = skipgram_epoch(
+        pos, neg, hash_embedding("e"), hash_embedding("c"), dim=4
+    )
+    plan = _logical_plan(out)
+    assert _count(plan, "Join") == 0, plan
+    assert _count(plan, "Aggregate") == 1, plan
+
+
+def test_html_page_text_no_exchange(spark):
+    """HTML→text extraction must be a pure row-local projection — no
+    Join, Aggregate, or Repartition may appear; at 100 TB it runs
+    entirely inside the scan stage."""
+    from deepex_spark.operators.urls import extract_page_text
+
+    pages = spark.createDataFrame(
+        [("u1", bytearray(b"<p>x</p>"))], ["url", "html"]
+    )
+    plan = _logical_plan(extract_page_text(pages))
+    for token in ("Join", "Aggregate", "Repartition", "Sort"):
+        assert _count(plan, token) == 0, (token, plan)
