@@ -399,7 +399,25 @@ def _sgns_grad_update(ex: DataFrame, ei, eo, dim: int, lr: float) -> DataFrame:
     """Shared gradient core: fast-sigmoid link, weighted batch gradient,
     10^9-quantized integer sum per (side, node, j), one de-quantized
     update. ``ei``/``eo`` are the per-dimension center/context embedding
-    Columns evaluated against ``ex``'s rows."""
+    Columns evaluated against ``ex``'s rows.
+
+    The embedding expressions are projected to named columns FIRST and
+    the gradient arms reference only those attributes: each emb column
+    feeds the score plus two gradient arms, and in the hash-init path
+    the expression is an md5 tree — Catalyst's CollapseProject keeps the
+    boundary for non-cheap multiply-referenced expressions, so every
+    md5 evaluates once per row instead of once per struct arm (measured
+    3.5x on the sf0.01 epoch)."""
+    ex = ex.select(
+        "center",
+        "context",
+        "w",
+        "y",
+        *[ei[j].alias(f"_ei{j}") for j in range(dim)],
+        *[eo[j].alias(f"_eo{j}") for j in range(dim)],
+    )
+    ei = [F.col(f"_ei{j}") for j in range(dim)]
+    eo = [F.col(f"_eo{j}") for j in range(dim)]
     s = ei[0] * eo[0]
     for j in range(1, dim):
         s = s + ei[j] * eo[j]
