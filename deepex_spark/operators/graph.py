@@ -672,6 +672,7 @@ def random_walks(
     src: str = "src",
     dst: str = "dst",
     walk_len: int = 4,
+    n_walks: int = 1,
 ) -> DataFrame:
     """DeepWalk-style walk corpus for graph-embedding training ->
     ``(start, step, v)`` rows: one walk of ``walk_len`` steps from EVERY
@@ -690,7 +691,14 @@ def random_walks(
     row per walker, never walker x degree; a hub's adjacency rank is
     computed once in the ranked-adjacency window. ``localCheckpoint``
     truncates per-step lineage so step t's plan does not replay steps
-    1..t-1."""
+    1..t-1.
+
+    ``n_walks > 1`` starts that many walks per vertex and adds a ``wk``
+    column; walk 0 keeps the legacy hash key ``start|t|v`` (so existing
+    single-walk corpora and their oracles are byte-stable) and walk
+    k > 0 salts it to ``start#k|t|v``. Multi-walk coverage is the knob
+    the link-prediction audit (EXPLAIN.md §14) identifies: one walk per
+    vertex leaves most of a hub's edges without positive pairs."""
     from pyspark.sql import Window
 
     idt = _id_cast_type(edges.schema[src].dataType, edges.schema[dst].dataType)
@@ -713,13 +721,29 @@ def random_walks(
         eager=True
     )
 
-    cur = deg.select(F.col("u").alias("start"), F.col("u").alias("v"))
-    out = cur.select("start", F.lit(0).alias("step"), "v")
+    multi = n_walks > 1
+    keep = ["start", "wk"] if multi else ["start"]
+    if multi:
+        cur = deg.select(
+            F.col("u").alias("start"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("wk"),
+            F.col("u").alias("v"),
+        )
+    else:
+        cur = deg.select(F.col("u").alias("start"), F.col("u").alias("v"))
+    out = cur.select(*keep, F.lit(0).alias("step"), "v")
+    walk_key = (
+        F.when(F.col("wk") == 0, F.col("start").cast("string")).otherwise(
+            F.concat_ws("#", F.col("start").cast("string"), F.col("wk"))
+        )
+        if multi
+        else F.col("start").cast("string")
+    )
     for t in range(1, walk_len + 1):
         m = F.md5(
             F.concat_ws(
                 "|",
-                F.col("start").cast("string"),
+                walk_key,
                 F.lit(str(t)),
                 F.col("v").cast("string"),
             )
@@ -731,17 +755,19 @@ def random_walks(
         )
         picked = (
             cur.join(deg, cur["v"] == deg["u"])
-            .select("start", "v", ((h % F.col("degree")) + 1).alias("pick"))
+            .select(*keep, "v", ((h % F.col("degree")) + 1).alias("pick"))
         )
         stepped = (
             picked.join(
                 adj,
                 (adj["u"] == picked["v"]) & (adj["rn"] == picked["pick"]),
             )
-            .select("start", F.col("w").alias("v"))
+            .select(*keep, F.col("w").alias("v"))
             .localCheckpoint(eager=True)
         )
-        out = out.unionByName(stepped.select("start", F.lit(t).alias("step"), "v"))
+        out = out.unionByName(
+            stepped.select(*keep, F.lit(t).alias("step"), "v")
+        )
         cur = stepped
     return out
 

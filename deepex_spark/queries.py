@@ -5716,6 +5716,99 @@ def kg_link_pred_trained_vs_init(spark, sf_dir):
     return a.join(b, ["rel", "n_test"])
 
 
+def _multiwalk_ctes(n_walks: int, steps: int = 4) -> str:
+    """Generalization of _WALK_CTES to ``n_walks`` walks per vertex:
+    walk 0 keeps the legacy ``start|t|v`` hash key, walk k > 0 salts it
+    to ``start#k|t|v`` — mirroring operators/graph.py::random_walks'
+    back-compat contract exactly."""
+    key = (
+        "CASE WHEN p.wk = 0 THEN CAST(p.start AS VARCHAR) "
+        "ELSE CAST(p.start AS VARCHAR) || '#' || CAST(p.wk AS VARCHAR) END"
+    )
+
+    def hash_sql(t: int) -> str:
+        m = f"md5({key} || '|{t}|' || CAST(p.v AS VARCHAR))"
+        return (
+            f"(ascii(substr({m}, 1, 1)) * 16384"
+            f" + ascii(substr({m}, 2, 1)) * 128"
+            f" + ascii(substr({m}, 3, 1)))"
+        )
+
+    def step_sql(t: int) -> str:
+        prev = f"s{t - 1}" if t > 1 else "w0"
+        return f"""
+    s{t} AS (
+      SELECT p.start, p.wk, a.w AS v
+      FROM {prev} p
+      JOIN deg d ON d.u = p.v
+      JOIN adj a ON a.u = p.v
+       AND a.rn = 1 + ({hash_sql(t)} % d.degree)
+    )"""
+
+    wks = " UNION ALL ".join(f"SELECT {k} AS wk" for k in range(n_walks))
+    union = "\n      UNION ALL ".join(
+        f"SELECT start, wk, {t} AS step, v FROM "
+        + ("w0" if t == 0 else f"s{t}")
+        for t in range(steps + 1)
+    )
+    return (
+        """
+    , e AS (SELECT DISTINCT src AS u, dst AS w FROM edges WHERE src <> dst),
+    sym AS (SELECT u, w FROM e UNION SELECT w AS u, u AS w FROM e),
+    adj AS (SELECT u, w, row_number() OVER (PARTITION BY u ORDER BY w) AS rn
+            FROM sym),
+    deg AS (SELECT u, count(*) AS degree FROM sym GROUP BY u),
+    wks AS ("""
+        + wks
+        + """),
+    w0 AS (SELECT u AS start, wk, u AS v FROM deg CROSS JOIN wks),
+    """
+        + ",".join(step_sql(t) for t in range(1, steps + 1))
+        + f""",
+    allsteps AS (
+      {union}
+    )
+    """
+    )
+
+
+@register(
+    "kg_walk_pairs_multi",
+    oracle=_O21_BASE + _multiwalk_ctes(2) + """
+    SELECT a.v AS center, b.v AS context, count(*) AS n_pairs
+    FROM allsteps a JOIN allsteps b
+      ON a.start = b.start AND a.wk = b.wk
+     AND b.step - a.step BETWEEN 1 AND 2
+    GROUP BY a.v, b.v
+    """,
+)
+def kg_walk_pairs_multi(spark, sf_dir):
+    """Skip-gram pairs over a MULTI-walk corpus (2 walks per vertex):
+    the coverage knob the link-prediction audit names — one walk per
+    vertex leaves most hub edges without positive pairs; n_walks
+    multiplies corpus size linearly while the per-walker frontier join
+    shape is unchanged (walkers = vertices × n_walks rows, never
+    vertex × degree). Walk 0 is byte-identical to the single-walk
+    corpus; the oracle re-derives both salted walks step by step."""
+    from deepex_spark.operators.graph import random_walks
+
+    edges = o21_reverse_union(spark, sf_dir).select("src", "dst")
+    walks = random_walks(edges, walk_len=4, n_walks=2)
+    a, b = walks.alias("a"), walks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.start") == F.col("b.start"))
+            & (F.col("a.wk") == F.col("b.wk"))
+            & (F.col("b.step") - F.col("a.step")).between(1, 2),
+        )
+        .groupBy(
+            F.col("a.v").alias("center"), F.col("b.v").alias("context")
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 

@@ -42,6 +42,7 @@ def train_embeddings(
     walk_len: int = 4,
     window: int = 2,
     pos_weight: int = 1,
+    n_walks: int = 1,
     run_id: str = "emb0",
 ):
     """Walks → pairs → negatives → epochs → snapshot; returns a report
@@ -59,12 +60,17 @@ def train_embeddings(
 
     if "rel" not in edges.columns:
         edges = edges.withColumn("rel", F.lit("_all"))
-    walks = random_walks(edges.select("src", "dst"), walk_len=walk_len)
+    walks = random_walks(
+        edges.select("src", "dst"), walk_len=walk_len, n_walks=n_walks
+    )
     a, b = walks.alias("a"), walks.alias("b")
+    same_walk = F.col("a.start") == F.col("b.start")
+    if n_walks > 1:
+        same_walk = same_walk & (F.col("a.wk") == F.col("b.wk"))
     pairs = (
         a.join(
             b,
-            (F.col("a.start") == F.col("b.start"))
+            same_walk
             & (F.col("b.step") - F.col("a.step")).between(1, window),
         )
         .groupBy(F.col("a.v").alias("center"), F.col("b.v").alias("context"))
@@ -89,6 +95,7 @@ def train_embeddings(
         "rows": rows,
         "epochs": epochs,
         "dim": dim,
+        "n_walks": n_walks,
     }
 
 
@@ -103,6 +110,8 @@ def main(argv=None):
     p.add_argument("--window", type=int, default=2)
     p.add_argument("--pos-weight", type=int, default=1,
                    help="positive-pair gradient weight multiplier")
+    p.add_argument("--n-walks", type=int, default=1,
+                   help="walks per vertex (corpus coverage knob)")
     p.add_argument("--run-id", default="emb0")
     args = p.parse_args(argv)
 
@@ -120,7 +129,8 @@ def main(argv=None):
         spark, edges, catalog,
         dim=args.dim, epochs=args.epochs, lr=args.lr,
         walk_len=args.walk_len, window=args.window,
-        pos_weight=args.pos_weight, run_id=args.run_id,
+        pos_weight=args.pos_weight, n_walks=args.n_walks,
+        run_id=args.run_id,
     )
     report["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(report))
