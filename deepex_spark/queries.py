@@ -5809,6 +5809,49 @@ def kg_walk_pairs_multi(spark, sf_dir):
     )
 
 
+def _nt_oracle() -> str:
+    from deepex_spark.operators.export import IRI_ENC
+
+    def enc(expr: str) -> str:
+        c = f"CAST({expr} AS VARCHAR)"
+        for ch, e in IRI_ENC:
+            ch_sql = ch.replace("'", "''")
+            c = f"replace({c}, '{ch_sql}', '{e}')"
+        return c
+
+    return (
+        _O21_BASE
+        + f""",
+    pos AS (SELECT DISTINCT src, rel, dst FROM edges WHERE is_rev = 0)
+    SELECT '<http://kg.local/e/' || {enc('src')} ||
+           '> <http://kg.local/p/' || {enc('rel')} ||
+           '> <http://kg.local/e/' || {enc('dst')} || '> .' AS line
+    FROM pos
+    """
+    )
+
+
+@register("kg_export_ntriples", oracle=_nt_oracle())
+def kg_export_ntriples(spark, sf_dir):
+    """W3C N-Triples serialization of the KG edges — the interop export
+    a downstream graph store loads (operators/export.py::ntriples_edges;
+    also reachable as build_kg --export-ntriples). IRI path segments
+    percent-encode the reserved set with % first so encoded bytes never
+    double-encode; pure row-local literal-replace chains inside the
+    scan stage, no regex, no UDF, no shuffle beyond the edge distinct.
+    The relation strings here carry spaces, so the %20 path is
+    exercised end to end against the oracle's replace chain."""
+    from deepex_spark.operators.export import ntriples_edges
+
+    edges = (
+        o21_reverse_union(spark, sf_dir)
+        .where(F.col("is_rev") == 0)
+        .select("src", "rel", "dst")
+        .distinct()
+    )
+    return ntriples_edges(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 

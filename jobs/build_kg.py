@@ -77,6 +77,14 @@ def main(argv=None):
         "degree + canonical top-8 neighbor pack) from the built edges",
     )
     p.add_argument(
+        "--export-ntriples",
+        action="store_true",
+        help="serialize the built edges + vertex labels as W3C "
+        "N-Triples text (the interop export a downstream graph store "
+        "loads); row-local replace-chain escaping, written through the "
+        "snapshot catalog",
+    )
+    p.add_argument(
         "--walk-corpus",
         type=int,
         default=None,
@@ -178,6 +186,15 @@ def main(argv=None):
         link_strategy=args.link_strategy, resolve=args.resolve_entities,
     )
     n_t, n_v, n_e = triples.count(), vertices.count(), edges.count()
+    if args.export_ntriples:
+        from pyspark.sql import functions as F
+
+        from deepex_spark.operators.export import ntriples_edges, ntriples_labels
+
+        nt = ntriples_edges(
+            edges, src="subj_id", rel="pred_canon", dst="obj_id"
+        ).unionByName(ntriples_labels(vertices, "entity_id", "canonical"))
+        catalog.write_snapshot(nt, "ntriples", run_id=f"{args.run_id}-nt")
     if args.export_adjacency or args.walk_corpus:
         from pyspark.sql import functions as F
 
