@@ -107,3 +107,41 @@ def ntriples_labels(
             F.lit('" .'),
         ).alias("line")
     )
+
+
+def iri_segment_decode(col: Column) -> Column:
+    """Exact inverse of :func:`iri_segment`: decode every %XX of the
+    reserved set, ``%25`` LAST (the encoder applied ``%`` first, so in
+    encoded text every ``%`` is followed by ``25`` and no spurious %XX
+    can match early)."""
+    c = col.cast("string")
+    for ch, enc in reversed(IRI_ENC):
+        c = F.replace(c, F.lit(enc), F.lit(ch))
+    return c
+
+
+def parse_ntriples_edges(
+    lines: DataFrame, base: str = "http://kg.local/", line_col: str = "line"
+) -> DataFrame:
+    """Inverse of :func:`ntriples_edges`: parse entity–predicate–entity
+    statement lines back to ``(src, rel, dst)`` strings (callers cast
+    ids as needed). Row-local regexp_extract + the decode chain; lines
+    that are not e/p/e statements under ``base`` (e.g. label literals)
+    parse to empty strings and are dropped."""
+    e = base + "e/"
+    p = base + "p/"
+    import re as _re
+
+    pat = (
+        "^<" + _re.escape(e) + "([^>]*)> <" + _re.escape(p)
+        + "([^>]*)> <" + _re.escape(e) + "([^>]*)> \\.$"
+    )
+    c = F.col(line_col)
+    out = lines.select(
+        iri_segment_decode(F.regexp_extract(c, pat, 1)).alias("src"),
+        iri_segment_decode(F.regexp_extract(c, pat, 2)).alias("rel"),
+        iri_segment_decode(F.regexp_extract(c, pat, 3)).alias("dst"),
+    )
+    return out.where(
+        (F.col("src") != "") & (F.col("rel") != "") & (F.col("dst") != "")
+    )

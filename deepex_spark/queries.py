@@ -5852,6 +5852,35 @@ def kg_export_ntriples(spark, sf_dir):
     return ntriples_edges(edges)
 
 
+@register(
+    "kg_ntriples_roundtrip",
+    oracle=_O21_BASE + """
+    SELECT DISTINCT CAST(src AS VARCHAR) AS src, rel,
+           CAST(dst AS VARCHAR) AS dst
+    FROM edges WHERE is_rev = 0
+    """,
+)
+def kg_ntriples_roundtrip(spark, sf_dir):
+    """Serialization round trip: parse(export(edges)) must equal the
+    original edge set exactly — the oracle is the RAW distinct edges,
+    so the driver hash proves the N-Triples encoder and parser
+    (operators/export.py) are mutual inverses through real data,
+    including the %-encoding of space-bearing predicates. Both
+    directions are row-local; the only exchange is the edge distinct."""
+    from deepex_spark.operators.export import (
+        ntriples_edges,
+        parse_ntriples_edges,
+    )
+
+    edges = (
+        o21_reverse_union(spark, sf_dir)
+        .where(F.col("is_rev") == 0)
+        .select("src", "rel", "dst")
+        .distinct()
+    )
+    return parse_ntriples_edges(ntriples_edges(edges))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 

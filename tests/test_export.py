@@ -125,3 +125,30 @@ def test_build_kg_export_ntriples_end_to_end(spark, tmp_path):
     ][:3]
     assert any("rdf-schema#label" in ln for ln in lines)
     assert any("/p/" in ln for ln in lines)
+
+
+def test_parse_is_exact_inverse(spark):
+    """parse(export(edges)) == edges for adversarial ids/relations
+    (reserved chars, %-sequences that could double-decode), and label
+    lines are skipped by the parser."""
+    from deepex_spark.operators.export import (
+        ntriples_edges,
+        ntriples_labels,
+        parse_ntriples_edges,
+    )
+
+    rows = [
+        ("a b", "rel with space", "c%20d"),   # literal %20 in the ID
+        ("x%y", "p%25q", "<z>"),
+        ("plain", 'q"{}|\\^`', "w"),
+    ]
+    df = spark.createDataFrame(rows, ["src", "rel", "dst"])
+    lines = ntriples_edges(df).unionByName(
+        ntriples_labels(
+            spark.createDataFrame([(1, "lbl")], ["i", "l"]), "i", "l"
+        )
+    )
+    got = sorted(
+        map(tuple, parse_ntriples_edges(lines).collect())
+    )
+    assert got == sorted(rows)
