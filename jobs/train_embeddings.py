@@ -99,6 +99,78 @@ def train_embeddings(
     }
 
 
+def refresh_embeddings(
+    spark,
+    delta_edges,
+    catalog,
+    dim: int = 8,
+    epochs: int = 1,
+    lr: float = 0.5,
+    walk_len: int = 4,
+    window: int = 2,
+    pos_weight: int = 1,
+    n_walks: int = 1,
+    run_id: str = "embd0",
+):
+    """Incremental refresh: train ``epochs`` on pairs derived from the
+    DELTA edge batch only, reading parameters from the current
+    ``kg_embeddings`` snapshot and folding the updated rows back —
+    untouched parameters pass through byte-identically. The walk corpus
+    is confined to the delta subgraph, so this is a documented
+    approximation of a full retrain (the same fold-vs-rebuild split as
+    jobs/maintain_kg.py: deltas fold cheaply, a periodic full
+    train_embeddings run is the consolidation path). Cost scales with
+    the delta, not the graph: the epoch touches only delta-adjacent
+    (side, node, j) keys, and the fold is one left-anti join on them."""
+    from pyspark.sql import functions as F
+
+    from deepex_spark.operators.graph import negative_samples, random_walks
+    from deepex_spark.operators.kgq import skipgram_epoch_from_table
+
+    current = catalog.read_snapshot(spark, "kg_embeddings")
+    if "rel" not in delta_edges.columns:
+        delta_edges = delta_edges.withColumn("rel", F.lit("_all"))
+    walks = random_walks(
+        delta_edges.select("src", "dst"), walk_len=walk_len, n_walks=n_walks
+    )
+    a, b = walks.alias("a"), walks.alias("b")
+    same_walk = F.col("a.start") == F.col("b.start")
+    if n_walks > 1:
+        same_walk = same_walk & (F.col("a.wk") == F.col("b.wk"))
+    pairs = (
+        a.join(
+            b,
+            same_walk
+            & (F.col("b.step") - F.col("a.step")).between(1, window),
+        )
+        .groupBy(F.col("a.v").alias("center"), F.col("b.v").alias("context"))
+        .agg((F.count("*") * pos_weight).alias("n_pairs"))
+    )
+    pos_triples = delta_edges.select(
+        F.col("src").alias("subj"), "rel", F.col("dst").alias("obj")
+    ).distinct()
+    neg = negative_samples(pos_triples).select(
+        F.col("subj").alias("center"), F.col("neg_obj").alias("context")
+    )
+    emb = current
+    for _ in range(epochs):
+        emb = skipgram_epoch_from_table(pairs, neg, emb, dim=dim, lr=lr)
+    touched = emb.select("side", "node", "j")
+    folded = emb.unionByName(
+        current.join(touched, ["side", "node", "j"], "left_anti")
+    )
+    version = catalog.write_snapshot(folded, "kg_embeddings", run_id=run_id)
+    return {
+        "table": "kg_embeddings",
+        "version": version,
+        "rows": catalog.read_snapshot(spark, "kg_embeddings").count(),
+        "touched": touched.count(),
+        "epochs": epochs,
+        "dim": dim,
+        "n_walks": n_walks,
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="edge parquet/table (src, dst[, rel])")
@@ -113,6 +185,14 @@ def main(argv=None):
     p.add_argument("--n-walks", type=int, default=1,
                    help="walks per vertex (corpus coverage knob)")
     p.add_argument("--run-id", default="emb0")
+    p.add_argument(
+        "--delta",
+        action="store_true",
+        help="treat --input as a delta edge batch: train on its pairs "
+        "only, reading the current kg_embeddings snapshot and folding "
+        "updated parameters back (incremental refresh; run a full "
+        "train periodically to consolidate)",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -125,7 +205,8 @@ def main(argv=None):
     catalog = Catalog(args.output)
     edges = spark.read.parquet(args.input)
     t0 = time.time()
-    report = train_embeddings(
+    fn = refresh_embeddings if args.delta else train_embeddings
+    report = fn(
         spark, edges, catalog,
         dim=args.dim, epochs=args.epochs, lr=args.lr,
         walk_len=args.walk_len, window=args.window,
