@@ -91,6 +91,8 @@ GRAPH = [
     "text_nfc",
     "kg_embedding_train",
     "kg_link_pred_eval",
+    "kg_walk_pairs_multi",
+    "kg_export_ntriples",
 ]
 
 # vector-index layer — `--ann`, own metric name; snapshot in BENCH/ANN.md.

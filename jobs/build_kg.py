@@ -93,6 +93,14 @@ def main(argv=None):
         "LEN-step walk per entity) for embedding training",
     )
     p.add_argument(
+        "--lang",
+        default=None,
+        metavar="CODE",
+        help="keep only pages whose lang column equals CODE (ingest "
+        "gate; a partition-prunable scan filter when the table is "
+        "partitioned by lang)",
+    )
+    p.add_argument(
         "--canonicalize-urls",
         action="store_true",
         help="dedup re-fetches at ingest: keep the newest page per canonical "
@@ -121,6 +129,8 @@ def main(argv=None):
     )
     catalog = Catalog(args.output, fmt=args.output_format)
     pages = read_pages(spark, args.input, fmt=args.input_format)
+    if args.lang:
+        pages = pages.where(pages["lang"] == args.lang)
     if args.derive_text:
         # FIRST, so every downstream consumer (boilerplate detection,
         # alias mining, the kernel) sees the freshly rendered text
