@@ -94,3 +94,56 @@ def test_build_kg_derive_text_end_to_end(spark, tmp_path):
     cat = Catalog(str(out))
     assert cat.exists("triples") and cat.exists("edges")
     assert cat.read(spark, "triples").count() > 0
+
+
+# --------------------------------------------------------- property test
+
+def test_random_html_regex_equals_dom():
+    """Property: over randomly generated well-formed HTML within the
+    spec bounds (quoted attrs, no bare '<' in text, closed
+    script/style, the seven spec entities), the pure-Python mirror of
+    HTML_TEXT_STEPS and the DOM event renderer agree byte-for-byte.
+    Pure-Python (no Spark) — the Spark chain is pinned equal to the
+    mirror by the fixture tests above."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import sys
+    sys.path.insert(0, "tools")
+    from make_html_fixture import dom_render
+
+    words = st.lists(
+        st.sampled_from(
+            ["alpha", "béta", "x1", "&amp;", "&lt;", "&gt;", "&quot;",
+             "&#39;", "&nbsp;", "über", "—", "a&amp;lt;b"]
+        ),
+        min_size=1, max_size=6,
+    ).map(" ".join)
+
+    inline = st.deferred(
+        lambda: st.one_of(
+            words,
+            st.tuples(st.sampled_from(["b", "i", "em", "span", "a"]), inline)
+            .map(lambda t: f"<{t[0]}>{t[1]}</{t[0]}>"),
+        )
+    )
+
+    block = st.one_of(
+        st.tuples(st.sampled_from(["p", "div", "h1", "li", "blockquote"]),
+                  inline).map(lambda t: f"<{t[0]}>{t[1]}</{t[0]}>"),
+        inline.map(lambda s: s + "<br>"),
+        st.tuples(inline, inline).map(
+            lambda t: f"<table><tr><td>{t[0]}</td><td>{t[1]}</td></tr></table>"
+        ),
+        words.map(lambda w: f"<script>var x = '{w}';</script>"),
+        words.map(lambda w: f"<style>p {{ /* {w} */ }}</style>"),
+        words.map(lambda w: f"<!-- {w} -->"),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(block, min_size=1, max_size=8))
+    def run(blocks):
+        html = "<html><body>" + "".join(blocks) + "</body></html>"
+        assert _py_render(html) == dom_render(html)
+
+    run()
