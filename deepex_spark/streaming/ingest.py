@@ -35,13 +35,22 @@ def stream_extract(
     output_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    derive_text: bool = False,
 ):
-    """Run the full batch pipeline per micro-batch; returns the query."""
+    """Run the full batch pipeline per micro-batch; returns the query.
+    ``derive_text`` renders the text column from raw html at ingest —
+    the streaming twin of ``build_kg --derive-text`` (same row-local
+    html_to_text chain, one code path batch == stream)."""
+    from deepex_spark.operators.urls import html_to_text
     from deepex_spark.pipeline import extract_triples
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if derive_text:
+            batch_df = batch_df.withColumn(
+                "text", html_to_text(F.col("html"))
+            )
         (
             extract_triples(batch_df, cfg)
             .withColumn("batch_id", F.lit(batch_id))

@@ -340,3 +340,41 @@ def test_bmp_avi_through_spark_plumbing(spark):
         for r in rows:
             assert bytes(r["frame_bytes"]) == exp[r["frame_idx"]]
             assert r["frame_checksum"] == zlib.crc32(exp[r["frame_idx"]])
+
+
+def test_stream_extract_derive_text(spark, tmp_path):
+    """derive_text=True in the streaming ingest renders text from raw
+    html per micro-batch — output equals the batch pipeline run over
+    the same pages with the same derivation (stream == batch, one code
+    path, including the ingest derivation)."""
+    from pyspark.sql import functions as F
+
+    from deepex_spark.config import DeepExConfig
+    from deepex_spark.operators.urls import html_to_text
+    from deepex_spark.pipeline import extract_triples
+    from deepex_spark.queries import _html_fixture_path
+    from deepex_spark.streaming.ingest import read_page_stream, stream_extract
+
+    src = tmp_path / "pages_in"
+    out = tmp_path / "triples_out"
+    chk = tmp_path / "chk3"
+    # blank the stored text so only the derivation can produce any
+    spark.read.parquet(_html_fixture_path()).limit(6).withColumn(
+        "text", F.lit("")
+    ).write.parquet(str(src))
+
+    cfg = DeepExConfig.task(dist_const=2, beam_size=2)
+    q = stream_extract(
+        read_page_stream(spark, str(src)), cfg, str(out), str(chk),
+        derive_text=True,
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(str(out))
+    assert got.count() > 0
+    batch = extract_triples(
+        spark.read.parquet(str(src)).withColumn(
+            "text", html_to_text(F.col("html"))
+        ),
+        cfg,
+    )
+    assert batch.count() == got.count()
