@@ -1955,6 +1955,57 @@ def crawl_host_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# WARC ingest (sources/warc.py) — committed ground-truth fixture: the
+# writer (tools/make_warc_fixture.py) SERIALIZES known records into
+# .warc/.warc.gz bytes and stores the truth rows, never running a parser,
+# so this hash proves the engine's reader inverts the serialization
+# exactly (incl. per-member gzip offsets and a separator-embedded payload)
+# ---------------------------------------------------------------------------
+
+def _warc_fixture_dir() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "warc",
+    )
+
+
+def _warc_expected_oracle() -> str:
+    import os
+
+    path = os.path.join(
+        os.path.dirname(_warc_fixture_dir()), "warc_expected.parquet"
+    )
+    return f"""
+    SELECT url, warc_ts, http_status, mime, html_len, html_crc32,
+           warc_name, warc_offset, warc_len
+    FROM read_parquet('{path}')
+    """
+
+
+@register("warc_ingest", oracle=_warc_expected_oracle())
+def warc_ingest(spark, sf_dir):
+    """Common-Crawl-style WARC files -> response-record rows via the
+    exact (binaryFile + Content-Length walk) reader; html pinned by
+    length + crc32 (binary cells can't go through the harness's pandas
+    canonicalization), lineage pinned by compressed member offsets."""
+    from deepex_spark.sources.warc import read_warc
+
+    return read_warc(spark, _warc_fixture_dir()).select(
+        "url",
+        "warc_ts",
+        "http_status",
+        "mime",
+        F.octet_length("html").alias("html_len"),
+        F.crc32("html").alias("html_crc32"),
+        F.regexp_extract("warc_file", "([^/]+)$", 1).alias("warc_name"),
+        "warc_offset",
+        "warc_len",
+    )
+
+
+# ---------------------------------------------------------------------------
 # HTML outlink extraction -> web link graph — committed anchor-rich fixture
 # (tools/make_links_fixture.py), INDEPENDENT SQL re-derivation of the
 # extraction + resolution + canonicalization spec in operators/urls.py

@@ -25,7 +25,13 @@ import time
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True, help="pages path/table (url, warc_ts, html, text, lang)")
-    p.add_argument("--input-format", default="parquet", choices=["parquet", "iceberg", "json"])
+    p.add_argument("--input-format", default="parquet",
+                   choices=["parquet", "iceberg", "json", "warc"],
+                   help="warc = raw Common-Crawl-style .warc/.warc.gz files: "
+                        "parsed by sources/warc.py (exact Content-Length walk, "
+                        "one task per file), projected to the pages shape with "
+                        "text rendered from html and lang guessed — implies "
+                        "--derive-text semantics at the scan")
     p.add_argument("--output", required=True, help="catalog base dir (or Iceberg namespace)")
     p.add_argument("--output-format", default="parquet", choices=["parquet", "iceberg"])
     p.add_argument("--run-id", default="run0")
@@ -128,7 +134,15 @@ def main(argv=None):
         run_id=args.run_id,
     )
     catalog = Catalog(args.output, fmt=args.output_format)
-    pages = read_pages(spark, args.input, fmt=args.input_format)
+    if args.input_format == "warc":
+        from deepex_spark.sources.warc import read_warc, warc_to_pages
+
+        # text is rendered from html inside the projection, so the
+        # --derive-text re-render below would be a no-op; skip it
+        pages = warc_to_pages(read_warc(spark, args.input))
+        args.derive_text = False
+    else:
+        pages = read_pages(spark, args.input, fmt=args.input_format)
     if args.lang:
         pages = pages.where(pages["lang"] == args.lang)
     if args.derive_text:
