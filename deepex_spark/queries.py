@@ -979,6 +979,40 @@ def kg_edges(spark, sf_dir):
 
 
 @register(
+    "kg_sparql_bgp",
+    # independent re-derivation: the same 2-hop basic graph pattern as
+    # explicit SQL equi-joins (pattern 1 walks a REVERSE edge: urgent
+    # order -> its customer; pattern 2 a forward edge: customer -> a
+    # low-priority order; FILTER keeps distinct order pairs)
+    oracle=_O21_BASE
+    + """
+    SELECT e1.src AS o1, e1.dst AS c, e2.dst AS o2
+    FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+    WHERE e1.rel = '1-URGENT' AND e2.rel = '5-LOW' AND e1.src <> e2.dst
+    """,
+)
+def kg_sparql_bgp(spark, sf_dir):
+    """SPARQL-lite BGP (operators/sparql.py) over the synthetic KG: a
+    conjunctive 2-pattern query compiled to DataFrame equi-joins —
+    constants pushed to the scan, join keyed on the shared variable,
+    FILTER applied where both vars are bound."""
+    from deepex_spark.operators.sparql import bgp
+
+    edges = o21_reverse_union(spark, sf_dir)
+    return bgp(
+        edges,
+        """
+        SELECT ?o1 ?c ?o2 WHERE {
+          ?o1 <1-URGENT> ?c .
+          ?c <5-LOW> ?o2 .
+          FILTER(?o1 != ?o2)
+        }
+        """,
+        cols=("src", "rel", "dst"),
+    )
+
+
+@register(
     "kg_khop",
     # unrolled fixed-k BFS: level sets f1..f3 exclude everything already
     # reached, so each vertex appears once at its MINIMUM hop count —
