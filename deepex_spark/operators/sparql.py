@@ -14,6 +14,8 @@ Grammar (the documented subset, parsed by :func:`parse_bgp`)::
         term <rel> term .            # triple pattern; term = ?var,
         ...                          #   <iri/string> or a number
         FILTER(?x != ?y) FILTER(?x < 42) ...
+        OPTIONAL { patterns... FILTER(...) }   # left-join group; its
+        ...                          # filters may only use group vars
     }
 
 Terms: ``?name`` is a variable; ``<...>`` is a constant (string-typed,
@@ -38,6 +40,11 @@ Compilation (:func:`bgp`), and why it scales:
   outage, not a slow query;
 * FILTERs are attached at the EARLIEST point all their variables are
   bound (classic filter pushdown into the join tree), not at the end;
+* each OPTIONAL group is solved like a sub-BGP (its own filters
+  pre-filter the optional side) and LEFT-joined to the required
+  solution on the shared variables — unmatched rows carry NULLs.
+  Top-level filters over optional-only variables are rejected
+  (``bound()``/``COALESCE`` three-valued logic is outside the subset);
 * SELECT DISTINCT maps to a post-join ``dropDuplicates`` on the
   projection (one extra exchange only when requested).
 
@@ -96,11 +103,21 @@ class Filter:
 
 
 @dataclass
+class OptionalGroup:
+    patterns: list
+    filters: list
+
+    def variables(self) -> set:
+        return set().union(*[p.variables() for p in self.patterns])
+
+
+@dataclass
 class BGPQuery:
     select: list  # variable names, or ["*"]
     distinct: bool
     patterns: list = field(default_factory=list)
     filters: list = field(default_factory=list)
+    optionals: list = field(default_factory=list)  # OptionalGroup
 
 
 _TERM = r"""(\?[A-Za-z_][A-Za-z0-9_]*|<[^>]*>|"[^"]*"|-?\d+(?:\.\d+)?)"""
@@ -122,16 +139,11 @@ def _term(tok: str):
     return (float(tok) if "." in tok else int(tok)), False
 
 
-def parse_bgp(query: str) -> BGPQuery:
-    m = re.search(
-        r"SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE\s*\{(.*)\}",
-        query,
-        re.IGNORECASE | re.DOTALL,
-    )
-    if not m:
-        raise ValueError("not a SELECT ... WHERE { ... } query")
-    distinct = bool(m.group(1))
-    sel_raw, body = m.group(2).strip(), m.group(3)
+_OPTIONAL_RE = re.compile(r"OPTIONAL\s*\{([^{}]*)\}", re.IGNORECASE | re.DOTALL)
+
+
+def _parse_group(body: str):
+    """Patterns + filters of one brace-free group body."""
     filters = []
     for fm in _FILTER_RE.finditer(body):
         right, rvar = _term(fm.group(3))
@@ -151,22 +163,68 @@ def parse_bgp(query: str) -> BGPQuery:
         patterns.append(
             Pattern(subj=s, pred=p, obj=o, subj_var=sv, pred_var=pv, obj_var=ov)
         )
+    return patterns, filters
+
+
+def parse_bgp(query: str) -> BGPQuery:
+    m = re.search(
+        r"SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE\s*\{(.*)\}",
+        query,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError("not a SELECT ... WHERE { ... } query")
+    distinct = bool(m.group(1))
+    sel_raw, body = m.group(2).strip(), m.group(3)
+    optionals = []
+    for om in _OPTIONAL_RE.finditer(body):
+        op_patterns, op_filters = _parse_group(om.group(1))
+        if not op_patterns:
+            raise ValueError("empty OPTIONAL group")
+        group = OptionalGroup(patterns=op_patterns, filters=op_filters)
+        for f in op_filters:
+            # restriction (documented): an OPTIONAL filter may reference
+            # only variables its own group binds — it pre-filters the
+            # optional side before the left join
+            if not f.variables() <= group.variables():
+                raise ValueError(
+                    f"OPTIONAL FILTER uses variable outside its group: {f}"
+                )
+        optionals.append(group)
+    body = _OPTIONAL_RE.sub(" ", body)
+    patterns, filters = _parse_group(body)
     if not patterns:
         raise ValueError("empty graph pattern")
+    required = set().union(*[p.variables() for p in patterns])
+    bound = required | set().union(
+        set(), *[g.variables() for g in optionals]
+    )
     if sel_raw == "*":
-        select = sorted(set().union(*[p.variables() for p in patterns]))
+        select = sorted(bound)
     else:
         select = [v[1:] for v in sel_raw.split()]
         if not all(v and not v.startswith("?") for v in select):
             raise ValueError(f"bad SELECT list: {sel_raw!r}")
-    bound = set().union(*[p.variables() for p in patterns])
     missing = [v for v in select if v not in bound]
     if missing:
         raise ValueError(f"SELECT variables never bound by a pattern: {missing}")
     for f in filters:
-        if not f.variables() <= bound:
+        # top-level filters must not touch optional-only (nullable) vars —
+        # SPARQL's bound()/COALESCE semantics are out of the subset
+        if not f.variables() <= required:
             raise ValueError(f"FILTER uses unbound variable: {f}")
-    return BGPQuery(select=select, distinct=distinct, patterns=patterns, filters=filters)
+    for g in optionals:
+        if not (g.variables() & required):
+            raise ValueError(
+                "OPTIONAL group shares no variable with the required pattern"
+            )
+    return BGPQuery(
+        select=select,
+        distinct=distinct,
+        patterns=patterns,
+        filters=filters,
+        optionals=optionals,
+    )
 
 
 _OPS = {
@@ -220,9 +278,31 @@ def bgp(
     DataFrame whose columns are the SELECT variables, in SELECT order.
     """
     q = parse_bgp(query) if isinstance(query, str) else query
+    acc, bound = _solve(edges, q.patterns, q.filters, cols, allow_product)
+    for g in q.optionals:
+        # each OPTIONAL group is solved on its own (group filters
+        # pre-filter the optional side), then LEFT-joined to the solution
+        # on the shared variables — unmatched rows keep NULLs, SPARQL's
+        # OPTIONAL semantics for this subset
+        gdf, _ = _solve(edges, g.patterns, g.filters, cols, allow_product)
+        keys = sorted(g.variables() & bound)
+        acc = acc.join(gdf, on=keys, how="left")
+        bound |= g.variables()
+    out = acc.select(*q.select)
+    return out.dropDuplicates() if q.distinct else out
+
+
+def _solve(
+    edges: DataFrame,
+    patterns: list,
+    filters: list,
+    cols: tuple,
+    allow_product: bool,
+):
+    """Left-deep join of one pattern group; returns (df, bound vars)."""
     # most-constant-first, stable on author order
-    order = sorted(range(len(q.patterns)), key=lambda i: (-q.patterns[i].n_constants(), i))
-    pending_filters = list(q.filters)
+    order = sorted(range(len(patterns)), key=lambda i: (-patterns[i].n_constants(), i))
+    pending_filters = list(filters)
 
     def apply_ready_filters(df: DataFrame, bound: set) -> DataFrame:
         nonlocal pending_filters
@@ -238,13 +318,13 @@ def bgp(
 
     remaining = list(order)
     first = remaining.pop(0)
-    acc = _pattern_df(edges, q.patterns[first], cols)
-    bound = set(q.patterns[first].variables())
+    acc = _pattern_df(edges, patterns[first], cols)
+    bound = set(patterns[first].variables())
     acc = apply_ready_filters(acc, bound)
     while remaining:
         # next pattern (in heuristic order) that shares a variable
         idx = next(
-            (j for j, i in enumerate(remaining) if q.patterns[i].variables() & bound),
+            (j for j, i in enumerate(remaining) if patterns[i].variables() & bound),
             None,
         )
         if idx is None:
@@ -255,10 +335,9 @@ def bgp(
                 )
             idx = 0
         i = remaining.pop(idx)
-        pdf = _pattern_df(edges, q.patterns[i], cols)
-        keys = sorted(q.patterns[i].variables() & bound)
+        pdf = _pattern_df(edges, patterns[i], cols)
+        keys = sorted(patterns[i].variables() & bound)
         acc = acc.join(pdf, on=keys, how="inner") if keys else acc.crossJoin(pdf)
-        bound |= q.patterns[i].variables()
+        bound |= patterns[i].variables()
         acc = apply_ready_filters(acc, bound)
-    out = acc.select(*q.select)
-    return out.dropDuplicates() if q.distinct else out
+    return acc, bound

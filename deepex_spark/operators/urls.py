@@ -90,6 +90,41 @@ def url_host(url: Column) -> Column:
     )
 
 
+def surt(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key of a CANONICAL
+    url — the key scheme CDX web-archive indexes sort and range-scan by:
+    same-domain records become one contiguous key range, so "all of
+    ``*.example.org``" is a prefix scan instead of a full-index filter.
+
+    Spec (this module's dialect, mirrored by the ``warc_cdx_index``
+    DuckDB oracle):
+
+    1. host = lowercase authority after the last ``@``, minus any
+       ``:port`` (apply to :func:`normalize_url` output, which already
+       dropped default ports and ``www.`` — a surviving port is
+       non-default and re-appended in step 3);
+    2. reverse the host's dot-segments and join with commas
+       (``news.example.org`` -> ``org,example,news``);
+    3. append ``:port`` if one survived canonicalization;
+    4. append ``)`` then the path+query exactly as canonicalized
+       (default ``/`` when empty).
+
+    Pure row-local column algebra — at index-build scale this runs
+    inside the scan projection.
+    """
+    authority = F.regexp_extract(url, r"^[a-z0-9+.\-]+://(?:[^/?]*@)?([^/?@]*)", 1)
+    host = F.regexp_replace(authority, ":[0-9]+$", "")
+    port = F.regexp_extract(authority, r":([0-9]+)$", 1)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    rest = F.regexp_replace(url, r"^[a-z0-9+.\-]+://[^/?]*", "")
+    return F.concat(
+        rev,
+        F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        F.lit(")"),
+        F.when(rest == "", F.lit("/")).otherwise(rest),
+    )
+
+
 def canonicalize_urls(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """Add ``canon_url`` and ``host`` columns. Row-local — no shuffle."""
     canon = normalize_url(F.col(url_col))

@@ -1013,6 +1013,41 @@ def kg_sparql_bgp(spark, sf_dir):
 
 
 @register(
+    "kg_sparql_optional",
+    # OPTIONAL == LEFT JOIN: urgent-order customers, optionally paired
+    # with their medium-priority orders above an id threshold (the group
+    # filter pre-filters the OPTIONAL side — rows below threshold yield
+    # NULL, they do not drop the customer row)
+    oracle=_O21_BASE
+    + """
+    SELECT e1.src AS c, e1.dst AS o1, e2.dst AS o2
+    FROM (SELECT * FROM edges WHERE rel = '1-URGENT' AND is_rev = 0) e1
+    LEFT JOIN (SELECT * FROM edges
+               WHERE rel = '3-MEDIUM' AND is_rev = 0 AND dst > 20000) e2
+      ON e1.src = e2.src
+    """,
+)
+def kg_sparql_optional(spark, sf_dir):
+    """OPTIONAL (left-join) arm of the BGP layer. The forward-only edge
+    set isolates the semantics (reverse edges would make src ambiguous
+    between custkey/orderkey); the oracle re-derives it as an explicit
+    SQL LEFT JOIN with the same pre-filtered right side."""
+    from deepex_spark.operators.sparql import bgp
+
+    edges = o21_reverse_union(spark, sf_dir).filter(F.col("is_rev") == 0)
+    return bgp(
+        edges,
+        """
+        SELECT ?c ?o1 ?o2 WHERE {
+          ?c <1-URGENT> ?o1 .
+          OPTIONAL { ?c <3-MEDIUM> ?o2 . FILTER(?o2 > 20000) }
+        }
+        """,
+        cols=("src", "rel", "dst"),
+    )
+
+
+@register(
     "kg_khop",
     # unrolled fixed-k BFS: level sets f1..f3 exclude everything already
     # reached, so each vertex appears once at its MINIMUM hop count —
@@ -2037,6 +2072,60 @@ def warc_ingest(spark, sf_dir):
         "warc_offset",
         "warc_len",
     )
+
+
+def _cdx_oracle() -> str:
+    """SURT + ts14 re-derived in DuckDB over the ground-truth rows: the
+    canonicalization CTE chain (same one the url_canonicalize oracle
+    uses) feeds an independent SQL SURT — reversed host segments,
+    non-default port re-appended, path+query carried as canonicalized."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(_warc_fixture_dir()), "warc_expected.parquet"
+    )
+    chain = _canon_chain(
+        "c",
+        f"read_parquet('{path}')",
+        "url",
+        "url, warc_ts, http_status, mime, html_crc32, warc_name, "
+        "warc_offset, warc_len",
+    )
+    return rf"""
+    WITH {chain},
+    parts AS (
+      SELECT *,
+        regexp_extract(canon_url, '^[a-z0-9+.\-]+://(?:[^/?]*@)?([^/?@]*)', 1)
+          AS authority,
+        regexp_replace(canon_url, '^[a-z0-9+.\-]+://[^/?]*', '') AS rest
+      FROM c
+    )
+    SELECT
+      array_to_string(
+        list_reverse(string_split(regexp_replace(authority, ':[0-9]+$', ''), '.')),
+        ','
+      )
+      || CASE WHEN regexp_extract(authority, ':([0-9]+)$', 1) = '' THEN ''
+              ELSE ':' || regexp_extract(authority, ':([0-9]+)$', 1) END
+      || ')'
+      || CASE WHEN rest = '' THEN '/' ELSE rest END AS surt_key,
+      strftime(warc_ts, '%Y%m%d%H%M%S') AS ts14,
+      url, http_status, mime,
+      html_crc32 AS digest_crc32,
+      warc_name, warc_offset, warc_len
+    FROM parts
+    """
+
+
+@register("warc_cdx_index", oracle=_cdx_oracle())
+def warc_cdx_index(spark, sf_dir):
+    """CDX capture index built from raw WARC in one pass: SURT of the
+    canonical url + 14-digit timestamp + ranged-read (file, offset, len)
+    + crc32 digest. The oracle never touches WARC bytes — it re-derives
+    the whole key from the writer-serialized truth rows."""
+    from deepex_spark.sources.warc import cdx_index, read_warc
+
+    return cdx_index(read_warc(spark, _warc_fixture_dir()))
 
 
 # ---------------------------------------------------------------------------

@@ -371,6 +371,34 @@ def lang_guess(text: Column) -> Column:
     ).otherwise("other")
 
 
+def cdx_index(warc: DataFrame) -> DataFrame:
+    """CDX-style capture index over :func:`read_warc` rows — the lookup
+    table web archives (and Common Crawl itself) publish next to WARC
+    files: one row per response capture, keyed by
+    (SURT of the canonical url, 14-digit timestamp), carrying the
+    (file, offset, length) needed for a ranged-read re-fetch plus status
+    / mime / a payload digest.
+
+    Sorted by ``surt_key`` the index range-scans per domain; written
+    partitioned/bucketed by ``surt_key`` prefix it prunes. The digest is
+    ``crc32`` (not CC's sha1-b32 — same dedup role, JVM-native, and the
+    goldens pin payload crc32 already). Row-local column algebra on top
+    of the scan; build it in the same pass as the ingest."""
+    from deepex_spark.operators.urls import normalize_url, surt
+
+    return warc.select(
+        surt(normalize_url(F.col("url"))).alias("surt_key"),
+        F.date_format("warc_ts", "yyyyMMddHHmmss").alias("ts14"),
+        "url",
+        "http_status",
+        "mime",
+        F.crc32("html").alias("digest_crc32"),
+        F.regexp_extract("warc_file", "([^/]+)$", 1).alias("warc_name"),
+        "warc_offset",
+        "warc_len",
+    )
+
+
 def warc_to_pages(warc: DataFrame) -> DataFrame:
     """WARC rows -> the exact input_hint shape ``(url, warc_ts, html,
     text, lang)``: keep HTTP 200 html responses, render ``text`` with the

@@ -164,3 +164,61 @@ def test_filter_applied_before_final_join(spark):
     optimized = out._jdf.queryExecution().optimizedPlan().toString()
     join_pos = optimized.find("Join")
     assert "bob" in optimized[join_pos:], "filter should sit below/inside the join subtree"
+
+
+def test_optional_left_join_semantics(spark):
+    """OPTIONAL keeps unmatched required rows with NULLs; a FILTER inside
+    the group pre-filters the optional side (NULL instead of row drop)."""
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        """
+        SELECT ?p ?city ?country WHERE {
+          ?p <born_in> ?city .
+          OPTIONAL { ?city <in_country> ?country . FILTER(?country != <germany>) }
+        }
+        """,
+    )
+    rows = {(r["p"], r["city"]): r["country"] for r in out.collect()}
+    assert rows[("alice", "paris")] == "france"
+    assert rows[("carol", "lyon")] == "france"
+    # berlin's only country is filtered inside the group -> NULL, row kept
+    assert rows[("dave", "berlin")] is None
+    assert len(rows) == 4
+
+
+def test_optional_var_in_select_and_distinct(spark):
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        """
+        SELECT DISTINCT ?city ?country WHERE {
+          ?p <born_in> ?city .
+          OPTIONAL { ?city <in_country> ?country . }
+        }
+        """,
+    )
+    got = {tuple(r) for r in out.collect()}
+    assert got == {("paris", "france"), ("lyon", "france"), ("berlin", "germany")}
+
+
+def test_optional_rejections():
+    # group filter referencing an outside variable
+    with pytest.raises(ValueError, match="outside its group"):
+        parse_bgp(
+            "SELECT ?a WHERE { ?a <knows> ?b . "
+            "OPTIONAL { ?b <knows> ?c . FILTER(?a != ?c) } }"
+        )
+    # disconnected optional group
+    with pytest.raises(ValueError, match="shares no variable"):
+        parse_bgp(
+            "SELECT ?a WHERE { ?a <knows> ?b . OPTIONAL { ?x <knows> ?y . } }"
+        )
+    # top-level filter over an optional-only (nullable) variable
+    with pytest.raises(ValueError, match="unbound variable"):
+        parse_bgp(
+            "SELECT ?a WHERE { ?a <knows> ?b . "
+            "OPTIONAL { ?b <knows> ?c . } FILTER(?c != ?a) }"
+        )
+    with pytest.raises(ValueError, match="empty OPTIONAL"):
+        parse_bgp("SELECT ?a WHERE { ?a <knows> ?b . OPTIONAL {  } }")

@@ -212,3 +212,67 @@ def test_build_kg_from_warc_end_to_end(spark, tmp_path):
     # docids are the warc target URIs
     docs = {r["sample_docid"] for r in edges.select("sample_docid").collect()}
     assert docs <= set(_truth()["url"])
+
+
+def _surt_py(canon_url: str) -> str:
+    """Independent pure-Python mirror of the SURT spec in
+    operators/urls.py::surt (applies to CANONICAL urls)."""
+    import re as _re
+
+    m = _re.match(r"^[a-z0-9+.\-]+://(?:[^/?]*@)?([^/?@]*)", canon_url)
+    authority = m.group(1)
+    pm = _re.search(r":([0-9]+)$", authority)
+    host = _re.sub(r":[0-9]+$", "", authority)
+    rest = _re.sub(r"^[a-z0-9+.\-]+://[^/?]*", "", canon_url)
+    return (
+        ",".join(reversed(host.split(".")))
+        + (f":{pm.group(1)}" if pm else "")
+        + ")"
+        + (rest or "/")
+    )
+
+
+def test_surt_matches_python_mirror(spark):
+    from deepex_spark.operators.urls import normalize_url, surt
+
+    raw = [
+        "https://news.example.org/a/b?x=1",
+        "HTTP://WWW.Example.COM:80/path/",
+        "https://example.com:8443/q?b=2&a=1",
+        "http://user:pw@host.example.net/secret#frag",
+        "https://single/",
+        "http://example.org",
+    ]
+    df = spark.createDataFrame([(u,) for u in raw], "url string")
+    rows = df.select(
+        "url",
+        normalize_url(F.col("url")).alias("canon"),
+        surt(normalize_url(F.col("url"))).alias("surt"),
+    ).collect()
+    for r in rows:
+        assert r["surt"] == _surt_py(r["canon"]), (r["url"], r["canon"])
+    # the point of SURT: one domain's subdomains share a key prefix
+    by_url = {r["url"]: r["surt"] for r in rows}
+    assert by_url["https://news.example.org/a/b?x=1"].startswith("org,example,")
+    assert by_url["http://example.org"].startswith("org,example)")
+
+
+def test_cdx_index_supports_ranged_refetch(spark):
+    """A CDX row is a self-contained re-fetch handle: slice the named
+    file at (offset, len), inflate if gz, and the record's payload crc32
+    equals the row's digest."""
+    import gzip as _gz
+
+    from deepex_spark.sources.warc import cdx_index, parse_warc_member, read_warc
+
+    rows = cdx_index(read_warc(spark, WARC_DIR)).collect()
+    assert len(rows) == len(_truth())
+    for r in rows:
+        blob = open(os.path.join(WARC_DIR, r["warc_name"]), "rb").read()
+        member = blob[r["warc_offset"] : r["warc_offset"] + r["warc_len"]]
+        if r["warc_name"].endswith(".gz"):
+            member = _gz.decompress(member)
+        _, block = parse_warc_member(member)
+        payload = block.partition(b"\r\n\r\n")[2]
+        assert zlib.crc32(payload) == r["digest_crc32"]
+        assert len(r["ts14"]) == 14 and r["ts14"].isdigit()
