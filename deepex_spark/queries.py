@@ -2321,6 +2321,126 @@ def crawl_frontier_query(spark, sf_dir):
     return crawl_frontier(pages)
 
 
+def _robots_fixture_path() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "robots.parquet",
+    )
+
+
+def _robots_oracle() -> str:
+    """Independent SQL re-derivation of the whole robots chain: line
+    split/zip-unnest -> comment strip/trim -> typed keys -> user-agent
+    group windows (stacked UA lines, star groups) -> wildcard-truncated
+    prefixes -> longest-match (allow on ties) verdict per distinct
+    canonical url."""
+    chain = _canon_chain(
+        "c", f"read_parquet('{_pages_fixture_path()}')", "url", "url"
+    )
+    return rf"""
+    WITH {chain},
+    u AS (
+      SELECT DISTINCT url, canon_url,
+        regexp_replace(
+          regexp_extract(canon_url, '^[a-z0-9+.\-]+://(?:[^/?]*@)?([^/?@]*)', 1),
+          ':[0-9]+$', '') AS host,
+        CASE WHEN regexp_replace(canon_url, '^[a-z0-9+.\-]+://[^/?]*', '') = ''
+             THEN '/'
+             ELSE regexp_replace(canon_url, '^[a-z0-9+.\-]+://[^/?]*', '')
+        END AS path
+      FROM c
+    ),
+    lraw AS (
+      SELECT host AS rhost,
+             unnest(generate_series(1, len(string_split(robots_txt, chr(10))))) AS ln,
+             unnest(string_split(robots_txt, chr(10))) AS raw
+      FROM read_parquet('{_robots_fixture_path()}')
+    ),
+    lns AS (
+      SELECT rhost, ln,
+             trim(regexp_replace(regexp_replace(raw, chr(13), ''), '#.*', '')) AS line
+      FROM lraw
+    ),
+    typed AS (
+      SELECT rhost, ln,
+             lower(trim(split_part(line, ':', 1))) AS key,
+             trim(substring(line, instr(line, ':') + 1)) AS value
+      FROM lns
+      WHERE line <> ''
+        AND lower(trim(split_part(line, ':', 1)))
+              IN ('user-agent', 'allow', 'disallow')
+    ),
+    grouped AS (
+      SELECT *,
+        CASE WHEN key = 'user-agent'
+                  AND coalesce(lag(key) OVER (PARTITION BY rhost ORDER BY ln), '')
+                      <> 'user-agent'
+             THEN 1 ELSE 0 END AS new_group
+      FROM typed
+    ),
+    gid AS (
+      SELECT *, sum(new_group) OVER (PARTITION BY rhost ORDER BY ln) AS group_id
+      FROM grouped
+    ),
+    starred AS (
+      SELECT *,
+        max(CASE WHEN key = 'user-agent' AND value = '*' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY rhost, group_id) AS has_star
+      FROM gid
+    ),
+    rules AS (
+      SELECT rhost, (key = 'allow') AS is_allow,
+             split_part(split_part(value, '*', 1), '$', 1) AS path_prefix,
+             length(split_part(split_part(value, '*', 1), '$', 1)) AS prefix_len
+      FROM starred
+      WHERE has_star = 1 AND key IN ('allow', 'disallow') AND value <> ''
+        AND split_part(split_part(value, '*', 1), '$', 1) <> ''
+    ),
+    v AS (
+      SELECT u.url, u.canon_url, u.host,
+             r.is_allow, r.path_prefix, r.prefix_len,
+             row_number() OVER (
+               PARTITION BY u.url
+               ORDER BY r.prefix_len DESC NULLS LAST, r.is_allow DESC NULLS LAST
+             ) AS rn
+      FROM u LEFT JOIN rules r
+        ON u.host = r.rhost AND starts_with(u.path, r.path_prefix)
+    )
+    SELECT url, canon_url, host,
+           coalesce(is_allow, TRUE) AS allowed,
+           path_prefix AS matched_prefix,
+           prefix_len AS matched_len
+    FROM v WHERE rn = 1
+    """
+
+
+@register("crawl_robots_filter", oracle=_robots_oracle())
+def crawl_robots_filter(spark, sf_dir):
+    """robots.txt politeness verdict for every distinct canonical page
+    url (operators/robots.py): parse the committed per-host robots
+    bodies into *-agent prefix rules, broadcast-join them to the url
+    side, decide by longest-match with allow winning ties, default
+    allow. The url side never shuffles on the rule join."""
+    from deepex_spark.operators.robots import parse_robots, robots_verdict
+    from deepex_spark.operators.urls import normalize_url, url_host
+
+    pages = spark.read.parquet(_pages_fixture_path())
+    canon = pages.select(
+        "url", normalize_url(F.col("url")).alias("canon_url")
+    ).distinct()
+    rest = F.regexp_replace("canon_url", r"^[a-z0-9+.\-]+://[^/?]*", "")
+    urls = canon.select(
+        "url",
+        "canon_url",
+        url_host(F.col("canon_url")).alias("host"),
+        F.when(rest == "", "/").otherwise(rest).alias("path"),
+    )
+    rules = parse_robots(spark.read.parquet(_robots_fixture_path()))
+    return robots_verdict(urls, rules).drop("path")
+
+
 @register(
     "anchor_aliases",
     oracle=_anchor_pairs_cte()
