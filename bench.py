@@ -110,6 +110,108 @@ ANN = [
 ]
 
 
+def run_ingest(n_files: int = 16, docs_per_file: int = 1500) -> dict:
+    """WARC ingest-path throughput (`--ingest`): synthesize a
+    deterministic WARC corpus (half plain .warc, half per-record-gzip
+    .warc.gz — the Common Crawl shape), then measure the exact reader,
+    the JVM lineSep reader (plain files), the full warc->pages
+    projection (parse + html_to_text + langid) and the CDX index build.
+    Pages/s and MB/s per stage; snapshot in BENCH/INGEST.md."""
+    import shutil
+    import tempfile
+
+    from tools.make_warc_fixture import gz_member, response_record
+
+    from deepex_spark.session import build_session
+    from deepex_spark.sources.pages import synth_doc_for
+    from deepex_spark.sources.warc import cdx_index, read_warc, read_warc_text, warc_to_pages
+
+    hw = hw_canary()
+    s0 = _read_steal()
+    tmp = tempfile.mkdtemp(prefix="warc_bench_")
+    total_bytes = 0
+    plain_bytes = 0
+    n_pages = n_files * docs_per_file
+    try:
+        for f in range(n_files):
+            gz = f % 2 == 1
+            parts = []
+            for d in range(docs_per_file):
+                i = f * docs_per_file + d
+                body = "".join(
+                    "<p>" + synth_doc_for(i * 4 + k, seed=7) + "</p>"
+                    for k in range(4)
+                )
+                html = (
+                    "<html><head><title>p%d</title></head><body>" % i
+                    + body
+                    + "</body></html>"
+                ).encode()
+                rec = response_record(
+                    f"https://bench{f}.example.org/p/{d}",
+                    "2024-05-%02dT%02d:00:00Z" % (1 + f % 28, d % 24),
+                    200,
+                    "text/html",
+                    html,
+                )
+                parts.append(gz_member(rec) if gz else rec)
+            blob = b"".join(parts)
+            total_bytes += len(blob)
+            if not gz:
+                plain_bytes += len(blob)
+            with open(
+                os.path.join(tmp, f"f{f}.warc" + (".gz" if gz else "")), "wb"
+            ) as fh:
+                fh.write(blob)
+
+        spark = build_session(
+            app_name="deepex-ingest-bench",
+            master=f"local[{CPUS}]",
+            shuffle_partitions=int(CPUS),
+        )
+        spark.range(1000).selectExpr("sum(id)").collect()
+        plain_glob = os.path.join(tmp, "*.warc")
+        # warm the Arrow/python-worker path once so stage times measure
+        # parsing, not daemon startup (exact reader is mapInPandas-based)
+        read_warc(spark, os.path.join(tmp, "f0.warc")).count()
+
+        stages = {
+            "read_warc_exact": lambda: read_warc(spark, tmp).count(),
+            "read_warc_text_jvm": lambda: read_warc_text(spark, plain_glob).count(),
+            "warc_to_pages": lambda: warc_to_pages(read_warc(spark, tmp)).count(),
+            "cdx_index": lambda: cdx_index(read_warc(spark, tmp)).count(),
+        }
+        per_stage: dict[str, dict] = {}
+        for name, fn in stages.items():
+            t0 = time.time()
+            n = fn()
+            dt = time.time() - t0
+            denom_pages = n_pages // 2 if name == "read_warc_text_jvm" else n_pages
+            denom_bytes = plain_bytes if name == "read_warc_text_jvm" else total_bytes
+            per_stage[name] = {
+                "sec": round(dt, 3),
+                "rows": n,
+                "pages_per_sec": round(denom_pages / dt, 1),
+                "mb_per_sec": round(denom_bytes / dt / 1e6, 1),
+            }
+        spark.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "metric": "ingest_warc_pages_per_sec",
+        "value": per_stage["warc_to_pages"]["pages_per_sec"],
+        "unit": "pages/sec",
+        "queries": {k: v["sec"] for k, v in per_stage.items()},
+        "stages": per_stage,
+        "n_pages": n_pages,
+        "corpus_mb": round(total_bytes / 1e6, 1),
+        "n_files": n_files,
+        "cpus": int(CPUS),
+        "hw_mops": hw,
+        "steal_pct": _steal_pct(s0, _read_steal()),
+    }
+
+
 def _sf_label(sf_dir: str) -> float:
     try:
         return float(sf_dir.rstrip("/").split("sf")[-1])
@@ -408,5 +510,7 @@ if __name__ == "__main__":
         print(json.dumps(run_headline(GRAPH, "graph_suite_sec")))
     elif "--ann" in sys.argv:
         print(json.dumps(run_headline(ANN, "ann_suite_sec")))
+    elif "--ingest" in sys.argv:
+        print(json.dumps(run_ingest()))
     else:
         print(json.dumps(run_headline()))
