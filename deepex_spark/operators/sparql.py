@@ -9,7 +9,8 @@ DataFrame equi-joins so Catalyst/AQE owns the physical plan.
 
 Grammar (the documented subset, parsed by :func:`parse_bgp`)::
 
-    SELECT [DISTINCT] ?v1 ?v2 ... | *
+    SELECT [DISTINCT] ?v1 ?v2 ... | * | (COUNT(*|?v) AS ?n) | (MIN/
+           MAX/SUM/AVG(?v) AS ?x) | (COUNT(DISTINCT ?v) AS ?n) ...
     WHERE {
         term <rel> term .            # triple pattern; term = ?var,
         ...                          #   <iri/string> or a number
@@ -46,7 +47,11 @@ Compilation (:func:`bgp`), and why it scales:
   Top-level filters over optional-only variables are rejected
   (``bound()``/``COALESCE`` three-valued logic is outside the subset);
 * SELECT DISTINCT maps to a post-join ``dropDuplicates`` on the
-  projection (one extra exchange only when requested).
+  projection (one extra exchange only when requested);
+* aggregate SELECT items turn the query into one ``groupBy`` on the
+  plain SELECT variables (SPARQL's implicit grouping for this subset) —
+  map-side combinable, so the aggregation adds at most one exchange.
+  Output columns are the group keys then the aggregate aliases.
 
 The result column set is exactly the SELECT variables (names without
 ``?``), making the operator oracle-checkable: the registered
@@ -111,6 +116,13 @@ class OptionalGroup:
         return set().union(*[p.variables() for p in self.patterns])
 
 
+@dataclass(frozen=True)
+class Aggregate:
+    func: str  # count | count_distinct | min | max | sum | avg
+    var: str | None  # None for COUNT(*)
+    alias: str
+
+
 @dataclass
 class BGPQuery:
     select: list  # variable names, or ["*"]
@@ -118,6 +130,7 @@ class BGPQuery:
     patterns: list = field(default_factory=list)
     filters: list = field(default_factory=list)
     optionals: list = field(default_factory=list)  # OptionalGroup
+    aggregates: list = field(default_factory=list)  # Aggregate
 
 
 _TERM = r"""(\?[A-Za-z_][A-Za-z0-9_]*|<[^>]*>|"[^"]*"|-?\d+(?:\.\d+)?)"""
@@ -140,6 +153,11 @@ def _term(tok: str):
 
 
 _OPTIONAL_RE = re.compile(r"OPTIONAL\s*\{([^{}]*)\}", re.IGNORECASE | re.DOTALL)
+_AGG_RE = re.compile(
+    r"\(\s*(COUNT|MIN|MAX|SUM|AVG)\s*\(\s*(DISTINCT\s+)?"
+    r"(\*|\?[A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+(\?[A-Za-z_][A-Za-z0-9_]*)\s*\)",
+    re.IGNORECASE,
+)
 
 
 def _parse_group(body: str):
@@ -199,10 +217,27 @@ def parse_bgp(query: str) -> BGPQuery:
     bound = required | set().union(
         set(), *[g.variables() for g in optionals]
     )
-    if sel_raw == "*":
+    aggregates = []
+    for am in _AGG_RE.finditer(sel_raw):
+        func = am.group(1).lower()
+        term = am.group(3)
+        var = None if term == "*" else term[1:]
+        if am.group(2):
+            if func != "count":
+                raise ValueError("DISTINCT is only supported inside COUNT(...)")
+            func = "count_distinct"
+        if var is None and func != "count":
+            raise ValueError(f"{func.upper()}(*) is not supported")
+        if var is not None and var not in bound:
+            raise ValueError(f"aggregate over unbound variable: ?{var}")
+        aggregates.append(Aggregate(func=func, var=var, alias=am.group(4)[1:]))
+    sel_plain = _AGG_RE.sub(" ", sel_raw).strip()
+    if sel_plain == "*":
+        if aggregates:
+            raise ValueError("SELECT * cannot be mixed with aggregates")
         select = sorted(bound)
     else:
-        select = [v[1:] for v in sel_raw.split()]
+        select = [v[1:] for v in sel_plain.split()]
         if not all(v and not v.startswith("?") for v in select):
             raise ValueError(f"bad SELECT list: {sel_raw!r}")
     missing = [v for v in select if v not in bound]
@@ -224,6 +259,7 @@ def parse_bgp(query: str) -> BGPQuery:
         patterns=patterns,
         filters=filters,
         optionals=optionals,
+        aggregates=aggregates,
     )
 
 
@@ -288,6 +324,24 @@ def bgp(
         keys = sorted(g.variables() & bound)
         acc = acc.join(gdf, on=keys, how="left")
         bound |= g.variables()
+    if q.aggregates:
+        # plain SELECT variables are the (implicit) GROUP BY keys; the
+        # aggregation is one map-side-combinable exchange on those keys
+        exprs = []
+        for a in q.aggregates:
+            col = F.col(a.var) if a.var is not None else None
+            expr = {
+                "count": F.count(col) if col is not None else F.count(F.lit(1)),
+                "count_distinct": F.count_distinct(col) if col is not None else None,
+                "min": F.min(col) if col is not None else None,
+                "max": F.max(col) if col is not None else None,
+                "sum": F.sum(col) if col is not None else None,
+                "avg": F.avg(col) if col is not None else None,
+            }[a.func]
+            exprs.append(expr.alias(a.alias))
+        grouped = acc.groupBy(*q.select).agg(*exprs) if q.select else acc.agg(*exprs)
+        out = grouped.select(*q.select, *[a.alias for a in q.aggregates])
+        return out.dropDuplicates() if q.distinct else out
     out = acc.select(*q.select)
     return out.dropDuplicates() if q.distinct else out
 

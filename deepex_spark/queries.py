@@ -1013,6 +1013,37 @@ def kg_sparql_bgp(spark, sf_dir):
 
 
 @register(
+    "kg_sparql_agg",
+    # implicit-grouping aggregates == GROUP BY the plain SELECT vars
+    oracle=_O21_BASE
+    + """
+    SELECT e1.rel AS p,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT e1.src) AS BIGINT) AS n_subj,
+           max(e1.dst) AS max_obj
+    FROM edges e1 WHERE e1.is_rev = 0
+    GROUP BY e1.rel
+    """,
+)
+def kg_sparql_agg(spark, sf_dir):
+    """Aggregate arm of the BGP layer: per-predicate edge stats via
+    SPARQL implicit grouping — compiled to one map-side-combinable
+    groupBy on the plain SELECT variable."""
+    from deepex_spark.operators.sparql import bgp
+
+    edges = o21_reverse_union(spark, sf_dir).filter(F.col("is_rev") == 0)
+    return bgp(
+        edges,
+        """
+        SELECT ?p (COUNT(*) AS ?n) (COUNT(DISTINCT ?s) AS ?n_subj)
+               (MAX(?o) AS ?max_obj)
+        WHERE { ?s ?p ?o . }
+        """,
+        cols=("src", "rel", "dst"),
+    )
+
+
+@register(
     "kg_sparql_optional",
     # OPTIONAL == LEFT JOIN: urgent-order customers, optionally paired
     # with their medium-priority orders above an id threshold (the group

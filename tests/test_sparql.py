@@ -222,3 +222,39 @@ def test_optional_rejections():
         )
     with pytest.raises(ValueError, match="empty OPTIONAL"):
         parse_bgp("SELECT ?a WHERE { ?a <knows> ?b . OPTIONAL {  } }")
+
+
+def test_aggregates_grouped(spark):
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?city (COUNT(*) AS ?n) (COUNT(DISTINCT ?p) AS ?np) "
+        "(MIN(?p) AS ?first) WHERE { ?p <born_in> ?city . }",
+    )
+    assert out.columns == ["city", "n", "np", "first"]
+    got = {r["city"]: (r["n"], r["np"], r["first"]) for r in out.collect()}
+    assert got == {
+        "paris": (2, 2, "alice"),
+        "lyon": (1, 1, "carol"),
+        "berlin": (1, 1, "dave"),
+    }
+
+
+def test_aggregates_global(spark):
+    df = _edges_df(spark)
+    rows = bgp(
+        df, "SELECT (COUNT(*) AS ?n) (MAX(?b) AS ?m) WHERE { ?a <knows> ?b . }"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 4 and rows[0]["m"] == "eve"
+
+
+def test_aggregate_rejections():
+    with pytest.raises(ValueError, match="unbound variable"):
+        parse_bgp("SELECT (COUNT(?z) AS ?n) WHERE { ?a <knows> ?b . }")
+    with pytest.raises(ValueError, match="not supported"):
+        parse_bgp("SELECT (MAX(*) AS ?n) WHERE { ?a <knows> ?b . }")
+    with pytest.raises(ValueError, match="only supported inside COUNT"):
+        parse_bgp("SELECT (SUM(DISTINCT ?b) AS ?n) WHERE { ?a <knows> ?b . }")
+    with pytest.raises(ValueError, match="cannot be mixed"):
+        parse_bgp("SELECT * (COUNT(*) AS ?n) WHERE { ?a <knows> ?b . }")
