@@ -736,3 +736,76 @@ def strip_boilerplate(
         .join(rebuilt, "url", "left")
         .select("url", F.coalesce("clean_text", F.lit("")).alias("clean_text"))
     )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-GLOBAL exact paragraph dedup, first-occurrence-wins ->
+    ``(id, clean_text, total_paras, kept_paras)`` — one row per input
+    document (a fully-deduplicated doc keeps an empty string, so
+    downstream length filters see it rather than losing the row).
+
+    RefinedWeb/Dolma-style curation: a paragraph (trimmed ``sep``-split
+    piece; empties dropped) survives only in the single document that
+    contains its FIRST occurrence, ordered by ``(id, position)`` — every
+    later copy anywhere in the corpus (including later repeats inside
+    the same document) is removed. Complements
+    :func:`boilerplate_lines`, which is per-host frequency evidence:
+    this is global and exact, catching cross-site mirrors and syndicated
+    text that host-local frequency can never see.
+
+    Scale shape (the 100 TB story): the winner per paragraph is a
+    ``groupBy(md5(para)).agg(min(struct(id, pos)))`` — map-side partial
+    aggregation crushes a hot paragraph (a banner repeated 10^9 times)
+    to one row per map task BEFORE the exchange, which a
+    ``row_number()`` window over the same key could not (a window ships
+    every copy of the hot key to one task — the skew bomb this avoids).
+    Winners join back on the 32-char digest (paragraph bytes don't ride
+    the shuffle twice; AQE splits any residual join skew), and the
+    rebuild is ONE id-keyed exchange with a per-doc ``array_sort`` —
+    bounded by document size, never a global order."""
+    paras = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "raw"),
+        )
+        .select("_id", "pos", F.trim(F.col("raw")).alias("para"))
+        .where(F.col("para") != "")
+        .withColumn("k", F.md5("para"))
+    )
+    winners = paras.groupBy("k").agg(
+        F.min(F.struct(F.col("_id"), F.col("pos"))).alias("w")
+    )
+    marked = paras.join(winners, "k").withColumn(
+        "keep",
+        (F.col("w._id") == F.col("_id")) & (F.col("w.pos") == F.col("pos")),
+    )
+    rebuilt = marked.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("total_paras"),
+        F.sum(F.col("keep").cast("long")).alias("kept_paras"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("pos", "keep", "para"))),
+                    lambda x: x["keep"],
+                ),
+                lambda x: x["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .distinct()
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("total_paras", F.lit(0)).alias("total_paras"),
+            F.coalesce("kept_paras", F.lit(0)).alias("kept_paras"),
+        )
+    )

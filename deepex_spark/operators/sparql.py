@@ -18,6 +18,11 @@ Grammar (the documented subset, parsed by :func:`parse_bgp`)::
         OPTIONAL { patterns... FILTER(...) }   # left-join group; its
         ...                          # filters may only use group vars
     }
+    [ORDER BY ?v | ASC(?v) | DESC(?v) ...] [LIMIT n]
+
+    -- or a whole-body union (branches are pattern+FILTER groups;
+    -- OPTIONAL inside a branch is outside the subset):
+    WHERE { { patterns... FILTER(...) } UNION { ... } UNION { ... } }
 
 Terms: ``?name`` is a variable; ``<...>`` is a constant (string-typed,
 matching however the edge table types its nodes/relations after a cast);
@@ -51,7 +56,21 @@ Compilation (:func:`bgp`), and why it scales:
 * aggregate SELECT items turn the query into one ``groupBy`` on the
   plain SELECT variables (SPARQL's implicit grouping for this subset) —
   map-side combinable, so the aggregation adds at most one exchange.
-  Output columns are the group keys then the aggregate aliases.
+  Output columns are the group keys then the aggregate aliases;
+* UNION is bag union: each branch is solved as its own sub-BGP and the
+  branches are combined with ``unionByName(allowMissingColumns=True)``
+  — a variable a branch never binds comes out NULL on that branch's
+  rows (SPARQL's unbound), and no exchange is added (union is a plan
+  concatenation; SELECT DISTINCT collapses duplicates as usual).
+  Aggregates over a partially-bound variable skip the NULL rows, the
+  SQL convention (SPARQL's error-as-unbound is a close cousin);
+* ORDER BY + LIMIT compiles to ``orderBy(...).limit(n)``, which Spark
+  plans as ``TakeOrderedAndProject`` — per-partition top-k then a k-row
+  merge, NO total-sort exchange, the only global-order operator you can
+  afford at 100 TB. ORDER BY alone is an honest range-partitioned
+  global sort (one exchange). NULL placement is Spark's default:
+  ASC puts NULLs first, DESC puts NULLs last (an oracle re-deriving a
+  LIMIT query must pin the same placement or the cutoff row differs).
 
 The result column set is exactly the SELECT variables (names without
 ``?``), making the operator oracle-checkable: the registered
@@ -67,7 +86,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["parse_bgp", "bgp", "BGPQuery", "Pattern", "Filter"]
+__all__ = ["parse_bgp", "bgp", "BGPQuery", "Pattern", "Filter", "UnionBranch"]
 
 
 @dataclass(frozen=True)
@@ -116,6 +135,15 @@ class OptionalGroup:
         return set().union(*[p.variables() for p in self.patterns])
 
 
+@dataclass
+class UnionBranch:
+    patterns: list
+    filters: list
+
+    def variables(self) -> set:
+        return set().union(*[p.variables() for p in self.patterns])
+
+
 @dataclass(frozen=True)
 class Aggregate:
     func: str  # count | count_distinct | min | max | sum | avg
@@ -131,6 +159,9 @@ class BGPQuery:
     filters: list = field(default_factory=list)
     optionals: list = field(default_factory=list)  # OptionalGroup
     aggregates: list = field(default_factory=list)  # Aggregate
+    unions: list = field(default_factory=list)  # UnionBranch (whole body)
+    order_by: list = field(default_factory=list)  # (var, descending)
+    limit: int | None = None
 
 
 _TERM = r"""(\?[A-Za-z_][A-Za-z0-9_]*|<[^>]*>|"[^"]*"|-?\d+(?:\.\d+)?)"""
@@ -153,6 +184,13 @@ def _term(tok: str):
 
 
 _OPTIONAL_RE = re.compile(r"OPTIONAL\s*\{([^{}]*)\}", re.IGNORECASE | re.DOTALL)
+_UNION_SEP_RE = re.compile(r"\}\s*UNION\s*\{", re.IGNORECASE)
+_LIMIT_RE = re.compile(r"LIMIT\s+(\d+)", re.IGNORECASE)
+_ORDER_KEY_RE = re.compile(
+    r"(ASC|DESC)\s*\(\s*\?([A-Za-z_][A-Za-z0-9_]*)\s*\)"
+    r"|\?([A-Za-z_][A-Za-z0-9_]*)",
+    re.IGNORECASE,
+)
 _AGG_RE = re.compile(
     r"\(\s*(COUNT|MIN|MAX|SUM|AVG)\s*\(\s*(DISTINCT\s+)?"
     r"(\*|\?[A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+(\?[A-Za-z_][A-Za-z0-9_]*)\s*\)",
@@ -184,9 +222,37 @@ def _parse_group(body: str):
     return patterns, filters
 
 
+def _parse_tail(tail: str):
+    """ORDER BY / LIMIT clauses after the WHERE block -> (order, limit)."""
+    limit = None
+    lm = _LIMIT_RE.search(tail)
+    if lm:
+        limit = int(lm.group(1))
+        tail = tail[: lm.start()] + tail[lm.end() :]
+    order = []
+    om = re.search(r"ORDER\s+BY\s+(.*)", tail, re.IGNORECASE | re.DOTALL)
+    if om:
+        keys_src = om.group(1)
+        pos = 0
+        for km in _ORDER_KEY_RE.finditer(keys_src):
+            if keys_src[pos : km.start()].strip():
+                raise ValueError(f"bad ORDER BY key list: {keys_src!r}")
+            if km.group(1):
+                order.append((km.group(2), km.group(1).upper() == "DESC"))
+            else:
+                order.append((km.group(3), False))
+            pos = km.end()
+        if keys_src[pos:].strip() or not order:
+            raise ValueError(f"bad ORDER BY key list: {keys_src!r}")
+        tail = tail[: om.start()]
+    if tail.strip():
+        raise ValueError(f"unparsed trailing clause: {tail.strip()!r}")
+    return order, limit
+
+
 def parse_bgp(query: str) -> BGPQuery:
     m = re.search(
-        r"SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE\s*\{(.*)\}",
+        r"SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE\s*\{(.*)\}([^{}]*)$",
         query,
         re.IGNORECASE | re.DOTALL,
     )
@@ -194,29 +260,65 @@ def parse_bgp(query: str) -> BGPQuery:
         raise ValueError("not a SELECT ... WHERE { ... } query")
     distinct = bool(m.group(1))
     sel_raw, body = m.group(2).strip(), m.group(3)
+    order_by, limit = _parse_tail(m.group(4))
+    unions = []
     optionals = []
-    for om in _OPTIONAL_RE.finditer(body):
-        op_patterns, op_filters = _parse_group(om.group(1))
-        if not op_patterns:
-            raise ValueError("empty OPTIONAL group")
-        group = OptionalGroup(patterns=op_patterns, filters=op_filters)
-        for f in op_filters:
-            # restriction (documented): an OPTIONAL filter may reference
-            # only variables its own group binds — it pre-filters the
-            # optional side before the left join
-            if not f.variables() <= group.variables():
+    if _UNION_SEP_RE.search(body):
+        # whole-body union: { branch } UNION { branch } [UNION ...] —
+        # nothing may sit outside the braces, and a branch is a plain
+        # pattern+FILTER group (no nested OPTIONAL/UNION)
+        b = body.strip()
+        if not (b.startswith("{") and b.endswith("}")):
+            raise ValueError(
+                "UNION body must be exactly { group } UNION { group } ..."
+            )
+        parts = _UNION_SEP_RE.split(b[1:-1])
+        for part in parts:
+            if "{" in part or "}" in part:
                 raise ValueError(
-                    f"OPTIONAL FILTER uses variable outside its group: {f}"
+                    "nested groups inside UNION branches are not supported"
                 )
-        optionals.append(group)
-    body = _OPTIONAL_RE.sub(" ", body)
-    patterns, filters = _parse_group(body)
-    if not patterns:
-        raise ValueError("empty graph pattern")
-    required = set().union(*[p.variables() for p in patterns])
-    bound = required | set().union(
-        set(), *[g.variables() for g in optionals]
-    )
+            br_patterns, br_filters = _parse_group(part)
+            if not br_patterns:
+                raise ValueError("empty UNION branch")
+            branch = UnionBranch(patterns=br_patterns, filters=br_filters)
+            for f in br_filters:
+                # a branch filter may reference only variables its own
+                # branch binds — it runs before the union
+                if not f.variables() <= branch.variables():
+                    raise ValueError(
+                        f"UNION branch FILTER uses variable outside its branch: {f}"
+                    )
+            unions.append(branch)
+        patterns, filters = [], []
+        # a variable is safe for top-level use if ANY branch binds it
+        # (unbound branches contribute NULLs); `required` (never-null
+        # vars) is the intersection across branches
+        bound = set().union(*[br.variables() for br in unions])
+        required = set.intersection(*[br.variables() for br in unions])
+    else:
+        for om in _OPTIONAL_RE.finditer(body):
+            op_patterns, op_filters = _parse_group(om.group(1))
+            if not op_patterns:
+                raise ValueError("empty OPTIONAL group")
+            group = OptionalGroup(patterns=op_patterns, filters=op_filters)
+            for f in op_filters:
+                # restriction (documented): an OPTIONAL filter may reference
+                # only variables its own group binds — it pre-filters the
+                # optional side before the left join
+                if not f.variables() <= group.variables():
+                    raise ValueError(
+                        f"OPTIONAL FILTER uses variable outside its group: {f}"
+                    )
+            optionals.append(group)
+        body = _OPTIONAL_RE.sub(" ", body)
+        patterns, filters = _parse_group(body)
+        if not patterns:
+            raise ValueError("empty graph pattern")
+        required = set().union(*[p.variables() for p in patterns])
+        bound = required | set().union(
+            set(), *[g.variables() for g in optionals]
+        )
     aggregates = []
     for am in _AGG_RE.finditer(sel_raw):
         func = am.group(1).lower()
@@ -253,6 +355,10 @@ def parse_bgp(query: str) -> BGPQuery:
             raise ValueError(
                 "OPTIONAL group shares no variable with the required pattern"
             )
+    out_cols = list(select) + [a.alias for a in aggregates]
+    for v, _ in order_by:
+        if v not in out_cols:
+            raise ValueError(f"ORDER BY key not in the result columns: ?{v}")
     return BGPQuery(
         select=select,
         distinct=distinct,
@@ -260,6 +366,9 @@ def parse_bgp(query: str) -> BGPQuery:
         filters=filters,
         optionals=optionals,
         aggregates=aggregates,
+        unions=unions,
+        order_by=order_by,
+        limit=limit,
     )
 
 
@@ -314,7 +423,19 @@ def bgp(
     DataFrame whose columns are the SELECT variables, in SELECT order.
     """
     q = parse_bgp(query) if isinstance(query, str) else query
-    acc, bound = _solve(edges, q.patterns, q.filters, cols, allow_product)
+    if q.unions:
+        # bag union of independently-solved branches; a variable a branch
+        # never binds is NULL on its rows (allowMissingColumns). No
+        # exchange: union is plan concatenation.
+        acc, bound = None, set()
+        for br in q.unions:
+            gdf, gb = _solve(edges, br.patterns, br.filters, cols, allow_product)
+            acc = gdf if acc is None else acc.unionByName(
+                gdf, allowMissingColumns=True
+            )
+            bound |= gb
+    else:
+        acc, bound = _solve(edges, q.patterns, q.filters, cols, allow_product)
     for g in q.optionals:
         # each OPTIONAL group is solved on its own (group filters
         # pre-filter the optional side), then LEFT-joined to the solution
@@ -341,9 +462,20 @@ def bgp(
             exprs.append(expr.alias(a.alias))
         grouped = acc.groupBy(*q.select).agg(*exprs) if q.select else acc.agg(*exprs)
         out = grouped.select(*q.select, *[a.alias for a in q.aggregates])
-        return out.dropDuplicates() if q.distinct else out
-    out = acc.select(*q.select)
-    return out.dropDuplicates() if q.distinct else out
+    else:
+        out = acc.select(*q.select)
+    if q.distinct:
+        out = out.dropDuplicates()
+    if q.order_by:
+        # with LIMIT Spark plans TakeOrderedAndProject (per-partition
+        # top-k + k-row merge, no total-sort exchange); without, an
+        # honest global sort. NULLs: Spark default (asc first/desc last).
+        out = out.orderBy(
+            *[F.col(v).desc() if d else F.col(v).asc() for v, d in q.order_by]
+        )
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out
 
 
 def _solve(

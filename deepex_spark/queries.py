@@ -1079,6 +1079,48 @@ def kg_sparql_optional(spark, sf_dir):
 
 
 @register(
+    "kg_sparql_union",
+    # UNION == bag union with NULL for branch-unbound vars; ORDER BY +
+    # LIMIT == top-k. The ORDER BY is a TOTAL order (orderkeys are
+    # globally unique, so (c, u desc, l) never ties at the cutoff) and
+    # the oracle pins Spark's null placement explicitly (ASC -> NULLS
+    # FIRST, DESC -> NULLS LAST) — without that the LIMIT keeps
+    # different rows in the two engines
+    oracle=_O21_BASE
+    + """
+    SELECT * FROM (
+      SELECT src AS c, dst AS u, CAST(NULL AS BIGINT) AS l
+      FROM edges WHERE is_rev = 0 AND rel = '1-URGENT'
+      UNION ALL
+      SELECT src AS c, CAST(NULL AS BIGINT) AS u, dst AS l
+      FROM edges WHERE is_rev = 0 AND rel = '5-LOW'
+    )
+    ORDER BY c ASC, u DESC NULLS LAST, l ASC NULLS FIRST
+    LIMIT 500
+    """,
+)
+def kg_sparql_union(spark, sf_dir):
+    """UNION + ORDER BY/LIMIT arm of the BGP layer (operators/sparql.py):
+    two branches binding DIFFERENT variables (urgent vs low orders per
+    customer) — the union NULL-fills each branch's unbound column — then
+    a deterministic top-500 that Spark plans as TakeOrderedAndProject
+    (per-partition top-k + k-merge, no total-sort exchange)."""
+    from deepex_spark.operators.sparql import bgp
+
+    edges = o21_reverse_union(spark, sf_dir).filter(F.col("is_rev") == 0)
+    return bgp(
+        edges,
+        """
+        SELECT ?c ?u ?l WHERE {
+          { ?c <1-URGENT> ?u . } UNION { ?c <5-LOW> ?l . }
+        }
+        ORDER BY ?c DESC(?u) ?l LIMIT 500
+        """,
+        cols=("src", "rel", "dst"),
+    )
+
+
+@register(
     "kg_khop",
     # unrolled fixed-k BFS: level sets f1..f3 exclude everything already
     # reached, so each vertex appears once at its MINIMUM hop count —
@@ -2612,6 +2654,57 @@ def strip_boilerplate_query(spark, sf_dir):
 
     pages = spark.read.parquet(_links_fixture_path())
     return strip_boilerplate(pages)
+
+
+@register(
+    "dedup_paragraphs",
+    # independent re-derivation: first-occurrence rank via a window over
+    # the paragraph TEXT (the engine groups on md5(para) + min(struct)
+    # for map-side-combinable skew safety — same winner, different
+    # mechanism), kept paragraphs re-joined in document order
+    oracle=rf"""
+    WITH l0 AS (
+      SELECT url,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+             unnest(string_split(text, chr(10))) AS raw
+      FROM read_parquet('{_links_fixture_path()}')
+    ),
+    lines AS (
+      SELECT url, pos, trim(raw) AS para FROM l0 WHERE trim(raw) <> ''
+    ),
+    rk AS (
+      SELECT url, pos, para,
+             row_number() OVER (PARTITION BY para ORDER BY url, pos) AS rn
+      FROM lines
+    ),
+    agg AS (
+      SELECT url, count(*) AS total_paras,
+             sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS kept_paras,
+             string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY pos)
+               AS clean_text
+      FROM rk GROUP BY url
+    )
+    SELECT u.url,
+           coalesce(agg.clean_text, '') AS clean_text,
+           CAST(coalesce(agg.total_paras, 0) AS BIGINT) AS total_paras,
+           CAST(coalesce(agg.kept_paras, 0) AS BIGINT) AS kept_paras
+    FROM (SELECT DISTINCT url FROM read_parquet('{_links_fixture_path()}')) u
+    LEFT JOIN agg ON u.url = agg.url
+    """,
+)
+def dedup_paragraphs_query(spark, sf_dir):
+    """Corpus-GLOBAL exact paragraph dedup (RefinedWeb/Dolma curation):
+    a trimmed paragraph survives only at its first (url, pos) occurrence
+    corpus-wide; later copies — cross-site mirrors, syndicated text,
+    intra-doc repeats — are stripped and the doc re-assembled in order.
+    Complements host_boilerplate (per-host frequency evidence): this is
+    global and exact. Winner = groupBy(md5(para)).min(struct(url,pos)),
+    map-side combined so a 10^9-copy hot paragraph collapses before the
+    exchange (a row_number window would ship every copy to one task)."""
+    from deepex_spark.operators.curate import dedup_paragraphs
+
+    pages = spark.read.parquet(_links_fixture_path())
+    return dedup_paragraphs(pages)
 
 
 def _host_pagerank_oracle() -> str:

@@ -754,3 +754,51 @@ class TestBoilerplate:
         )
         got = strip_boilerplate(pages).collect()
         assert len(got) == 3 and all(r["clean_text"] == "" for r in got)
+
+
+class TestDedupParagraphs:
+    def _docs(self, spark):
+        rows = [
+            # a: first occurrence of P1, P2; intra-doc repeat of P1
+            ("a", "P1\nP2\nP1"),
+            # b: P2 duplicated cross-doc, P3 fresh; empty line ignored
+            ("b", "P2\n\nP3"),
+            # c: everything seen before -> fully deduped
+            ("c", "P1\nP3"),
+            # d: whitespace-only text -> zero paragraphs
+            ("d", "   \n  "),
+        ]
+        return spark.createDataFrame(rows, "url string, text string")
+
+    def test_first_occurrence_wins_globally_and_within_doc(self, spark):
+        from deepex_spark.operators.curate import dedup_paragraphs
+
+        got = {
+            r["url"]: (r["clean_text"], r["total_paras"], r["kept_paras"])
+            for r in dedup_paragraphs(self._docs(spark)).collect()
+        }
+        assert got == {
+            "a": ("P1\nP2", 3, 2),  # intra-doc repeat of P1 dropped
+            "b": ("P3", 2, 1),      # P2 lost to a; empty line not a para
+            "c": ("", 2, 0),        # fully deduped but row KEPT
+            "d": ("", 0, 0),        # no paragraphs at all
+        }
+
+    def test_order_preserved_and_trim(self, spark):
+        from deepex_spark.operators.curate import dedup_paragraphs
+
+        docs = spark.createDataFrame(
+            [("x", "  z9  \na1\n z9 ")], "url string, text string"
+        )
+        r = dedup_paragraphs(docs).collect()[0]
+        # document order (z9 before a1), trimmed pieces, repeat dropped
+        assert r["clean_text"] == "z9\na1"
+        assert (r["total_paras"], r["kept_paras"]) == (3, 2)
+
+    def test_partition_count_invariant(self, spark):
+        from deepex_spark.operators.curate import dedup_paragraphs
+
+        docs = self._docs(spark)
+        one = sorted(map(tuple, dedup_paragraphs(docs.coalesce(1)).collect()))
+        many = sorted(map(tuple, dedup_paragraphs(docs.repartition(7)).collect()))
+        assert one == many

@@ -258,3 +258,108 @@ def test_aggregate_rejections():
         parse_bgp("SELECT (SUM(DISTINCT ?b) AS ?n) WHERE { ?a <knows> ?b . }")
     with pytest.raises(ValueError, match="cannot be mixed"):
         parse_bgp("SELECT * (COUNT(*) AS ?n) WHERE { ?a <knows> ?b . }")
+
+
+def test_union_bag_semantics_and_null_fill(spark):
+    """UNION is bag union; a variable one branch never binds is NULL on
+    that branch's rows (SPARQL's unbound)."""
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?p ?city ?friend WHERE {"
+        "  { ?p <born_in> ?city . } UNION { ?p <knows> ?friend . }"
+        "}",
+    )
+    assert out.columns == ["p", "city", "friend"]
+    got = sorted(
+        [(r["p"], r["city"], r["friend"]) for r in out.collect()],
+        key=lambda t: tuple("" if x is None else x for x in t),
+    )
+    exp = sorted(
+        [(s, o, None) for s, p, o in EDGES if p == "born_in"]
+        + [(s, None, o) for s, p, o in EDGES if p == "knows"],
+        key=lambda t: tuple("" if x is None else x for x in t),
+    )
+    assert got == exp
+
+
+def test_union_duplicates_kept_distinct_collapses(spark):
+    df = _edges_df(spark)
+    q = "SELECT {d}?c WHERE {{ {{ ?p <born_in> ?c . }} UNION {{ ?p <born_in> ?c . }} }}"
+    plain = bgp(df, q.format(d="")).collect()
+    dedup = bgp(df, q.format(d="DISTINCT ")).collect()
+    assert len(plain) == 8  # 4 born_in edges x 2 identical branches
+    assert sorted(r["c"] for r in dedup) == ["berlin", "lyon", "paris"]
+
+
+def test_union_branch_filters_run_before_union(spark):
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        'SELECT ?p WHERE {'
+        '  { ?p <age> ?a . FILTER(?a >= "41") } UNION { ?p <born_in> <berlin> . }'
+        "}",
+    )
+    assert sorted(r["p"] for r in out.collect()) == ["bob", "dave"]
+
+
+def test_union_with_aggregate(spark):
+    """Aggregates over a partially-bound variable skip its NULL rows."""
+    df = _edges_df(spark)
+    rows = bgp(
+        df,
+        "SELECT (COUNT(*) AS ?rows) (COUNT(?city) AS ?cities) WHERE {"
+        "  { ?p <born_in> ?city . } UNION { ?p <knows> ?friend . }"
+        "}",
+    ).collect()
+    assert rows[0]["rows"] == 8 and rows[0]["cities"] == 4
+
+
+def test_order_by_limit_topk(spark):
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?p ?a WHERE { ?p <age> ?a . } ORDER BY DESC(?a) ?p LIMIT 2",
+    )
+    assert [tuple(r) for r in out.collect()] == [("bob", "41"), ("alice", "30")]
+
+
+def test_order_by_on_aggregate_alias(spark):
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?city (COUNT(*) AS ?n) WHERE { ?p <born_in> ?city . }"
+        " ORDER BY DESC(?n) ?city LIMIT 2",
+    )
+    assert [(r["city"], r["n"]) for r in out.collect()] == [("paris", 2), ("berlin", 1)]
+
+
+def test_order_limit_plans_take_ordered(spark):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    top-k + k-merge), not a total-sort exchange."""
+    df = _edges_df(spark)
+    out = bgp(df, "SELECT ?p ?a WHERE { ?p <age> ?a . } ORDER BY ?a LIMIT 1")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_union_order_rejections():
+    with pytest.raises(ValueError, match="not in the result columns"):
+        parse_bgp("SELECT ?a WHERE { ?a <r> ?b . } ORDER BY ?b LIMIT 1")
+    with pytest.raises(ValueError, match="nested groups"):
+        parse_bgp(
+            "SELECT ?a WHERE { { ?a <r> ?b . OPTIONAL { ?a <s> ?c . } }"
+            " UNION { ?a <s> ?c . } }"
+        )
+    with pytest.raises(ValueError, match="outside its branch"):
+        parse_bgp(
+            "SELECT ?a WHERE { { ?a <r> ?b . FILTER(?c > 1) } UNION { ?a <s> ?c . } }"
+        )
+    with pytest.raises(ValueError, match="must be exactly"):
+        parse_bgp(
+            "SELECT ?a WHERE { ?x <q> ?a . { ?a <r> ?b . } UNION { ?a <s> ?c . } }"
+        )
+    with pytest.raises(ValueError, match="unparsed trailing"):
+        parse_bgp("SELECT ?a WHERE { ?a <r> ?b . } LIMIT 2 extra")
