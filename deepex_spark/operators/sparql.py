@@ -17,6 +17,8 @@ Grammar (the documented subset, parsed by :func:`parse_bgp`)::
         FILTER(?x != ?y) FILTER(?x < 42) ...
         OPTIONAL { patterns... FILTER(...) }   # left-join group; its
         ...                          # filters may only use group vars
+        FILTER NOT EXISTS { patterns... FILTER(...) }  # anti-join group
+        MINUS { patterns... FILTER(...) }              # same (see below)
     }
     [ORDER BY ?v | ASC(?v) | DESC(?v) ...] [LIMIT n]
 
@@ -57,6 +59,16 @@ Compilation (:func:`bgp`), and why it scales:
   plain SELECT variables (SPARQL's implicit grouping for this subset) —
   map-side combinable, so the aggregation adds at most one exchange.
   Output columns are the group keys then the aggregate aliases;
+* FILTER NOT EXISTS / MINUS groups are solved as sub-BGPs and
+  LEFT-ANTI-joined to the required solution on the shared variables —
+  Spark's native anti-join (broadcast when the group side is small,
+  shuffle otherwise, AQE-planned either way), never a per-row
+  subquery. Restrictions that keep the two constructs equivalent in
+  this subset (full SPARQL separates them on var-disjoint and
+  partially-bound cases): the group must share ≥1 variable with the
+  REQUIRED pattern (a var-disjoint negation is refused), group
+  filters may reference only group-bound variables, and negation
+  applies before OPTIONAL joins (so it never tests optional NULLs);
 * UNION is bag union: each branch is solved as its own sub-BGP and the
   branches are combined with ``unionByName(allowMissingColumns=True)``
   — a variable a branch never binds comes out NULL on that branch's
@@ -144,6 +156,15 @@ class UnionBranch:
         return set().union(*[p.variables() for p in self.patterns])
 
 
+@dataclass
+class NegationGroup:
+    patterns: list
+    filters: list
+
+    def variables(self) -> set:
+        return set().union(*[p.variables() for p in self.patterns])
+
+
 @dataclass(frozen=True)
 class Aggregate:
     func: str  # count | count_distinct | min | max | sum | avg
@@ -160,6 +181,7 @@ class BGPQuery:
     optionals: list = field(default_factory=list)  # OptionalGroup
     aggregates: list = field(default_factory=list)  # Aggregate
     unions: list = field(default_factory=list)  # UnionBranch (whole body)
+    negations: list = field(default_factory=list)  # NegationGroup
     order_by: list = field(default_factory=list)  # (var, descending)
     limit: int | None = None
 
@@ -184,6 +206,9 @@ def _term(tok: str):
 
 
 _OPTIONAL_RE = re.compile(r"OPTIONAL\s*\{([^{}]*)\}", re.IGNORECASE | re.DOTALL)
+_NEGATION_RE = re.compile(
+    r"(?:FILTER\s+NOT\s+EXISTS|MINUS)\s*\{([^{}]*)\}", re.IGNORECASE | re.DOTALL
+)
 _UNION_SEP_RE = re.compile(r"\}\s*UNION\s*\{", re.IGNORECASE)
 _LIMIT_RE = re.compile(r"LIMIT\s+(\d+)", re.IGNORECASE)
 _ORDER_KEY_RE = re.compile(
@@ -296,7 +321,23 @@ def parse_bgp(query: str) -> BGPQuery:
         # vars) is the intersection across branches
         bound = set().union(*[br.variables() for br in unions])
         required = set.intersection(*[br.variables() for br in unions])
-    else:
+    negations = []
+    if not unions:
+        for nm in _NEGATION_RE.finditer(body):
+            ng_patterns, ng_filters = _parse_group(nm.group(1))
+            if not ng_patterns:
+                raise ValueError("empty FILTER NOT EXISTS / MINUS group")
+            ngroup = NegationGroup(patterns=ng_patterns, filters=ng_filters)
+            for f in ng_filters:
+                # a negation-group filter may reference only variables the
+                # group itself binds (shared variables are group-bound too)
+                if not f.variables() <= ngroup.variables():
+                    raise ValueError(
+                        f"NOT EXISTS/MINUS FILTER uses variable outside its group: {f}"
+                    )
+            negations.append(ngroup)
+        body = _NEGATION_RE.sub(" ", body)
+    if not unions:
         for om in _OPTIONAL_RE.finditer(body):
             op_patterns, op_filters = _parse_group(om.group(1))
             if not op_patterns:
@@ -355,6 +396,13 @@ def parse_bgp(query: str) -> BGPQuery:
             raise ValueError(
                 "OPTIONAL group shares no variable with the required pattern"
             )
+    for g in negations:
+        # a var-disjoint negation is all-or-nothing existence semantics
+        # (and where MINUS and NOT EXISTS genuinely differ) — refused
+        if not (g.variables() & required):
+            raise ValueError(
+                "NOT EXISTS/MINUS group shares no variable with the required pattern"
+            )
     out_cols = list(select) + [a.alias for a in aggregates]
     for v, _ in order_by:
         if v not in out_cols:
@@ -367,6 +415,7 @@ def parse_bgp(query: str) -> BGPQuery:
         optionals=optionals,
         aggregates=aggregates,
         unions=unions,
+        negations=negations,
         order_by=order_by,
         limit=limit,
     )
@@ -436,6 +485,13 @@ def bgp(
             bound |= gb
     else:
         acc, bound = _solve(edges, q.patterns, q.filters, cols, allow_product)
+    for g in q.negations:
+        # anti-join on the shared variables: drop every required-side row
+        # for which the negation group has at least one solution. Runs
+        # BEFORE optional joins, so it only ever tests never-null vars.
+        gdf, _ = _solve(edges, g.patterns, g.filters, cols, allow_product)
+        keys = sorted(g.variables() & bound)
+        acc = acc.join(gdf.select(*keys), on=keys, how="left_anti")
     for g in q.optionals:
         # each OPTIONAL group is solved on its own (group filters
         # pre-filter the optional side), then LEFT-joined to the solution

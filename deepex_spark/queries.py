@@ -1121,6 +1121,45 @@ def kg_sparql_union(spark, sf_dir):
 
 
 @register(
+    "kg_sparql_minus",
+    # NOT EXISTS == anti-join: customers holding an urgent order but no
+    # low-priority one, with the group's own filter pre-restricting the
+    # negation side (only low orders above the id threshold count as
+    # disqualifying). Re-derived as a correlated NOT EXISTS.
+    oracle=_O21_BASE
+    + """
+    SELECT DISTINCT e1.src AS c
+    FROM edges e1
+    WHERE e1.is_rev = 0 AND e1.rel = '1-URGENT'
+      AND NOT EXISTS (
+        SELECT 1 FROM edges e2
+        WHERE e2.is_rev = 0 AND e2.rel = '5-LOW'
+          AND e2.src = e1.src AND e2.dst > 20000
+      )
+    """,
+)
+def kg_sparql_minus(spark, sf_dir):
+    """Negation arm of the BGP layer (operators/sparql.py): FILTER NOT
+    EXISTS / MINUS compiled to a LEFT-ANTI join on the shared variable —
+    Spark's native anti-join (AQE picks broadcast vs shuffle), never a
+    per-row subquery. The group-local FILTER pre-restricts the negation
+    side before the anti-join, mirroring the OPTIONAL group rule."""
+    from deepex_spark.operators.sparql import bgp
+
+    edges = o21_reverse_union(spark, sf_dir).filter(F.col("is_rev") == 0)
+    return bgp(
+        edges,
+        """
+        SELECT DISTINCT ?c WHERE {
+          ?c <1-URGENT> ?o .
+          FILTER NOT EXISTS { ?c <5-LOW> ?o2 . FILTER(?o2 > 20000) }
+        }
+        """,
+        cols=("src", "rel", "dst"),
+    )
+
+
+@register(
     "kg_khop",
     # unrolled fixed-k BFS: level sets f1..f3 exclude everything already
     # reached, so each vertex appears once at its MINIMUM hop count —

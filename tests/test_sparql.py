@@ -363,3 +363,77 @@ def test_union_order_rejections():
         )
     with pytest.raises(ValueError, match="unparsed trailing"):
         parse_bgp("SELECT ?a WHERE { ?a <r> ?b . } LIMIT 2 extra")
+
+
+def test_not_exists_anti_join(spark):
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT DISTINCT ?a WHERE { ?a <knows> ?b ."
+        " FILTER NOT EXISTS { ?a <born_in> ?c . } }",
+    )
+    # knows-subjects: alice bob carol eve; all but eve have a birthplace
+    assert [r["a"] for r in out.collect()] == ["eve"]
+
+
+def test_minus_alias_same_result(spark):
+    df = _edges_df(spark)
+    a = bgp(
+        df,
+        "SELECT DISTINCT ?a WHERE { ?a <knows> ?b ."
+        " FILTER NOT EXISTS { ?a <born_in> ?c . } }",
+    ).collect()
+    b = bgp(
+        df,
+        "SELECT DISTINCT ?a WHERE { ?a <knows> ?b . MINUS { ?a <born_in> ?c . } }",
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_negation_group_filter_prefilters(spark):
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT DISTINCT ?a WHERE { ?a <knows> ?b ."
+        ' FILTER NOT EXISTS { ?a <age> ?g . FILTER(?g >= "41") } }',
+    )
+    # only bob (41) is excluded; eve has no age edge at all -> kept
+    assert sorted(r["a"] for r in out.collect()) == ["alice", "carol", "eve"]
+
+
+def test_negation_with_optional_runs_before(spark):
+    """Negation applies to the required solution; OPTIONAL NULLs are
+    attached afterwards and never tested by the anti-join."""
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?a ?city WHERE { ?a <knows> ?b ."
+        " FILTER NOT EXISTS { ?a <born_in> ?c . }"
+        " OPTIONAL { ?a <born_in> ?city . } }",
+    )
+    rows = [(r["a"], r["city"]) for r in out.collect()]
+    assert rows == [("eve", None)]
+
+
+def test_negation_rejections():
+    with pytest.raises(ValueError, match="shares no variable"):
+        parse_bgp(
+            "SELECT ?a WHERE { ?a <knows> ?b ."
+            " FILTER NOT EXISTS { ?x <born_in> ?c . } }"
+        )
+    with pytest.raises(ValueError, match="outside its group"):
+        parse_bgp(
+            "SELECT ?a WHERE { ?a <knows> ?b ."
+            " MINUS { ?a <born_in> ?c . FILTER(?b != ?c) } }"
+        )
+
+
+def test_negation_plans_left_anti_join(spark):
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?a WHERE { ?a <knows> ?b ."
+        " FILTER NOT EXISTS { ?a <born_in> ?c . } }",
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan
