@@ -14,6 +14,10 @@ Grammar (the documented subset, parsed by :func:`parse_bgp`)::
     WHERE {
         term <rel> term .            # triple pattern; term = ?var,
         ...                          #   <iri/string> or a number
+        term <a>/^<b>/<c> term .     # property path in the predicate
+        ...                          #   slot: sequence (/) of constant
+        ...                          #   steps, each optionally inverted
+        ...                          #   (^) — desugared at parse time
         FILTER(?x != ?y) FILTER(?x < 42) ...
         OPTIONAL { patterns... FILTER(...) }   # left-join group; its
         ...                          # filters may only use group vars
@@ -59,6 +63,14 @@ Compilation (:func:`bgp`), and why it scales:
   plain SELECT variables (SPARQL's implicit grouping for this subset) —
   map-side combinable, so the aggregation adds at most one exchange.
   Output columns are the group keys then the aggregate aliases;
+* a sequence property path ``<a>/^<b>/<c>`` desugars AT PARSE TIME into
+  a chain of ordinary triple patterns linked by fresh anonymous
+  variables (``^`` swaps subject/object for that step), so the join
+  planner, filter placement, scan pushdown and cartesian guard all see
+  plain patterns — no special executor. Anonymous variables are hidden
+  from ``SELECT *``. Unbounded paths (``+``/``*``) are outside the
+  subset — transitive closure lives in ``operators/kgq.py``'s
+  path-doubling closure, the right tool at scale;
 * FILTER NOT EXISTS / MINUS groups are solved as sub-BGPs and
   LEFT-ANTI-joined to the required solution on the shared variables —
   Spark's native anti-join (broadcast when the group side is small,
@@ -188,6 +200,13 @@ class BGPQuery:
 
 _TERM = r"""(\?[A-Za-z_][A-Za-z0-9_]*|<[^>]*>|"[^"]*"|-?\d+(?:\.\d+)?)"""
 _PATTERN_RE = re.compile(rf"{_TERM}\s+{_TERM}\s+{_TERM}")
+# property path in the predicate slot: /-joined constant steps, each
+# optionally ^-inverted; fresh __path{n} vars are reserved for desugaring
+_ANON_PREFIX = "__path"
+_PATH_STEP_RE = re.compile(r"(\^?)<([^>]*)>")
+_PATTERN_PATH_RE = re.compile(
+    rf"{_TERM}\s+(\^?<[^>]*>(?:\s*/\s*\^?<[^>]*>)*)\s+{_TERM}"
+)
 _FILTER_RE = re.compile(
     rf"FILTER\s*\(\s*(\?[A-Za-z_][A-Za-z0-9_]*)\s*(!=|<=|>=|=|<|>)\s*{_TERM}\s*\)",
     re.IGNORECASE,
@@ -197,6 +216,8 @@ _FILTER_RE = re.compile(
 def _term(tok: str):
     """-> (value, is_var)."""
     if tok.startswith("?"):
+        if tok[1:].startswith(_ANON_PREFIX):
+            raise ValueError(f"variable prefix {_ANON_PREFIX!r} is reserved")
         return tok[1:], True
     if tok.startswith("<"):
         return tok[1:-1], False
@@ -223,8 +244,15 @@ _AGG_RE = re.compile(
 )
 
 
-def _parse_group(body: str):
-    """Patterns + filters of one brace-free group body."""
+def _parse_group(body: str, fresh=None):
+    """Patterns + filters of one brace-free group body. ``fresh`` is the
+    query-global anonymous-variable counter (property-path desugaring
+    must not collide across groups — a duplicate ``__path0`` in an
+    OPTIONAL group would silently equi-join with the required one)."""
+    if fresh is None:
+        import itertools
+
+        fresh = itertools.count()
     filters = []
     for fm in _FILTER_RE.finditer(body):
         right, rvar = _term(fm.group(3))
@@ -238,12 +266,35 @@ def _parse_group(body: str):
         if not chunk:
             continue
         pm = _PATTERN_RE.fullmatch(chunk)
-        if not pm:
+        if pm:
+            (s, sv), (p, pv), (o, ov) = (_term(t) for t in pm.groups())
+            patterns.append(
+                Pattern(subj=s, pred=p, obj=o, subj_var=sv, pred_var=pv, obj_var=ov)
+            )
+            continue
+        pp = _PATTERN_PATH_RE.fullmatch(chunk)
+        if not pp:
             raise ValueError(f"bad triple pattern: {chunk!r}")
-        (s, sv), (p, pv), (o, ov) = (_term(t) for t in pm.groups())
-        patterns.append(
-            Pattern(subj=s, pred=p, obj=o, subj_var=sv, pred_var=pv, obj_var=ov)
-        )
+        # desugar a sequence path into a chain of plain patterns linked
+        # by fresh anonymous variables; ^ swaps subject/object per step
+        s, sv = _term(pp.group(1))
+        o, ov = _term(pp.group(3))
+        steps = _PATH_STEP_RE.findall(pp.group(2))
+        cur, cur_var = s, sv
+        for i, (inv, iri) in enumerate(steps):
+            last = i == len(steps) - 1
+            nxt, nxt_var = (o, ov) if last else (f"{_ANON_PREFIX}{next(fresh)}", True)
+            if inv:
+                patterns.append(
+                    Pattern(subj=nxt, pred=iri, obj=cur,
+                            subj_var=nxt_var, pred_var=False, obj_var=cur_var)
+                )
+            else:
+                patterns.append(
+                    Pattern(subj=cur, pred=iri, obj=nxt,
+                            subj_var=cur_var, pred_var=False, obj_var=nxt_var)
+                )
+            cur, cur_var = nxt, nxt_var
     return patterns, filters
 
 
@@ -286,6 +337,9 @@ def parse_bgp(query: str) -> BGPQuery:
     distinct = bool(m.group(1))
     sel_raw, body = m.group(2).strip(), m.group(3)
     order_by, limit = _parse_tail(m.group(4))
+    import itertools
+
+    fresh = itertools.count()  # query-global anonymous path-var counter
     unions = []
     optionals = []
     if _UNION_SEP_RE.search(body):
@@ -303,7 +357,7 @@ def parse_bgp(query: str) -> BGPQuery:
                 raise ValueError(
                     "nested groups inside UNION branches are not supported"
                 )
-            br_patterns, br_filters = _parse_group(part)
+            br_patterns, br_filters = _parse_group(part, fresh)
             if not br_patterns:
                 raise ValueError("empty UNION branch")
             branch = UnionBranch(patterns=br_patterns, filters=br_filters)
@@ -324,7 +378,7 @@ def parse_bgp(query: str) -> BGPQuery:
     negations = []
     if not unions:
         for nm in _NEGATION_RE.finditer(body):
-            ng_patterns, ng_filters = _parse_group(nm.group(1))
+            ng_patterns, ng_filters = _parse_group(nm.group(1), fresh)
             if not ng_patterns:
                 raise ValueError("empty FILTER NOT EXISTS / MINUS group")
             ngroup = NegationGroup(patterns=ng_patterns, filters=ng_filters)
@@ -339,7 +393,7 @@ def parse_bgp(query: str) -> BGPQuery:
         body = _NEGATION_RE.sub(" ", body)
     if not unions:
         for om in _OPTIONAL_RE.finditer(body):
-            op_patterns, op_filters = _parse_group(om.group(1))
+            op_patterns, op_filters = _parse_group(om.group(1), fresh)
             if not op_patterns:
                 raise ValueError("empty OPTIONAL group")
             group = OptionalGroup(patterns=op_patterns, filters=op_filters)
@@ -353,7 +407,7 @@ def parse_bgp(query: str) -> BGPQuery:
                     )
             optionals.append(group)
         body = _OPTIONAL_RE.sub(" ", body)
-        patterns, filters = _parse_group(body)
+        patterns, filters = _parse_group(body, fresh)
         if not patterns:
             raise ValueError("empty graph pattern")
         required = set().union(*[p.variables() for p in patterns])
@@ -378,7 +432,7 @@ def parse_bgp(query: str) -> BGPQuery:
     if sel_plain == "*":
         if aggregates:
             raise ValueError("SELECT * cannot be mixed with aggregates")
-        select = sorted(bound)
+        select = sorted(v for v in bound if not v.startswith(_ANON_PREFIX))
     else:
         select = [v[1:] for v in sel_plain.split()]
         if not all(v and not v.startswith("?") for v in select):

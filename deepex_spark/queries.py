@@ -1160,6 +1160,37 @@ def kg_sparql_minus(spark, sf_dir):
 
 
 @register(
+    "kg_sparql_path",
+    # ^<1-URGENT>/<5-LOW> == walk INTO the customer against edge
+    # direction, then out along a low edge: a self-join on the shared
+    # customer endpoint
+    oracle=_O21_BASE
+    + """
+    SELECT e1.dst AS o1, e2.dst AS o2
+    FROM edges e1 JOIN edges e2 ON e1.src = e2.src
+    WHERE e1.is_rev = 0 AND e1.rel = '1-URGENT'
+      AND e2.is_rev = 0 AND e2.rel = '5-LOW'
+    """,
+)
+def kg_sparql_path(spark, sf_dir):
+    """Property-path arm of the BGP layer: the sequence path
+    ``?o1 ^<1-URGENT>/<5-LOW> ?o2`` (urgent order -> its customer ->
+    that customer's low orders) desugars at parse time into two plain
+    patterns chained by an anonymous variable, so it plans exactly like
+    the hand-written 2-pattern join — scan pushdown and join ordering
+    included — over FORWARD edges only (no materialized reverse rows
+    needed: ^ flips the join ends instead)."""
+    from deepex_spark.operators.sparql import bgp
+
+    edges = o21_reverse_union(spark, sf_dir).filter(F.col("is_rev") == 0)
+    return bgp(
+        edges,
+        "SELECT ?o1 ?o2 WHERE { ?o1 ^<1-URGENT>/<5-LOW> ?o2 . }",
+        cols=("src", "rel", "dst"),
+    )
+
+
+@register(
     "kg_khop",
     # unrolled fixed-k BFS: level sets f1..f3 exclude everything already
     # reached, so each vertex appears once at its MINIMUM hop count —

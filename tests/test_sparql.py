@@ -437,3 +437,53 @@ def test_negation_plans_left_anti_join(spark):
     )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "LeftAnti" in plan
+
+
+def test_path_sequence(spark):
+    df = _edges_df(spark)
+    out = bgp(df, "SELECT ?p ?country WHERE { ?p <born_in>/<in_country> ?country . }")
+    assert sorted(map(tuple, out.collect())) == [
+        ("alice", "france"), ("bob", "france"),
+        ("carol", "france"), ("dave", "germany"),
+    ]
+
+
+def test_path_inverse_step(spark):
+    df = _edges_df(spark)
+    out = bgp(df, "SELECT ?c WHERE { <france> ^<in_country> ?c . }")
+    assert sorted(r["c"] for r in out.collect()) == ["lyon", "paris"]
+
+
+def test_path_mixed_inverse_sequence(spark):
+    """?a knows someone who shares ?a's birthplace: born_in/^born_in
+    walks forward then backward through the city node."""
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?a ?b WHERE { ?a <born_in>/^<born_in> ?b . FILTER(?a != ?b) }",
+    )
+    assert sorted(map(tuple, out.collect())) == [("alice", "bob"), ("bob", "alice")]
+
+
+def test_path_select_star_hides_anonymous_vars(spark):
+    df = _edges_df(spark)
+    out = bgp(df, "SELECT * WHERE { ?p <born_in>/<in_country> ?country . }")
+    assert out.columns == ["country", "p"]
+
+
+def test_path_equivalent_to_explicit_chain(spark):
+    df = _edges_df(spark)
+    a = bgp(df, "SELECT ?p ?c WHERE { ?p <born_in>/<in_country> ?c . }").collect()
+    b = bgp(
+        df, "SELECT ?p ?c WHERE { ?p <born_in> ?m . ?m <in_country> ?c . }"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_path_reserved_prefix_and_bad_path():
+    with pytest.raises(ValueError, match="reserved"):
+        parse_bgp("SELECT ?__path1 WHERE { ?__path1 <r> ?b . }")
+    with pytest.raises(ValueError, match="bad triple pattern"):
+        parse_bgp("SELECT ?a WHERE { ?a ^?p ?b . }")
+    with pytest.raises(ValueError, match="bad triple pattern"):
+        parse_bgp("SELECT ?a WHERE { ?a <r>/ ?b . }")
