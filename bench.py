@@ -93,6 +93,13 @@ GRAPH = [
     "kg_link_pred_eval",
     "kg_walk_pairs_multi",
     "kg_export_ntriples",
+    # read-side SPARQL layer (all sf-scaled off the orders-derived KG)
+    "kg_sparql_bgp",
+    "kg_sparql_optional",
+    "kg_sparql_agg",
+    "kg_sparql_union",
+    "kg_sparql_minus",
+    "kg_sparql_path",
 ]
 
 # vector-index layer — `--ann`, own metric name; snapshot in BENCH/ANN.md.
