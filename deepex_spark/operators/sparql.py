@@ -23,6 +23,8 @@ Grammar (the documented subset, parsed by :func:`parse_bgp`)::
         ...                          # filters may only use group vars
         FILTER NOT EXISTS { patterns... FILTER(...) }  # anti-join group
         MINUS { patterns... FILTER(...) }              # same (see below)
+        VALUES ?x { <a> <b> ... }                      # inline binding
+        VALUES (?x ?y) { (<a> 1) (<b> 2) ... }         #   restriction
     }
     [ORDER BY ?v | ASC(?v) | DESC(?v) ...] [LIMIT n]
 
@@ -81,6 +83,14 @@ Compilation (:func:`bgp`), and why it scales:
   REQUIRED pattern (a var-disjoint negation is refused), group
   filters may reference only group-bound variables, and negation
   applies before OPTIONAL joins (so it never tests optional NULLs);
+* VALUES joins the solution to an inline literal table — compiled as a
+  ``broadcast()`` inner join on the VALUES variables (the table is by
+  construction driver-small), i.e. a semi-constraint that Catalyst can
+  push into the join tree; duplicate VALUES rows are deduplicated (the
+  subset treats VALUES as a restriction, not a multiplicity source).
+  Restriction: every VALUES variable must be bound by the required
+  pattern (VALUES that introduces new bindings / UNDEF is outside the
+  subset);
 * UNION is bag union: each branch is solved as its own sub-BGP and the
   branches are combined with ``unionByName(allowMissingColumns=True)``
   — a variable a branch never binds comes out NULL on that branch's
@@ -177,6 +187,12 @@ class NegationGroup:
         return set().union(*[p.variables() for p in self.patterns])
 
 
+@dataclass
+class ValuesClause:
+    variables: list  # var names, in declaration order
+    rows: list  # list of tuples, len == len(variables)
+
+
 @dataclass(frozen=True)
 class Aggregate:
     func: str  # count | count_distinct | min | max | sum | avg
@@ -194,6 +210,7 @@ class BGPQuery:
     aggregates: list = field(default_factory=list)  # Aggregate
     unions: list = field(default_factory=list)  # UnionBranch (whole body)
     negations: list = field(default_factory=list)  # NegationGroup
+    values: list = field(default_factory=list)  # ValuesClause
     order_by: list = field(default_factory=list)  # (var, descending)
     limit: int | None = None
 
@@ -231,6 +248,11 @@ _NEGATION_RE = re.compile(
     r"(?:FILTER\s+NOT\s+EXISTS|MINUS)\s*\{([^{}]*)\}", re.IGNORECASE | re.DOTALL
 )
 _UNION_SEP_RE = re.compile(r"\}\s*UNION\s*\{", re.IGNORECASE)
+_VALUES_RE = re.compile(
+    r"VALUES\s*(\?[A-Za-z_][A-Za-z0-9_]*|\([^()]*\))\s*\{([^{}]*)\}",
+    re.IGNORECASE | re.DOTALL,
+)
+_TERM_RE = re.compile(_TERM)
 _LIMIT_RE = re.compile(r"LIMIT\s+(\d+)", re.IGNORECASE)
 _ORDER_KEY_RE = re.compile(
     r"(ASC|DESC)\s*\(\s*\?([A-Za-z_][A-Za-z0-9_]*)\s*\)"
@@ -296,6 +318,48 @@ def _parse_group(body: str, fresh=None):
                 )
             cur, cur_var = nxt, nxt_var
     return patterns, filters
+
+
+def _contiguous_terms(src: str) -> list:
+    """All _TERM tokens of ``src``, requiring nothing but whitespace
+    between them; each must be a CONSTANT (no variables)."""
+    out, pos = [], 0
+    for tm in _TERM_RE.finditer(src):
+        if src[pos : tm.start()].strip():
+            raise ValueError(f"bad VALUES data block: {src!r}")
+        val, is_var = _term(tm.group(1))
+        if is_var:
+            raise ValueError("VALUES data must be constants (UNDEF/vars unsupported)")
+        out.append(val)
+        pos = tm.end()
+    if src[pos:].strip():
+        raise ValueError(f"bad VALUES data block: {src!r}")
+    return out
+
+
+def _parse_values(head: str, body: str) -> ValuesClause:
+    if head.startswith("("):
+        var_toks = head[1:-1].split()
+        if not var_toks or not all(t.startswith("?") for t in var_toks):
+            raise ValueError(f"bad VALUES variable list: {head!r}")
+        names = [_term(t)[0] for t in var_toks]
+        row_srcs = re.findall(r"\(([^()]*)\)", body)
+        if re.sub(r"\([^()]*\)", " ", body).strip():
+            raise ValueError(f"bad VALUES data block: {body!r}")
+        rows = [tuple(_contiguous_terms(rs)) for rs in row_srcs]
+    else:
+        names = [_term(head)[0]]
+        rows = [(v,) for v in _contiguous_terms(body)]
+    if not rows:
+        raise ValueError("empty VALUES data block")
+    for r in rows:
+        if len(r) != len(names):
+            raise ValueError(
+                f"VALUES row arity {len(r)} != {len(names)} variables"
+            )
+    # a restriction, not a multiplicity source: dedupe, keep first order
+    rows = list(dict.fromkeys(rows))
+    return ValuesClause(variables=names, rows=rows)
 
 
 def _parse_tail(tail: str):
@@ -375,6 +439,11 @@ def parse_bgp(query: str) -> BGPQuery:
         # vars) is the intersection across branches
         bound = set().union(*[br.variables() for br in unions])
         required = set.intersection(*[br.variables() for br in unions])
+    values = []
+    if not unions:
+        for vm in _VALUES_RE.finditer(body):
+            values.append(_parse_values(vm.group(1), vm.group(2)))
+        body = _VALUES_RE.sub(" ", body)
     negations = []
     if not unions:
         for nm in _NEGATION_RE.finditer(body):
@@ -457,6 +526,12 @@ def parse_bgp(query: str) -> BGPQuery:
             raise ValueError(
                 "NOT EXISTS/MINUS group shares no variable with the required pattern"
             )
+    for vc in values:
+        missing_vals = [v for v in vc.variables if v not in required]
+        if missing_vals:
+            raise ValueError(
+                f"VALUES variables not bound by the required pattern: {missing_vals}"
+            )
     out_cols = list(select) + [a.alias for a in aggregates]
     for v, _ in order_by:
         if v not in out_cols:
@@ -470,6 +545,7 @@ def parse_bgp(query: str) -> BGPQuery:
         aggregates=aggregates,
         unions=unions,
         negations=negations,
+        values=values,
         order_by=order_by,
         limit=limit,
     )
@@ -539,6 +615,11 @@ def bgp(
             bound |= gb
     else:
         acc, bound = _solve(edges, q.patterns, q.filters, cols, allow_product)
+    for vc in q.values:
+        # inline binding table: driver-small by construction, broadcast
+        # inner join == a pushable semi-constraint on the VALUES vars
+        vdf = edges.sparkSession.createDataFrame(vc.rows).toDF(*vc.variables)
+        acc = acc.join(F.broadcast(vdf), on=vc.variables, how="inner")
     for g in q.negations:
         # anti-join on the shared variables: drop every required-side row
         # for which the negation group has at least one solution. Runs

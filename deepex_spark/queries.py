@@ -1191,6 +1191,38 @@ def kg_sparql_path(spark, sf_dir):
 
 
 @register(
+    "kg_sparql_values",
+    # VALUES == an IN-list restriction: per-predicate counts over just
+    # the three inline-bound priorities
+    oracle=_O21_BASE
+    + """
+    SELECT rel AS p, CAST(count(*) AS BIGINT) AS n
+    FROM edges
+    WHERE is_rev = 0 AND rel IN ('1-URGENT', '5-LOW', '3-MEDIUM')
+    GROUP BY rel
+    """,
+)
+def kg_sparql_values(spark, sf_dir):
+    """VALUES arm of the BGP layer: the inline binding table compiles to
+    a broadcast inner join on the VALUES variable — a semi-constraint
+    Catalyst pushes into the plan — composed here with a variable
+    predicate and implicit-grouping COUNT."""
+    from deepex_spark.operators.sparql import bgp
+
+    edges = o21_reverse_union(spark, sf_dir).filter(F.col("is_rev") == 0)
+    return bgp(
+        edges,
+        """
+        SELECT ?p (COUNT(*) AS ?n) WHERE {
+          ?s ?p ?o .
+          VALUES ?p { <1-URGENT> <5-LOW> <3-MEDIUM> }
+        }
+        """,
+        cols=("src", "rel", "dst"),
+    )
+
+
+@register(
     "kg_khop",
     # unrolled fixed-k BFS: level sets f1..f3 exclude everything already
     # reached, so each vertex appears once at its MINIMUM hop count —

@@ -487,3 +487,51 @@ def test_path_reserved_prefix_and_bad_path():
         parse_bgp("SELECT ?a WHERE { ?a ^?p ?b . }")
     with pytest.raises(ValueError, match="bad triple pattern"):
         parse_bgp("SELECT ?a WHERE { ?a <r>/ ?b . }")
+
+
+def test_values_single_var(spark):
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?a ?b WHERE { ?a <knows> ?b . VALUES ?a { <alice> <carol> } }",
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        ("alice", "bob"), ("carol", "alice"),
+    ]
+
+
+def test_values_multi_var_and_dedup(spark):
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?a ?b WHERE { ?a <knows> ?b ."
+        " VALUES (?a ?b) { (<alice> <bob>) (<carol> <alice>)"
+        " (<alice> <bob>) (<alice> <dave>) } }",
+    )
+    # duplicate VALUES row must not duplicate the solution row
+    assert sorted(map(tuple, out.collect())) == [
+        ("alice", "bob"), ("carol", "alice"),
+    ]
+
+
+def test_values_plans_broadcast_join(spark):
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?a ?b WHERE { ?a <knows> ?b . VALUES ?a { <alice> } }",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_values_rejections():
+    with pytest.raises(ValueError, match="not bound by the required"):
+        parse_bgp("SELECT ?a WHERE { ?a <knows> ?b . VALUES ?z { <x> } }")
+    with pytest.raises(ValueError, match="arity"):
+        parse_bgp(
+            "SELECT ?a WHERE { ?a <knows> ?b . VALUES (?a ?b) { (<x>) } }"
+        )
+    with pytest.raises(ValueError, match="constants"):
+        parse_bgp("SELECT ?a WHERE { ?a <knows> ?b . VALUES ?a { ?v } }")
+    with pytest.raises(ValueError, match="empty VALUES"):
+        parse_bgp("SELECT ?a WHERE { ?a <knows> ?b . VALUES ?a { } }")
