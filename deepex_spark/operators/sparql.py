@@ -18,7 +18,14 @@ Grammar (the documented subset, parsed by :func:`parse_bgp`)::
         ...                          #   slot: sequence (/) of constant
         ...                          #   steps, each optionally inverted
         ...                          #   (^) — desugared at parse time
+        term (<a>|<b>) term .        # predicate alternation: a step (or
+        ...                          #   the whole predicate) may be a
+        ...                          #   |-group of constant IRIs; also
+        ...                          #   valid per step inside a path,
+        ...                          #   e.g. ^(<a>|<b>)/<c>
         FILTER(?x != ?y) FILTER(?x < 42) ...
+        FILTER(STRSTARTS(?x, "pre")) FILTER(STRENDS(?x, "suf"))
+        FILTER(CONTAINS(?x, "mid")) FILTER(REGEX(?x, "pat")) ...
         OPTIONAL { patterns... FILTER(...) }   # left-join group; its
         ...                          # filters may only use group vars
         FILTER NOT EXISTS { patterns... FILTER(...) }  # anti-join group
@@ -31,6 +38,10 @@ Grammar (the documented subset, parsed by :func:`parse_bgp`)::
     -- or a whole-body union (branches are pattern+FILTER groups;
     -- OPTIONAL inside a branch is outside the subset):
     WHERE { { patterns... FILTER(...) } UNION { ... } UNION { ... } }
+
+    -- other query forms (same WHERE subset):
+    CONSTRUCT { plain template triples } WHERE { ... }   # :func:`construct`
+    ASK { patterns... }                                  # :func:`ask`
 
 Terms: ``?name`` is a variable; ``<...>`` is a constant (string-typed,
 matching however the edge table types its nodes/relations after a cast);
@@ -54,6 +65,14 @@ Compilation (:func:`bgp`), and why it scales:
   outage, not a slow query;
 * FILTERs are attached at the EARLIEST point all their variables are
   bound (classic filter pushdown into the join tree), not at the end;
+* string-function FILTERs — ``STRSTARTS``/``STRENDS``/``CONTAINS``
+  (literal second argument) and ``REGEX`` (Spark ``rlike``, partial
+  match like SPARQL's) — compile to the JVM string predicates; a
+  STRSTARTS over a scan column reaches parquet as ``StringStartsWith``
+  (the namespace-prefix filter of IRI-keyed tables, pruned at the
+  scan). REGEX accepts the Java-regex dialect; SPARQL's XPath-regex
+  extras (flags argument, ``\\p{Is...}`` blocks) are outside the
+  subset;
 * each OPTIONAL group is solved like a sub-BGP (its own filters
   pre-filter the optional side) and LEFT-joined to the required
   solution on the shared variables — unmatched rows carry NULLs.
@@ -73,6 +92,14 @@ Compilation (:func:`bgp`), and why it scales:
   from ``SELECT *``. Unbounded paths (``+``/``*``) are outside the
   subset — transitive closure lives in ``operators/kgq.py``'s
   path-doubling closure, the right tool at scale;
+* predicate alternation ``(<a>|<b>)`` — standalone or as one step of a
+  sequence path — stays ONE pattern whose predicate constant is the
+  member SET, compiled to ``rel IN (...)`` so it pushes to the scan as
+  a single ``In`` filter (parquet dictionary/min-max pruning applies)
+  instead of a UNION of near-identical scans; inversion applies to the
+  whole group (``^(<a>|<b>)``), per-member direction mixing is outside
+  the subset. One scan, no union, no extra join — the only alternation
+  plan that survives a 100 TB edge table;
 * FILTER NOT EXISTS / MINUS groups are solved as sub-BGPs and
   LEFT-ANTI-joined to the required solution on the shared variables —
   Spark's native anti-join (broadcast when the group side is small,
@@ -120,7 +147,16 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["parse_bgp", "bgp", "BGPQuery", "Pattern", "Filter", "UnionBranch"]
+__all__ = [
+    "parse_bgp",
+    "bgp",
+    "construct",
+    "ask",
+    "BGPQuery",
+    "Pattern",
+    "Filter",
+    "UnionBranch",
+]
 
 
 @dataclass(frozen=True)
@@ -218,14 +254,24 @@ class BGPQuery:
 _TERM = r"""(\?[A-Za-z_][A-Za-z0-9_]*|<[^>]*>|"[^"]*"|-?\d+(?:\.\d+)?)"""
 _PATTERN_RE = re.compile(rf"{_TERM}\s+{_TERM}\s+{_TERM}")
 # property path in the predicate slot: /-joined constant steps, each
-# optionally ^-inverted; fresh __path{n} vars are reserved for desugaring
+# optionally ^-inverted and either one IRI or a (|...)-alternation group;
+# fresh __path{n} vars are reserved for desugaring
 _ANON_PREFIX = "__path"
-_PATH_STEP_RE = re.compile(r"(\^?)<([^>]*)>")
+_ALT_GROUP = r"\(\s*<[^>]*>(?:\s*\|\s*<[^>]*>)*\s*\)"
+_PATH_STEP_RE = re.compile(rf"(\^?)(<[^>]*>|{_ALT_GROUP})")
+_PATH_STEP = rf"\^?(?:<[^>]*>|{_ALT_GROUP})"
 _PATTERN_PATH_RE = re.compile(
-    rf"{_TERM}\s+(\^?<[^>]*>(?:\s*/\s*\^?<[^>]*>)*)\s+{_TERM}"
+    rf"{_TERM}\s+({_PATH_STEP}(?:\s*/\s*{_PATH_STEP})*)\s+{_TERM}"
 )
+_IRI_RE = re.compile(r"<([^>]*)>")
 _FILTER_RE = re.compile(
     rf"FILTER\s*\(\s*(\?[A-Za-z_][A-Za-z0-9_]*)\s*(!=|<=|>=|=|<|>)\s*{_TERM}\s*\)",
+    re.IGNORECASE,
+)
+# string-function filters: literal (quoted) second argument only
+_STR_FILTER_RE = re.compile(
+    r"FILTER\s*\(\s*(STRSTARTS|STRENDS|CONTAINS|REGEX)\s*\(\s*"
+    r"(\?[A-Za-z_][A-Za-z0-9_]*)\s*,\s*\"([^\"]*)\"\s*\)\s*\)",
     re.IGNORECASE,
 )
 
@@ -276,6 +322,16 @@ def _parse_group(body: str, fresh=None):
 
         fresh = itertools.count()
     filters = []
+    for sm in _STR_FILTER_RE.finditer(body):
+        filters.append(
+            Filter(
+                left=sm.group(2)[1:],
+                op=sm.group(1).lower(),
+                right=sm.group(3),
+                right_var=False,
+            )
+        )
+    body = _STR_FILTER_RE.sub(" ", body)
     for fm in _FILTER_RE.finditer(body):
         right, rvar = _term(fm.group(3))
         filters.append(
@@ -303,7 +359,15 @@ def _parse_group(body: str, fresh=None):
         o, ov = _term(pp.group(3))
         steps = _PATH_STEP_RE.findall(pp.group(2))
         cur, cur_var = s, sv
-        for i, (inv, iri) in enumerate(steps):
+        for i, (inv, step) in enumerate(steps):
+            if step.startswith("("):
+                # alternation group -> the step's predicate constant is
+                # the member tuple (deduped, declaration order); a
+                # single-member group collapses to a plain constant
+                members = tuple(dict.fromkeys(_IRI_RE.findall(step)))
+                iri = members if len(members) > 1 else members[0]
+            else:
+                iri = step[1:-1]
             last = i == len(steps) - 1
             nxt, nxt_var = (o, ov) if last else (f"{_ANON_PREFIX}{next(fresh)}", True)
             if inv:
@@ -559,6 +623,14 @@ _OPS = {
     ">": lambda a, b: a > b,
     ">=": lambda a, b: a >= b,
 }
+# string-function filters take the RAW python literal (rlike has no
+# Column overload; startswith/endswith/contains accept str directly)
+_STR_OPS = {
+    "strstarts": lambda a, b: a.startswith(b),
+    "strends": lambda a, b: a.endswith(b),
+    "contains": lambda a, b: a.contains(b),
+    "regex": lambda a, b: a.rlike(b),
+}
 
 
 def _pattern_df(edges: DataFrame, p: Pattern, cols: tuple) -> DataFrame:
@@ -571,7 +643,11 @@ def _pattern_df(edges: DataFrame, p: Pattern, cols: tuple) -> DataFrame:
         (dst, p.obj, p.obj_var),
     ):
         if not is_var:
-            df = df.filter(F.col(col) == F.lit(value))
+            if isinstance(value, tuple):
+                # predicate alternation: one In filter, pushed to the scan
+                df = df.filter(F.col(col).isin(*value))
+            else:
+                df = df.filter(F.col(col) == F.lit(value))
     # a variable used twice within one pattern (?x <r> ?x) self-constrains
     var_cols = []
     var_names = []
@@ -686,8 +762,11 @@ def _solve(
         still = []
         for f in pending_filters:
             if f.variables() <= bound:
-                rhs = F.col(f.right) if f.right_var else F.lit(f.right)
-                df = df.filter(_OPS[f.op](F.col(f.left), rhs))
+                if f.op in _STR_OPS:
+                    df = df.filter(_STR_OPS[f.op](F.col(f.left), f.right))
+                else:
+                    rhs = F.col(f.right) if f.right_var else F.lit(f.right)
+                    df = df.filter(_OPS[f.op](F.col(f.left), rhs))
             else:
                 still.append(f)
         pending_filters = still
@@ -718,3 +797,101 @@ def _solve(
         bound |= patterns[i].variables()
         acc = apply_ready_filters(acc, bound)
     return acc, bound
+
+
+_CONSTRUCT_RE = re.compile(
+    r"^\s*CONSTRUCT\s*\{(.*?)\}\s*(WHERE\s*\{.*)$", re.IGNORECASE | re.DOTALL
+)
+_ASK_RE = re.compile(r"^\s*ASK\s*(?:WHERE\s*)?(\{.*\})\s*$", re.IGNORECASE | re.DOTALL)
+
+
+def construct(
+    edges: DataFrame,
+    query: str,
+    cols: tuple = ("src", "rel", "dst"),
+    allow_product: bool = False,
+) -> DataFrame:
+    """``CONSTRUCT { template } WHERE { ... }`` — rule-based graph
+    materialization: solve the WHERE block like any BGP, then emit one
+    edge-shaped row per template triple per solution. The output schema
+    IS the input edge schema (``cols`` names and dtypes — template
+    constants are cast to the slot's column type), so a constructed
+    graph feeds straight back into the same edge table, the KG-native
+    "derive new edges from a pattern" operator (e.g. materialize
+    ``?c <has_priority_order> ?o`` from a priority-alternation match).
+
+    Template triples are PLAIN patterns (vars + constants; property
+    paths/alternation belong in WHERE). Every template variable must be
+    bound by the WHERE block; a solution row where a template variable
+    is NULL (an OPTIONAL that didn't match) emits no triple for that
+    template — SPARQL's unbound-skip rule. Output is a GRAPH, i.e. a
+    set: duplicates are dropped (one exchange — the price of set
+    semantics; at 100 TB this dedup is the same shuffle the edge
+    table's own build pays in merge_edges).
+
+    WHERE supports the full documented subset (OPTIONAL, UNION,
+    negation, VALUES, paths, string filters); ORDER BY/LIMIT apply to
+    the solution multiset before templating (LIMIT bounds work, order
+    itself cannot survive the set-dedup).
+    """
+    m = _CONSTRUCT_RE.match(query)
+    if not m:
+        raise ValueError("not a CONSTRUCT { ... } WHERE { ... } query")
+    tmpl = []
+    for chunk in m.group(1).split("."):
+        chunk = chunk.strip()
+        if not chunk:
+            continue
+        pm = _PATTERN_RE.fullmatch(chunk)
+        if not pm:
+            raise ValueError(f"bad CONSTRUCT template triple: {chunk!r}")
+        (s, sv), (p, pv), (o, ov) = (_term(t) for t in pm.groups())
+        tmpl.append(
+            Pattern(subj=s, pred=p, obj=o, subj_var=sv, pred_var=pv, obj_var=ov)
+        )
+    if not tmpl:
+        raise ValueError("empty CONSTRUCT template")
+    tvars = sorted(set().union(*[t.variables() for t in tmpl]))
+    if not tvars:
+        raise ValueError("CONSTRUCT template binds no variables")
+    q = parse_bgp("SELECT " + " ".join(f"?{v}" for v in tvars) + " " + m.group(2))
+    sols = bgp(edges, q, cols=cols, allow_product=allow_product)
+    dtypes = {c: f.dataType for c, f in zip(cols, [edges.schema[c] for c in cols])}
+    out = None
+    for t in tmpl:
+        row = [
+            (F.col(val) if is_var else F.lit(val)).cast(dtypes[col]).alias(col)
+            for col, val, is_var in (
+                (cols[0], t.subj, t.subj_var),
+                (cols[1], t.pred, t.pred_var),
+                (cols[2], t.obj, t.obj_var),
+            )
+        ]
+        part = sols.select(*row)
+        out = part if out is None else out.unionByName(part)
+    # union with a zero-row slice of the edge table: template constants
+    # compile to non-nullable lits, and union nullability is the OR of
+    # both sides, so this widens the output schema to EXACTLY the edge
+    # schema (the zero-row side folds away — no scan, no extra stage)
+    empty = edges.select(*cols).limit(0)
+    return empty.unionByName(out.na.drop("any")).dropDuplicates()
+
+
+def ask(
+    edges: DataFrame,
+    query: str,
+    cols: tuple = ("src", "rel", "dst"),
+    allow_product: bool = False,
+) -> DataFrame:
+    """``ASK { ... }`` — does the pattern have at least one solution?
+    Returns a lazy ONE-row DataFrame with a single boolean column
+    ``ask`` (no driver-side action): the solution plan is capped with
+    ``limit(1)`` BEFORE the count, so Spark stops each task at the
+    first matching row — existence never pays for enumeration.
+    """
+    m = _ASK_RE.match(query)
+    if not m:
+        raise ValueError("not an ASK { ... } query")
+    q = parse_bgp("SELECT * WHERE " + m.group(1))
+    sols = bgp(edges, q, cols=cols, allow_product=allow_product)
+    return sols.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))

@@ -1223,6 +1223,136 @@ def kg_sparql_values(spark, sf_dir):
 
 
 @register(
+    "kg_sparql_alt",
+    # predicate alternation == rel IN (...) on ONE scan per step; the
+    # inverse group walks into the shared customer, the forward group
+    # back out, so the oracle is a self-join with IN lists on both sides
+    oracle=_O21_BASE
+    + """
+    SELECT e1.dst AS o1, e2.dst AS o2
+    FROM edges e1 JOIN edges e2 ON e1.src = e2.src
+    WHERE e1.is_rev = 0 AND e1.rel IN ('1-URGENT', '2-HIGH')
+      AND e2.is_rev = 0 AND e2.rel IN ('1-URGENT', '2-HIGH')
+      AND e1.dst <> e2.dst
+    """,
+)
+def kg_sparql_alt(spark, sf_dir):
+    """Predicate-alternation arm of the BGP layer: each ``(<a>|<b>)``
+    group — standalone or as one step of a sequence path — stays ONE
+    pattern whose predicate constant is the member set, compiled to a
+    single ``rel IN (...)`` scan filter (parquet dictionary pushdown
+    applies) instead of a union of near-identical scans. Here the path
+    ``?o1 ^(<1-URGENT>|<2-HIGH>)/(<1-URGENT>|<2-HIGH>) ?o2`` pairs
+    distinct high-priority orders of the same customer."""
+    from deepex_spark.operators.sparql import bgp
+
+    edges = o21_reverse_union(spark, sf_dir).filter(F.col("is_rev") == 0)
+    return bgp(
+        edges,
+        """
+        SELECT ?o1 ?o2 WHERE {
+          ?o1 ^(<1-URGENT>|<2-HIGH>)/(<1-URGENT>|<2-HIGH>) ?o2 .
+          FILTER(?o1 != ?o2)
+        }
+        """,
+        cols=("src", "rel", "dst"),
+    )
+
+
+@register(
+    "kg_sparql_strfilter",
+    # REGEX == partial-match regexp in both engines (Spark rlike /
+    # DuckDB regexp_matches); STRSTARTS == prefix filter
+    oracle=_O21_BASE
+    + """
+    SELECT rel AS p, CAST(count(*) AS BIGINT) AS n
+    FROM edges
+    WHERE is_rev = 0 AND regexp_matches(rel, '-(URGENT|HIGH)$')
+    GROUP BY rel
+    """,
+)
+def kg_sparql_strfilter(spark, sf_dir):
+    """String-function FILTER arm of the BGP layer: REGEX compiles to
+    JVM ``rlike`` (partial match, SPARQL's convention), STRSTARTS to
+    ``startswith`` — which reaches a parquet scan as StringStartsWith,
+    the namespace-prefix pruning every IRI-keyed edge table lives by.
+    Here: per-predicate counts of urgent/high edges by suffix regex."""
+    from deepex_spark.operators.sparql import bgp
+
+    edges = o21_reverse_union(spark, sf_dir).filter(F.col("is_rev") == 0)
+    return bgp(
+        edges,
+        """
+        SELECT ?p (COUNT(*) AS ?n) WHERE {
+          ?s ?p ?o .
+          FILTER(REGEX(?p, "-(URGENT|HIGH)$"))
+        }
+        """,
+        cols=("src", "rel", "dst"),
+    )
+
+
+@register(
+    "kg_sparql_construct",
+    # CONSTRUCT == rule-based edge materialization: one derived triple
+    # per solution, set semantics (DISTINCT), edge-shaped output
+    oracle=_O21_BASE
+    + """
+    SELECT DISTINCT src, 'HAS-PRIORITY-ORDER' AS rel, dst
+    FROM edges WHERE is_rev = 0 AND rel IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def kg_sparql_construct(spark, sf_dir):
+    """CONSTRUCT arm of the BGP layer: materialize the derived relation
+    ``?c <HAS-PRIORITY-ORDER> ?o`` from a predicate-alternation match.
+    The output schema IS the edge schema (template constants cast to
+    the slot's column type), so the constructed graph unions straight
+    back into the edge table — the KG-native rule-materialization
+    operator."""
+    from deepex_spark.operators.sparql import construct
+
+    edges = (
+        o21_reverse_union(spark, sf_dir)
+        .filter(F.col("is_rev") == 0)
+        .select("src", "rel", "dst")
+    )
+    return construct(
+        edges,
+        """
+        CONSTRUCT { ?c <HAS-PRIORITY-ORDER> ?o . }
+        WHERE { ?c (<1-URGENT>|<2-HIGH>) ?o . }
+        """,
+    )
+
+
+@register(
+    "kg_sparql_ask",
+    # ASK == existence: one boolean row; the engine caps the solution
+    # plan with limit(1) before counting
+    oracle=_O21_BASE
+    + """
+    SELECT (count(*) > 0) AS ask
+    FROM edges e1 JOIN edges e2 ON e1.src = e2.src
+    WHERE e1.is_rev = 0 AND e1.rel = '1-URGENT'
+      AND e2.is_rev = 0 AND e2.rel = '5-LOW'
+    """,
+)
+def kg_sparql_ask(spark, sf_dir):
+    """ASK arm of the BGP layer: does any customer hold both an urgent
+    and a low order? Lazy one-row boolean — the plan stops at the first
+    matching row (GlobalLimit 1 below the count), existence never pays
+    for enumeration."""
+    from deepex_spark.operators.sparql import ask
+
+    edges = o21_reverse_union(spark, sf_dir).filter(F.col("is_rev") == 0)
+    return ask(
+        edges,
+        "ASK { ?c <1-URGENT> ?o1 . ?c <5-LOW> ?o2 . }",
+        cols=("src", "rel", "dst"),
+    )
+
+
+@register(
     "kg_khop",
     # unrolled fixed-k BFS: level sets f1..f3 exclude everything already
     # reached, so each vertex appears once at its MINIMUM hop count —

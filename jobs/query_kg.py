@@ -13,9 +13,12 @@ pattern without anyone hand-writing joins:
 The query runs against the CURRENT edge snapshot (``plans/catalog.py``
 serves snapshot-versioned tables at their published version, so a
 concurrent ``maintain_kg`` merge never tears a half-written table under
-this job). The full documented fragment applies — BGP joins, FILTER,
-OPTIONAL, UNION, NOT EXISTS/MINUS, property paths, aggregates,
-ORDER BY/LIMIT (``operators/sparql.py``) — compiled to DataFrame
+this job). The full documented fragment applies — BGP joins, FILTER
+(comparisons + STRSTARTS/STRENDS/CONTAINS/REGEX), OPTIONAL, UNION,
+NOT EXISTS/MINUS, property paths with per-step alternation, VALUES,
+aggregates, ORDER BY/LIMIT, plus the CONSTRUCT (derived edge-shaped
+graph, writable straight back through maintain_kg) and ASK (one-row
+boolean) query forms (``operators/sparql.py``) — compiled to DataFrame
 algebra, so Catalyst/AQE plans the physical joins against however large
 the snapshot is; nothing in this job ever collects to the driver unless
 ``--show`` asks for a preview.
@@ -31,14 +34,27 @@ import argparse
 import sys
 
 
+def _compile(edges, query: str, cols: tuple, allow_product: bool = False):
+    """Dispatch on the query form: SELECT -> bgp, CONSTRUCT -> derived
+    edge-shaped graph (same schema as the snapshot — writable straight
+    back through maintain_kg), ASK -> one-row boolean."""
+    from deepex_spark.operators import sparql
+
+    head = query.split(None, 1)[0].upper() if query.split() else ""
+    if head == "CONSTRUCT":
+        return sparql.construct(edges, query, cols=cols, allow_product=allow_product)
+    if head == "ASK":
+        return sparql.ask(edges, query, cols=cols, allow_product=allow_product)
+    return sparql.bgp(edges, query, cols=cols, allow_product=allow_product)
+
+
 def run_query(spark, catalog, query: str, table: str = "edges",
               cols: tuple = ("subj_id", "pred_canon", "obj_id")):
     """Resolve the edge snapshot and compile+run the query. Returns the
-    result DataFrame (columns = the SELECT variables)."""
-    from deepex_spark.operators.sparql import bgp
-
+    result DataFrame (columns = the SELECT variables; edge columns for
+    CONSTRUCT; a single boolean ``ask`` for ASK)."""
     edges = catalog.read(spark, table)
-    return bgp(edges, query, cols=cols)
+    return _compile(edges, query, cols)
 
 
 def main(argv=None):
@@ -69,10 +85,8 @@ def main(argv=None):
 
     spark = build_session(master=args.master) if args.master else build_session()
     catalog = Catalog(args.catalog, fmt=args.catalog_format, spark=spark)
-    from deepex_spark.operators.sparql import bgp
-
     edges = catalog.read(spark, args.edges_table)
-    out = bgp(edges, args.query, cols=cols, allow_product=args.allow_product)
+    out = _compile(edges, args.query, cols, args.allow_product)
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
         print(f"wrote {args.output}")

@@ -92,3 +92,32 @@ def test_main_rejects_bad_cols(tmp_path):
             "--query", "SELECT ?a WHERE { ?a <r> ?b . }",
             "--cols", "just_two,columns",
         ])
+
+
+def test_run_query_construct_form(spark, tmp_path):
+    """CONSTRUCT through the job: derived edges come back in the
+    snapshot's own (subj_id, pred_canon, obj_id) schema."""
+    from jobs.query_kg import run_query
+
+    cat = _catalog(spark, tmp_path)
+    out = run_query(
+        spark, cat,
+        "CONSTRUCT { ?cap <eu_capital> <eu> . } WHERE {"
+        " ?cap <capital_of> ?c . ?c <member_of> <eu> . }",
+    )
+    assert out.columns == ["subj_id", "pred_canon", "obj_id"]
+    assert sorted(map(tuple, out.collect())) == [
+        ("berlin", "eu_capital", "eu"), ("paris", "eu_capital", "eu"),
+    ]
+
+
+def test_run_query_ask_form(spark, tmp_path):
+    from jobs.query_kg import run_query
+
+    cat = _catalog(spark, tmp_path)
+    assert run_query(
+        spark, cat, "ASK { ?x <capital_of> <norway> . }"
+    ).collect()[0]["ask"] is True
+    assert run_query(
+        spark, cat, "ASK { ?x <capital_of> <atlantis> . }"
+    ).collect()[0]["ask"] is False

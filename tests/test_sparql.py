@@ -4,6 +4,7 @@ pure-Python enumerator, plus parser edge cases and the scale guards."""
 from __future__ import annotations
 
 import itertools
+import re
 
 import pytest
 
@@ -49,6 +50,9 @@ def naive_bgp(edges, query):
                 if is_var:
                     if binding.setdefault(term, val) != val:
                         ok = False
+                elif isinstance(term, tuple):  # predicate alternation
+                    if val not in term:
+                        ok = False
                 else:
                     if val != term:
                         ok = False
@@ -62,6 +66,10 @@ def naive_bgp(edges, query):
             if not {
                 "=": lhs == rhs, "!=": lhs != rhs, "<": lhs < rhs,
                 "<=": lhs <= rhs, ">": lhs > rhs, ">=": lhs >= rhs,
+                "strstarts": str(lhs).startswith(str(rhs)),
+                "strends": str(lhs).endswith(str(rhs)),
+                "contains": str(rhs) in str(lhs),
+                "regex": bool(re.search(str(rhs), str(lhs))),
             }[f.op]:
                 ok = False
                 break
@@ -87,6 +95,15 @@ QUERIES = [
     'SELECT ?p WHERE { ?p <age> ?a . FILTER(?a >= "41") }',
     # SELECT *
     "SELECT * WHERE { ?p <born_in> ?c . ?c <in_country> <germany> . }",
+    # predicate alternation (single pattern, enumerator sees the tuple)
+    "SELECT ?a ?b WHERE { ?a (<knows>|<born_in>) ?b . }",
+    # alternation joined with a plain pattern
+    "SELECT ?a ?c WHERE { ?a (<born_in>|<knows>) ?x . ?x <in_country> ?c . }",
+    # string-function filters (JVM startswith/endswith/contains/rlike)
+    'SELECT ?p ?c WHERE { ?p <born_in> ?c . FILTER(CONTAINS(?c, "ar")) }',
+    'SELECT ?p ?r ?x WHERE { ?p ?r ?x . FILTER(STRSTARTS(?r, "born")) }',
+    'SELECT ?p WHERE { ?p <born_in> ?c . FILTER(STRENDS(?c, "is")) }',
+    'SELECT ?a ?b WHERE { ?a <knows> ?b . FILTER(REGEX(?b, "^(a|e)")) }',
 ]
 
 
@@ -480,6 +497,106 @@ def test_path_equivalent_to_explicit_chain(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_alternation_in_path_step(spark):
+    """Alternation as ONE step of a sequence path: people born in a city
+    of ?country OR who know such a person's city... here simply
+    (born_in|knows)/in_country — 'knows' never reaches a city, so only
+    born_in contributes, proving the step is a set-match not a union of
+    chains."""
+    df = _edges_df(spark)
+    out = bgp(
+        df, "SELECT ?p ?c WHERE { ?p (<born_in>|<knows>)/<in_country> ?c . }"
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        ("alice", "france"), ("bob", "france"),
+        ("carol", "france"), ("dave", "germany"),
+    ]
+
+
+def test_alternation_inverse_group(spark):
+    """^ applies to the whole group: ^(in_country|born_in) from france
+    walks both edge kinds backwards (only in_country edges land on
+    france)."""
+    df = _edges_df(spark)
+    out = bgp(df, "SELECT ?c WHERE { <france> ^(<in_country>|<born_in>) ?c . }")
+    assert sorted(r["c"] for r in out.collect()) == ["lyon", "paris"]
+
+
+def test_alternation_single_member_collapses(spark):
+    df = _edges_df(spark)
+    a = bgp(df, "SELECT ?p ?c WHERE { ?p (<born_in>) ?c . }").collect()
+    b = bgp(df, "SELECT ?p ?c WHERE { ?p <born_in> ?c . }").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # and the parse collapses to a plain string constant (same plan shape)
+    q = parse_bgp("SELECT ?p ?c WHERE { ?p (<born_in>) ?c . }")
+    assert q.patterns[0].pred == "born_in"
+
+
+def test_alternation_dedups_members():
+    q = parse_bgp("SELECT ?a ?b WHERE { ?a (<knows>|<knows>|<age>) ?b . }")
+    assert q.patterns[0].pred == ("knows", "age")
+
+
+def test_alternation_pushes_in_filter_to_scan(spark, tmp_path):
+    """The alternation must reach the parquet scan as ONE In filter —
+    one scan, no union of per-member scans."""
+    p = str(tmp_path / "edges_alt")
+    _edges_df(spark).write.parquet(p)
+    out = bgp(
+        spark.read.parquet(p),
+        "SELECT ?a ?b WHERE { ?a (<knows>|<born_in>) ?b . }",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(rel" in plan
+    assert "Union" not in plan
+
+
+def test_strstarts_pushes_to_scan(spark, tmp_path):
+    """STRSTARTS over a scan column must reach parquet as
+    StringStartsWith — the namespace-prefix filter of IRI-keyed edge
+    tables, pruned at the scan."""
+    p = str(tmp_path / "edges_pfx")
+    _edges_df(spark).write.parquet(p)
+    out = bgp(
+        spark.read.parquet(p),
+        'SELECT ?a ?b WHERE { ?a ?r ?b . FILTER(STRSTARTS(?r, "born")) }',
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "StringStartsWith(rel,born" in plan
+
+
+def test_string_filter_in_optional_group(spark):
+    """A string filter inside OPTIONAL pre-filters the optional side:
+    the required row survives with NULL, it does not drop."""
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?p ?c ?f WHERE { ?p <born_in> ?c ."
+        ' OPTIONAL { ?p <knows> ?f . FILTER(STRSTARTS(?f, "zzz")) } }',
+    )
+    rows = {(r["p"], r["f"]) for r in out.collect()}
+    assert ("alice", None) in rows and all(f is None for _, f in rows)
+
+
+def test_string_filter_rejections():
+    with pytest.raises(ValueError):
+        # variable second argument is outside the subset
+        parse_bgp('SELECT ?a WHERE { ?a <knows> ?b . FILTER(REGEX(?b, ?a)) }')
+    with pytest.raises(ValueError, match="unbound variable"):
+        parse_bgp('SELECT ?a WHERE { ?a <knows> ?b . FILTER(CONTAINS(?z, "x")) }')
+
+
+def test_alternation_rejections():
+    with pytest.raises(ValueError, match="bad triple pattern"):
+        # a variable inside an alternation group is outside the subset
+        parse_bgp("SELECT ?a WHERE { ?a (<knows>|?p) ?b . }")
+    with pytest.raises(ValueError, match="bad triple pattern"):
+        # per-member inversion is outside the subset (invert the group)
+        parse_bgp("SELECT ?a WHERE { ?a (<knows>|^<born_in>) ?b . }")
+    with pytest.raises(ValueError, match="bad triple pattern"):
+        parse_bgp("SELECT ?a WHERE { ?a () ?b . }")
+
+
 def test_path_reserved_prefix_and_bad_path():
     with pytest.raises(ValueError, match="reserved"):
         parse_bgp("SELECT ?__path1 WHERE { ?__path1 <r> ?b . }")
@@ -535,3 +652,85 @@ def test_values_rejections():
         parse_bgp("SELECT ?a WHERE { ?a <knows> ?b . VALUES ?a { ?v } }")
     with pytest.raises(ValueError, match="empty VALUES"):
         parse_bgp("SELECT ?a WHERE { ?a <knows> ?b . VALUES ?a { } }")
+
+
+def test_construct_materializes_edges(spark):
+    from deepex_spark.operators.sparql import construct
+
+    df = _edges_df(spark)
+    out = construct(
+        df,
+        "CONSTRUCT { ?p <citizen_of> ?country . }"
+        " WHERE { ?p <born_in>/<in_country> ?country . }",
+    )
+    assert out.columns == ["src", "rel", "dst"]
+    assert sorted(map(tuple, out.collect())) == [
+        ("alice", "citizen_of", "france"),
+        ("bob", "citizen_of", "france"),
+        ("carol", "citizen_of", "france"),
+        ("dave", "citizen_of", "germany"),
+    ]
+    # output schema == input edge schema: the constructed graph unions
+    # straight back into the edge table
+    assert out.schema == df.schema
+
+
+def test_construct_multi_template_and_dedup(spark):
+    from deepex_spark.operators.sparql import construct
+
+    df = _edges_df(spark)
+    out = construct(
+        df,
+        "CONSTRUCT { ?c <located_in> ?country . <eu> <has_city> ?c . }"
+        " WHERE { ?c <in_country> ?country . }",
+    )
+    rows = sorted(map(tuple, out.collect()))
+    assert ("paris", "located_in", "france") in rows
+    assert ("eu", "has_city", "paris") in rows
+    # graph semantics: no duplicate triples even if solutions repeat
+    assert len(rows) == len(set(rows))
+
+
+def test_construct_skips_unbound_optional(spark):
+    from deepex_spark.operators.sparql import construct
+
+    df = _edges_df(spark)
+    out = construct(
+        df,
+        "CONSTRUCT { ?p <knows_someone_from> ?fc . } WHERE {"
+        " ?p <born_in> ?c ."
+        " OPTIONAL { ?p <knows> ?f . ?f <born_in> ?fc . } }",
+    )
+    rows = sorted(map(tuple, out.collect()))
+    # dave knows nobody -> NULL ?fc -> no triple emitted for dave
+    assert all(r[0] != "dave" for r in rows)
+    assert ("alice", "knows_someone_from", "paris") in rows
+
+
+def test_construct_rejections(spark):
+    from deepex_spark.operators.sparql import construct
+
+    df = _edges_df(spark)
+    with pytest.raises(ValueError, match="not a CONSTRUCT"):
+        construct(df, "SELECT ?a WHERE { ?a <knows> ?b . }")
+    with pytest.raises(ValueError, match="bad CONSTRUCT template"):
+        construct(df, "CONSTRUCT { ?a <x>/<y> ?b . } WHERE { ?a <knows> ?b . }")
+    with pytest.raises(ValueError, match="never bound"):
+        construct(df, "CONSTRUCT { ?a <x> ?z . } WHERE { ?a <knows> ?b . }")
+    with pytest.raises(ValueError, match="binds no variables"):
+        construct(df, "CONSTRUCT { <a> <x> <b> . } WHERE { ?a <knows> ?b . }")
+
+
+def test_ask_true_false_and_lazy(spark):
+    from deepex_spark.operators.sparql import ask
+
+    df = _edges_df(spark)
+    out = ask(df, "ASK { ?p <born_in> ?c . ?c <in_country> <france> . }")
+    assert out.columns == ["ask"]
+    assert out.collect()[0]["ask"] is True
+    assert ask(df, "ASK WHERE { ?p <born_in> <atlantis> . }").collect()[0][
+        "ask"
+    ] is False
+    # the plan is capped before the count: a GlobalLimit sits below the agg
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit 1" in plan
