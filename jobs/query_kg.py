@@ -57,6 +57,87 @@ def run_query(spark, catalog, query: str, table: str = "edges",
     return _compile(edges, query, cols)
 
 
+def derived_edges_delta(derived, run_id: str, evidence_tag: str | None = None):
+    """Lift a CONSTRUCT result (the 3-column query view of the edge
+    snapshot, in (subject, predicate, object) column order) into a
+    ``merge_edges``-mergeable delta in the full edge-statistics schema
+    (``operators/graph.py::build_edges``):
+
+    * ``pred_id`` is recomputed by the ONE canonical id rule —
+      ``xxhash64(pred_canon)`` (``operators/canonicalize.py``) — so a
+      derived predicate and a doc-extracted predicate with the same
+      canonical surface share an edge key;
+    * each derived triple carries ONE unit of rule evidence
+      (``n_evidence = 1`` — CONSTRUCT output is a set) and ZERO document
+      statistics (``n_docs = 0``, scores ``0.0``): a rule firing is not a
+      document observation, and ``merge_edges``'s sum semantics then keep
+      doc-backed counts unpolluted while still strengthening an edge the
+      crawl also saw;
+    * ``sample_docid`` records the lineage tag (``sparql:<run_id>`` by
+      default) so a derived-only edge is distinguishable at a glance.
+
+    Endpoint contract: CONSTRUCT over the edge table can only bind
+    endpoints that exist in it (template CONSTANTS in entity slots are
+    the exception — on an xxhash64-id graph they rarely cast to a valid
+    id and are refused there by the null-drop), so no vertex delta is
+    needed: rule evidence adds no mentions and no documents.
+    """
+    from pyspark.sql import functions as F
+
+    scols = derived.columns
+    if len(scols) != 3:
+        raise ValueError(f"expected a 3-column CONSTRUCT result, got {scols}")
+    s, p, o = scols
+    tag = evidence_tag if evidence_tag is not None else f"sparql:{run_id}"
+    return derived.select(
+        F.col(s).alias("subj_id"),
+        F.col(o).alias("obj_id"),
+        F.xxhash64(F.col(p)).alias("pred_id"),
+        F.col(p).alias("pred_canon"),
+        F.lit(1).cast("long").alias("n_evidence"),
+        F.lit(0).cast("long").alias("n_docs"),
+        F.lit(0.0).alias("max_score"),
+        F.lit(0.0).alias("sum_score"),
+        F.lit(tag).alias("sample_docid"),
+        F.lit(run_id).alias("run_id"),
+        F.spark_partition_id().alias("src_partition"),
+    )
+
+
+def materialize_construct(spark, catalog, query: str, run_id: str,
+                          table: str = "edges",
+                          cols: tuple = ("subj_id", "pred_canon", "obj_id"),
+                          allow_product: bool = False):
+    """Run a CONSTRUCT query against the live edge snapshot and merge the
+    derived triples back into it — the rule-materialization write path.
+    Mirrors ``jobs/maintain_kg.maintain``'s edges arm: same
+    ``merge_edges`` fold, same bucket layout, same snapshot-versioned
+    publish, and IDEMPOTENT per ``run_id`` (``write_snapshot`` re-checks
+    the run_id inside its publish lock, so a retried job can never
+    double-count rule evidence). Returns ``(version, row_count)``.
+
+    Re-running the same rule under a NEW run_id adds evidence again — the
+    same contract as re-merging any delta; pick run_ids per rule firing.
+    """
+    head = query.split(None, 1)[0].upper() if query.split() else ""
+    if head != "CONSTRUCT":
+        raise ValueError("materialize_construct needs a CONSTRUCT query")
+    from deepex_spark.operators.graph import merge_edges, with_edge_bucket
+
+    already = catalog.version_of_run(table, run_id)
+    if already is not None:
+        return already, catalog.read_snapshot(spark, table, version=already).count()
+    existing = catalog.read(spark, table)
+    keep = [c for c in existing.columns if c != "bucket"]
+    derived = _compile(existing, query, cols, allow_product)
+    delta = derived_edges_delta(derived, run_id).select(*keep)
+    merged = with_edge_bucket(
+        merge_edges(existing.select(*keep), delta, run_id=run_id)
+    )
+    v = catalog.write_snapshot(merged, table, partition_by=["bucket"], run_id=run_id)
+    return v, catalog.read_snapshot(spark, table, version=v).count()
+
+
 def main(argv=None):
     from deepex_spark.plans.catalog import Catalog
     from deepex_spark.session import build_session
@@ -76,6 +157,10 @@ def main(argv=None):
                    help="print the first N result rows to stdout")
     p.add_argument("--allow-product", action="store_true",
                    help="opt in to a disconnected (cartesian) pattern")
+    p.add_argument("--materialize", metavar="RUN_ID", default=None,
+                   help="CONSTRUCT only: merge the derived triples back "
+                        "into the edge snapshot under this run_id "
+                        "(idempotent per run_id) instead of previewing")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -85,6 +170,17 @@ def main(argv=None):
 
     spark = build_session(master=args.master) if args.master else build_session()
     catalog = Catalog(args.catalog, fmt=args.catalog_format, spark=spark)
+    if args.materialize:
+        head = args.query.split(None, 1)[0].upper() if args.query.split() else ""
+        if head != "CONSTRUCT":
+            p.error("--materialize requires a CONSTRUCT query")
+        v, n = materialize_construct(
+            spark, catalog, args.query, args.materialize,
+            table=args.edges_table, cols=cols,
+            allow_product=args.allow_product,
+        )
+        print(f"published {args.edges_table} v{v}: {n} edges")
+        return None
     edges = catalog.read(spark, args.edges_table)
     out = _compile(edges, args.query, cols, args.allow_product)
     if args.output:

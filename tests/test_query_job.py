@@ -121,3 +121,87 @@ def test_run_query_ask_form(spark, tmp_path):
     assert run_query(
         spark, cat, "ASK { ?x <capital_of> <atlantis> . }"
     ).collect()[0]["ask"] is False
+
+
+def _stat_edges_catalog(spark, tmp_path):
+    """A snapshot-published edge table in the FULL statistics schema
+    (operators/graph.py::build_edges + bucket layout) — what build_kg /
+    maintain_kg actually publish, which materialize_construct merges into."""
+    from pyspark.sql import functions as F
+    from deepex_spark.operators.graph import build_edges, with_edge_bucket
+    from deepex_spark.plans.catalog import Catalog
+
+    trips = spark.createDataFrame(
+        [
+            (1, 2, "parent_of", 0.9, "doc01"),
+            (2, 3, "parent_of", 0.8, "doc02"),
+            (1, 2, "parent_of", 0.7, "doc03"),
+            (4, 5, "likes", 0.5, "doc04"),
+        ],
+        "subj_id long, obj_id long, pred_canon string, score double, docid string",
+    ).withColumn("pred_id", F.xxhash64("pred_canon"))
+    cat = Catalog(str(tmp_path / "kg"))
+    cat.write_snapshot(
+        with_edge_bucket(build_edges(trips, run_id="base")),
+        "edges", partition_by=["bucket"], run_id="base",
+    )
+    return cat
+
+
+def test_materialize_construct_merges_idempotently(spark, tmp_path):
+    """CONSTRUCT --materialize: derived triples fold into the edge
+    snapshot carrying ONE unit of rule evidence and ZERO document
+    statistics, pred_id follows the canonical xxhash64(pred_canon) rule,
+    doc-backed stats stay untouched, a retried run_id is a no-op, and a
+    re-firing under a new run_id adds evidence like any delta."""
+    from pyspark.sql import functions as F
+    from jobs.query_kg import materialize_construct
+
+    cat = _stat_edges_catalog(spark, tmp_path)
+    rule = ("CONSTRUCT { ?a <grandparent_of> ?c . } WHERE {"
+            " ?a <parent_of> ?b . ?b <parent_of> ?c . }")
+    v1, n1 = materialize_construct(spark, cat, rule, run_id="rule1")
+    cur = cat.read(spark, "edges")
+    derived = cur.where(F.col("pred_canon") == "grandparent_of").collect()
+    assert [(r.subj_id, r.obj_id) for r in derived] == [(1, 3)]
+    d = derived[0]
+    assert (d.n_evidence, d.n_docs, d.max_score, d.sum_score) == (1, 0, 0.0, 0.0)
+    assert d.sample_docid == "sparql:rule1"
+    assert d.pred_id == spark.range(1).select(
+        F.xxhash64(F.lit("grandparent_of"))).first()[0]
+    pe = cur.where(
+        (F.col("pred_canon") == "parent_of") & (F.col("subj_id") == 1)).first()
+    assert (pe.n_evidence, pe.n_docs, pe.sample_docid) == (2, 2, "doc01")
+    v2, n2 = materialize_construct(spark, cat, rule, run_id="rule1")
+    assert (v2, n2) == (v1, n1)
+    materialize_construct(spark, cat, rule, run_id="rule2")
+    d2 = cat.read(spark, "edges").where(
+        F.col("pred_canon") == "grandparent_of").first()
+    assert (d2.n_evidence, d2.n_docs) == (2, 0)
+
+
+def test_main_materialize_flag(spark, tmp_path, capsys):
+    """--materialize wires the CONSTRUCT write path through the CLI and
+    refuses non-CONSTRUCT queries."""
+    import pytest
+    from pyspark.sql import functions as F
+    from deepex_spark.plans.catalog import Catalog
+    from jobs.query_kg import main
+
+    cat = _stat_edges_catalog(spark, tmp_path)
+    main([
+        "--catalog", str(tmp_path / "kg"),
+        "--query",
+        "CONSTRUCT { ?a <grandparent_of> ?c . } WHERE {"
+        " ?a <parent_of> ?b . ?b <parent_of> ?c . }",
+        "--materialize", "rule1",
+    ])
+    assert "published edges v2: 4 edges" in capsys.readouterr().out
+    assert cat.read(spark, "edges").where(
+        F.col("pred_canon") == "grandparent_of").count() == 1
+    with pytest.raises(SystemExit):
+        main([
+            "--catalog", str(tmp_path / "kg"),
+            "--query", "SELECT ?a WHERE { ?a <parent_of> ?b . }",
+            "--materialize", "nope",
+        ])
