@@ -99,6 +99,7 @@ GRAPH = [
     "kg_sparql_agg",
     "kg_sparql_union",
     "kg_sparql_minus",
+    "kg_sparql_exists",
     "kg_sparql_path",
 ]
 

@@ -30,6 +30,7 @@ Grammar (the documented subset, parsed by :func:`parse_bgp`)::
         ...                          # filters may only use group vars
         FILTER NOT EXISTS { patterns... FILTER(...) }  # anti-join group
         MINUS { patterns... FILTER(...) }              # same (see below)
+        FILTER EXISTS { patterns... FILTER(...) }      # semi-join group
         VALUES ?x { <a> <b> ... }                      # inline binding
         VALUES (?x ?y) { (<a> 1) (<b> 2) ... }         #   restriction
     }
@@ -110,6 +111,13 @@ Compilation (:func:`bgp`), and why it scales:
   REQUIRED pattern (a var-disjoint negation is refused), group
   filters may reference only group-bound variables, and negation
   applies before OPTIONAL joins (so it never tests optional NULLs);
+* FILTER EXISTS is the positive twin: the group is solved as a sub-BGP
+  and LEFT-SEMI-joined on the shared variables — existence is tested
+  without ever widening or multiplying the required side (a semi-join
+  short-circuits on the first match, so a group with thousands of
+  solutions per key costs the same as one). Same restrictions as
+  negation (shared variable required — a var-disjoint EXISTS is ASK's
+  job — group-local filters, runs before OPTIONAL);
 * VALUES joins the solution to an inline literal table — compiled as a
   ``broadcast()`` inner join on the VALUES variables (the table is by
   construction driver-small), i.e. a semi-constraint that Catalyst can
@@ -224,6 +232,19 @@ class NegationGroup:
 
 
 @dataclass
+class ExistsGroup:
+    """Positive ``FILTER EXISTS { ... }`` — the semi-join twin of
+    NegationGroup: keep a required-side row iff the group has at least
+    one solution sharing its variable bindings."""
+
+    patterns: list
+    filters: list
+
+    def variables(self) -> set:
+        return set().union(*[p.variables() for p in self.patterns])
+
+
+@dataclass
 class ValuesClause:
     variables: list  # var names, in declaration order
     rows: list  # list of tuples, len == len(variables)
@@ -246,6 +267,7 @@ class BGPQuery:
     aggregates: list = field(default_factory=list)  # Aggregate
     unions: list = field(default_factory=list)  # UnionBranch (whole body)
     negations: list = field(default_factory=list)  # NegationGroup
+    exists_groups: list = field(default_factory=list)  # ExistsGroup
     values: list = field(default_factory=list)  # ValuesClause
     order_by: list = field(default_factory=list)  # (var, descending)
     limit: int | None = None
@@ -293,6 +315,9 @@ _OPTIONAL_RE = re.compile(r"OPTIONAL\s*\{([^{}]*)\}", re.IGNORECASE | re.DOTALL)
 _NEGATION_RE = re.compile(
     r"(?:FILTER\s+NOT\s+EXISTS|MINUS)\s*\{([^{}]*)\}", re.IGNORECASE | re.DOTALL
 )
+# disjoint with _NEGATION_RE ("NOT" cannot appear between FILTER and
+# EXISTS here), but extracted AFTER it so the two never race
+_EXISTS_RE = re.compile(r"FILTER\s+EXISTS\s*\{([^{}]*)\}", re.IGNORECASE | re.DOTALL)
 _UNION_SEP_RE = re.compile(r"\}\s*UNION\s*\{", re.IGNORECASE)
 _VALUES_RE = re.compile(
     r"VALUES\s*(\?[A-Za-z_][A-Za-z0-9_]*|\([^()]*\))\s*\{([^{}]*)\}",
@@ -524,6 +549,22 @@ def parse_bgp(query: str) -> BGPQuery:
                     )
             negations.append(ngroup)
         body = _NEGATION_RE.sub(" ", body)
+    exists_groups = []
+    if not unions:
+        for em in _EXISTS_RE.finditer(body):
+            ex_patterns, ex_filters = _parse_group(em.group(1), fresh)
+            if not ex_patterns:
+                raise ValueError("empty FILTER EXISTS group")
+            egroup = ExistsGroup(patterns=ex_patterns, filters=ex_filters)
+            for f in ex_filters:
+                # same group-locality rule as negation: an EXISTS filter
+                # may reference only variables the group itself binds
+                if not f.variables() <= egroup.variables():
+                    raise ValueError(
+                        f"EXISTS FILTER uses variable outside its group: {f}"
+                    )
+            exists_groups.append(egroup)
+        body = _EXISTS_RE.sub(" ", body)
     if not unions:
         for om in _OPTIONAL_RE.finditer(body):
             op_patterns, op_filters = _parse_group(om.group(1), fresh)
@@ -590,6 +631,12 @@ def parse_bgp(query: str) -> BGPQuery:
             raise ValueError(
                 "NOT EXISTS/MINUS group shares no variable with the required pattern"
             )
+    for g in exists_groups:
+        # var-disjoint EXISTS is the same all-or-nothing shape — use ASK
+        if not (g.variables() & required):
+            raise ValueError(
+                "EXISTS group shares no variable with the required pattern"
+            )
     for vc in values:
         missing_vals = [v for v in vc.variables if v not in required]
         if missing_vals:
@@ -609,6 +656,7 @@ def parse_bgp(query: str) -> BGPQuery:
         aggregates=aggregates,
         unions=unions,
         negations=negations,
+        exists_groups=exists_groups,
         values=values,
         order_by=order_by,
         limit=limit,
@@ -703,6 +751,14 @@ def bgp(
         gdf, _ = _solve(edges, g.patterns, g.filters, cols, allow_product)
         keys = sorted(g.variables() & bound)
         acc = acc.join(gdf.select(*keys), on=keys, how="left_anti")
+    for g in q.exists_groups:
+        # semi-join twin: keep a row iff the group has ≥1 solution under
+        # its bindings. LeftSemi short-circuits on first build-side match
+        # and never widens the row — AQE picks broadcast vs shuffle, the
+        # group's solution count never multiplies the required side.
+        gdf, _ = _solve(edges, g.patterns, g.filters, cols, allow_product)
+        keys = sorted(g.variables() & bound)
+        acc = acc.join(gdf.select(*keys), on=keys, how="left_semi")
     for g in q.optionals:
         # each OPTIONAL group is solved on its own (group filters
         # pre-filter the optional side), then LEFT-joined to the solution

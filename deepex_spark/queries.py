@@ -1134,7 +1134,7 @@ def kg_sparql_union(spark, sf_dir):
       AND NOT EXISTS (
         SELECT 1 FROM edges e2
         WHERE e2.is_rev = 0 AND e2.rel = '5-LOW'
-          AND e2.src = e1.src AND e2.dst > 20000
+          AND e2.src = e1.src AND e2.dst > 7500
       )
     """,
 )
@@ -1152,7 +1152,49 @@ def kg_sparql_minus(spark, sf_dir):
         """
         SELECT DISTINCT ?c WHERE {
           ?c <1-URGENT> ?o .
-          FILTER NOT EXISTS { ?c <5-LOW> ?o2 . FILTER(?o2 > 20000) }
+          FILTER NOT EXISTS { ?c <5-LOW> ?o2 . FILTER(?o2 > 7500) }
+        }
+        """,
+        cols=("src", "rel", "dst"),
+    )
+
+
+@register(
+    "kg_sparql_exists",
+    # positive EXISTS == semi-join: customers holding an urgent order AND
+    # at least one qualifying low-priority order — the group's own filter
+    # pre-restricts the probe side, and the semi-join keeps each urgent
+    # row once no matter how many low orders match. Re-derived as a
+    # correlated EXISTS.
+    oracle=_O21_BASE
+    + """
+    SELECT DISTINCT e1.src AS c
+    FROM edges e1
+    WHERE e1.is_rev = 0 AND e1.rel = '1-URGENT'
+      AND EXISTS (
+        SELECT 1 FROM edges e2
+        WHERE e2.is_rev = 0 AND e2.rel = '5-LOW'
+          AND e2.src = e1.src AND e2.dst > 7500
+      )
+    """,
+)
+def kg_sparql_exists(spark, sf_dir):
+    """Positive-existence arm of the BGP layer (operators/sparql.py):
+    FILTER EXISTS compiled to a LEFT-SEMI join on the shared variable —
+    the anti-join's twin. A semi-join short-circuits on the first match
+    and never widens or multiplies the required side, so a customer with
+    10k qualifying low orders costs the same as one with a single one;
+    AQE picks broadcast vs shuffle. The group-local FILTER pre-restricts
+    the probe side before the join."""
+    from deepex_spark.operators.sparql import bgp
+
+    edges = o21_reverse_union(spark, sf_dir).filter(F.col("is_rev") == 0)
+    return bgp(
+        edges,
+        """
+        SELECT DISTINCT ?c WHERE {
+          ?c <1-URGENT> ?o .
+          FILTER EXISTS { ?c <5-LOW> ?o2 . FILTER(?o2 > 7500) }
         }
         """,
         cols=("src", "rel", "dst"),

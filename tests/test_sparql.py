@@ -734,3 +734,87 @@ def test_ask_true_false_and_lazy(spark):
     # the plan is capped before the count: a GlobalLimit sits below the agg
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "GlobalLimit 1" in plan
+
+
+def test_exists_semi_join(spark):
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT DISTINCT ?a WHERE { ?a <knows> ?b ."
+        " FILTER EXISTS { ?a <born_in> ?c . } }",
+    )
+    # knows-subjects: alice bob carol eve; eve has no birthplace -> dropped
+    assert sorted(r["a"] for r in out.collect()) == ["alice", "bob", "carol"]
+
+
+def test_exists_never_multiplies(spark):
+    """A key with MANY group solutions still contributes each required row
+    ONCE — semi-join, not inner join."""
+    rows = [("a", "knows", "b")] + [("a", "likes", f"x{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "src string, rel string, dst string")
+    out = bgp(
+        df,
+        "SELECT ?a ?b WHERE { ?a <knows> ?b . FILTER EXISTS { ?a <likes> ?z . } }",
+    )
+    assert [tuple(r) for r in out.collect()] == [("a", "b")]
+
+
+def test_exists_group_filter_prefilters(spark):
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT DISTINCT ?a WHERE { ?a <knows> ?b ."
+        ' FILTER EXISTS { ?a <age> ?g . FILTER(?g >= "41") } }',
+    )
+    assert [r["a"] for r in out.collect()] == ["bob"]
+
+
+def test_exists_complements_not_exists(spark):
+    """EXISTS and NOT EXISTS on the same group partition the required
+    solution set exactly."""
+    df = _edges_df(spark)
+    base = "SELECT DISTINCT ?a WHERE { ?a <knows> ?b . %s }"
+    pos = {r["a"] for r in bgp(
+        df, base % "FILTER EXISTS { ?a <born_in> ?c . }").collect()}
+    neg = {r["a"] for r in bgp(
+        df, base % "FILTER NOT EXISTS { ?a <born_in> ?c . }").collect()}
+    allr = {r["a"] for r in bgp(df, base % "").collect()}
+    assert pos | neg == allr and not (pos & neg)
+
+
+def test_exists_with_optional_runs_before(spark):
+    """EXISTS restricts the required solution; OPTIONAL NULLs are attached
+    afterwards and never tested by the semi-join."""
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?a ?nat WHERE { ?a <born_in> ?city ."
+        " FILTER EXISTS { ?a <knows> ?x . }"
+        " OPTIONAL { ?city <in_country> ?nat . FILTER(?nat = \"france\") } }",
+    )
+    rows = sorted((r["a"], r["nat"]) for r in out.collect())
+    assert rows == [("alice", "france"), ("bob", "france"), ("carol", "france")]
+
+
+def test_exists_rejections():
+    with pytest.raises(ValueError, match="shares no variable"):
+        parse_bgp(
+            "SELECT ?a WHERE { ?a <knows> ?b ."
+            " FILTER EXISTS { ?x <born_in> ?c . } }"
+        )
+    with pytest.raises(ValueError, match="outside its group"):
+        parse_bgp(
+            "SELECT ?a WHERE { ?a <knows> ?b ."
+            " FILTER EXISTS { ?a <born_in> ?c . FILTER(?b != ?c) } }"
+        )
+
+
+def test_exists_plans_left_semi_join(spark):
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?a WHERE { ?a <knows> ?b ."
+        " FILTER EXISTS { ?a <born_in> ?c . } }",
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
