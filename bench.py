@@ -100,6 +100,7 @@ GRAPH = [
     "kg_sparql_union",
     "kg_sparql_minus",
     "kg_sparql_exists",
+    "kg_sparql_having",
     "kg_sparql_path",
 ]
 

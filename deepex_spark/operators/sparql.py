@@ -34,6 +34,7 @@ Grammar (the documented subset, parsed by :func:`parse_bgp`)::
         VALUES ?x { <a> <b> ... }                      # inline binding
         VALUES (?x ?y) { (<a> 1) (<b> 2) ... }         #   restriction
     }
+    [HAVING(AGG(?v) op literal) ...]
     [ORDER BY ?v | ASC(?v) | DESC(?v) ...] [LIMIT n]
 
     -- or a whole-body union (branches are pattern+FILTER groups;
@@ -84,7 +85,13 @@ Compilation (:func:`bgp`), and why it scales:
 * aggregate SELECT items turn the query into one ``groupBy`` on the
   plain SELECT variables (SPARQL's implicit grouping for this subset) —
   map-side combinable, so the aggregation adds at most one exchange.
-  Output columns are the group keys then the aggregate aliases;
+  Output columns are the group keys then the aggregate aliases.
+  ``HAVING(AGG(?v) op literal)`` restricts groups after aggregation —
+  the re-stated aggregate reuses its SELECT column when one matches,
+  otherwise it is computed as a hidden column in the SAME exchange and
+  dropped by the final projection (HAVING never costs a second
+  shuffle); HAVING with no SELECT aggregates still groups on the
+  SELECT variables;
 * a sequence property path ``<a>/^<b>/<c>`` desugars AT PARSE TIME into
   a chain of ordinary triple patterns linked by fresh anonymous
   variables (``^`` swaps subject/object for that step), so the join
@@ -257,6 +264,19 @@ class Aggregate:
     alias: str
 
 
+@dataclass(frozen=True)
+class Having:
+    """``HAVING(AGG(?v) op literal)`` — a post-grouping restriction. The
+    aggregate is re-stated (SPARQL style), not alias-referenced; if it
+    matches a SELECT aggregate the grouped column is reused, otherwise a
+    hidden aggregate is computed and dropped after the filter."""
+
+    func: str  # count | count_distinct | min | max | sum | avg
+    var: str | None  # None for COUNT(*)
+    op: str  # = != < <= > >=
+    value: object  # literal
+
+
 @dataclass
 class BGPQuery:
     select: list  # variable names, or ["*"]
@@ -269,6 +289,7 @@ class BGPQuery:
     negations: list = field(default_factory=list)  # NegationGroup
     exists_groups: list = field(default_factory=list)  # ExistsGroup
     values: list = field(default_factory=list)  # ValuesClause
+    havings: list = field(default_factory=list)  # Having
     order_by: list = field(default_factory=list)  # (var, descending)
     limit: int | None = None
 
@@ -333,6 +354,12 @@ _ORDER_KEY_RE = re.compile(
 _AGG_RE = re.compile(
     r"\(\s*(COUNT|MIN|MAX|SUM|AVG)\s*\(\s*(DISTINCT\s+)?"
     r"(\*|\?[A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+(\?[A-Za-z_][A-Za-z0-9_]*)\s*\)",
+    re.IGNORECASE,
+)
+_HAVING_RE = re.compile(
+    r"HAVING\s*\(\s*(COUNT|MIN|MAX|SUM|AVG)\s*\(\s*(DISTINCT\s+)?"
+    r"(\*|\?[A-Za-z_][A-Za-z0-9_]*)\s*\)\s*(!=|<=|>=|=|<|>)\s*"
+    r"""("[^"]*"|-?\d+(?:\.\d+)?)\s*\)""",
     re.IGNORECASE,
 )
 
@@ -452,7 +479,22 @@ def _parse_values(head: str, body: str) -> ValuesClause:
 
 
 def _parse_tail(tail: str):
-    """ORDER BY / LIMIT clauses after the WHERE block -> (order, limit)."""
+    """HAVING / ORDER BY / LIMIT clauses after the WHERE block ->
+    (order, limit, havings)."""
+    havings = []
+    for hm in _HAVING_RE.finditer(tail):
+        func = hm.group(1).lower()
+        term = hm.group(3)
+        var = None if term == "*" else term[1:]
+        if hm.group(2):
+            if func != "count":
+                raise ValueError("DISTINCT is only supported inside COUNT(...)")
+            func = "count_distinct"
+        if var is None and func != "count":
+            raise ValueError(f"{func.upper()}(*) is not supported")
+        value, _ = _term(hm.group(5))
+        havings.append(Having(func=func, var=var, op=hm.group(4), value=value))
+    tail = _HAVING_RE.sub(" ", tail)
     limit = None
     lm = _LIMIT_RE.search(tail)
     if lm:
@@ -476,7 +518,7 @@ def _parse_tail(tail: str):
         tail = tail[: om.start()]
     if tail.strip():
         raise ValueError(f"unparsed trailing clause: {tail.strip()!r}")
-    return order, limit
+    return order, limit, havings
 
 
 def parse_bgp(query: str) -> BGPQuery:
@@ -489,7 +531,7 @@ def parse_bgp(query: str) -> BGPQuery:
         raise ValueError("not a SELECT ... WHERE { ... } query")
     distinct = bool(m.group(1))
     sel_raw, body = m.group(2).strip(), m.group(3)
-    order_by, limit = _parse_tail(m.group(4))
+    order_by, limit, havings = _parse_tail(m.group(4))
     import itertools
 
     fresh = itertools.count()  # query-global anonymous path-var counter
@@ -602,6 +644,9 @@ def parse_bgp(query: str) -> BGPQuery:
         if var is not None and var not in bound:
             raise ValueError(f"aggregate over unbound variable: ?{var}")
         aggregates.append(Aggregate(func=func, var=var, alias=am.group(4)[1:]))
+    for h in havings:
+        if h.var is not None and h.var not in bound:
+            raise ValueError(f"HAVING aggregate over unbound variable: ?{h.var}")
     sel_plain = _AGG_RE.sub(" ", sel_raw).strip()
     if sel_plain == "*":
         if aggregates:
@@ -658,6 +703,7 @@ def parse_bgp(query: str) -> BGPQuery:
         negations=negations,
         exists_groups=exists_groups,
         values=values,
+        havings=havings,
         order_by=order_by,
         limit=limit,
     )
@@ -679,6 +725,19 @@ _STR_OPS = {
     "contains": lambda a, b: a.contains(b),
     "regex": lambda a, b: a.rlike(b),
 }
+
+
+def _agg_expr(func: str, var: str | None):
+    """One aggregate function over a bound variable (or COUNT(*))."""
+    col = F.col(var) if var is not None else None
+    return {
+        "count": F.count(col) if col is not None else F.count(F.lit(1)),
+        "count_distinct": F.count_distinct(col) if col is not None else None,
+        "min": F.min(col) if col is not None else None,
+        "max": F.max(col) if col is not None else None,
+        "sum": F.sum(col) if col is not None else None,
+        "avg": F.avg(col) if col is not None else None,
+    }[func]
 
 
 def _pattern_df(edges: DataFrame, p: Pattern, cols: tuple) -> DataFrame:
@@ -768,22 +827,27 @@ def bgp(
         keys = sorted(g.variables() & bound)
         acc = acc.join(gdf, on=keys, how="left")
         bound |= g.variables()
-    if q.aggregates:
+    if q.aggregates or q.havings:
         # plain SELECT variables are the (implicit) GROUP BY keys; the
-        # aggregation is one map-side-combinable exchange on those keys
-        exprs = []
+        # aggregation is one map-side-combinable exchange on those keys.
+        # Each HAVING re-states its aggregate (SPARQL style): one that
+        # matches a SELECT aggregate reuses the grouped column, any other
+        # is computed as a hidden column in the SAME exchange and dropped
+        # by the final projection — HAVING never costs a second shuffle.
+        exprs, agg_cols = [], {}
         for a in q.aggregates:
-            col = F.col(a.var) if a.var is not None else None
-            expr = {
-                "count": F.count(col) if col is not None else F.count(F.lit(1)),
-                "count_distinct": F.count_distinct(col) if col is not None else None,
-                "min": F.min(col) if col is not None else None,
-                "max": F.max(col) if col is not None else None,
-                "sum": F.sum(col) if col is not None else None,
-                "avg": F.avg(col) if col is not None else None,
-            }[a.func]
-            exprs.append(expr.alias(a.alias))
+            exprs.append(_agg_expr(a.func, a.var).alias(a.alias))
+            agg_cols.setdefault((a.func, a.var), a.alias)
+        for i, h in enumerate(q.havings):
+            if (h.func, h.var) not in agg_cols:
+                hidden = f"#having{i}"  # '#' is not legal in a ?var name
+                exprs.append(_agg_expr(h.func, h.var).alias(hidden))
+                agg_cols[(h.func, h.var)] = hidden
         grouped = acc.groupBy(*q.select).agg(*exprs) if q.select else acc.agg(*exprs)
+        for h in q.havings:
+            grouped = grouped.filter(
+                _OPS[h.op](F.col(agg_cols[(h.func, h.var)]), F.lit(h.value))
+            )
         out = grouped.select(*q.select, *[a.alias for a in q.aggregates])
     else:
         out = acc.select(*q.select)

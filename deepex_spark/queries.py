@@ -1160,6 +1160,41 @@ def kg_sparql_minus(spark, sf_dir):
 
 
 @register(
+    "kg_sparql_having",
+    # HAVING restricts groups after the one implicit-grouping exchange;
+    # the COUNT re-statement reuses the SELECT aggregate's column while
+    # the MAX is a hidden aggregate computed in the SAME exchange and
+    # dropped from the output — re-derived as GROUP BY + HAVING.
+    oracle=_O21_BASE
+    + """
+    SELECT e.src AS c, count(e.dst) AS n
+    FROM edges e
+    WHERE e.is_rev = 0 AND e.rel = '1-URGENT'
+    GROUP BY e.src
+    HAVING count(e.dst) >= 2 AND max(e.dst) > 7500
+    """,
+)
+def kg_sparql_having(spark, sf_dir):
+    """HAVING arm of the BGP aggregate layer (operators/sparql.py):
+    post-grouping restrictions compiled as filters over the SAME
+    map-side-combinable exchange the SELECT aggregates ride — a HAVING
+    aggregate matching a SELECT item reuses its grouped column, any
+    other (here MAX) is computed as a hidden column and dropped by the
+    final projection. HAVING never costs a second shuffle."""
+    from deepex_spark.operators.sparql import bgp
+
+    edges = o21_reverse_union(spark, sf_dir).filter(F.col("is_rev") == 0)
+    return bgp(
+        edges,
+        """
+        SELECT ?c (COUNT(?o) AS ?n) WHERE { ?c <1-URGENT> ?o . }
+        HAVING(COUNT(?o) >= 2) HAVING(MAX(?o) > 7500)
+        """,
+        cols=("src", "rel", "dst"),
+    )
+
+
+@register(
     "kg_sparql_exists",
     # positive EXISTS == semi-join: customers holding an urgent order AND
     # at least one qualifying low-priority order — the group's own filter

@@ -818,3 +818,76 @@ def test_exists_plans_left_semi_join(spark):
     )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_having_on_select_aggregate(spark):
+    """HAVING re-stating a SELECT aggregate reuses its grouped column."""
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?city (COUNT(?p) AS ?n) WHERE { ?p <born_in> ?city . }"
+        " HAVING(COUNT(?p) >= 2)",
+    )
+    assert [tuple(r) for r in out.collect()] == [("paris", 2)]
+
+
+def test_having_hidden_aggregate(spark):
+    """A HAVING aggregate absent from SELECT is computed in the same
+    exchange and dropped from the output."""
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?city (MIN(?p) AS ?first) WHERE { ?p <born_in> ?city . }"
+        ' HAVING(COUNT(?p) = 1) ORDER BY ?city',
+    )
+    assert out.columns == ["city", "first"]
+    assert [tuple(r) for r in out.collect()] == [
+        ("berlin", "dave"), ("lyon", "carol"),
+    ]
+
+
+def test_having_without_select_aggregate(spark):
+    """HAVING alone still triggers grouping on the SELECT variables."""
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?city WHERE { ?p <born_in> ?city . } HAVING(COUNT(*) >= 2)",
+    )
+    assert [r["city"] for r in out.collect()] == ["paris"]
+
+
+def test_having_string_literal_and_order(spark):
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?p (MAX(?x) AS ?m) WHERE { ?p <knows> ?x . }"
+        ' HAVING(MAX(?x) > "b") ORDER BY ?p',
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("alice", "bob"), ("bob", "carol"), ("eve", "eve"),
+    ]
+
+
+def test_having_single_exchange(spark):
+    """HAVING's hidden aggregate rides the SELECT aggregation's exchange —
+    exactly one shuffle in the single-pattern plan."""
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?city (MIN(?p) AS ?first) WHERE { ?p <born_in> ?city . }"
+        " HAVING(COUNT(?p) >= 2)",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+    assert [tuple(r) for r in out.collect()] == [("paris", "alice")]
+
+
+def test_having_rejections():
+    with pytest.raises(ValueError, match="unbound variable"):
+        parse_bgp(
+            "SELECT ?a WHERE { ?a <knows> ?b . } HAVING(COUNT(?z) > 1)"
+        )
+    with pytest.raises(ValueError, match="DISTINCT is only supported"):
+        parse_bgp(
+            "SELECT ?a WHERE { ?a <knows> ?b . } HAVING(SUM(DISTINCT ?b) > 1)"
+        )
