@@ -101,6 +101,7 @@ GRAPH = [
     "kg_sparql_minus",
     "kg_sparql_exists",
     "kg_sparql_having",
+    "kg_sparql_describe",
     "kg_sparql_path",
 ]
 

@@ -44,6 +44,7 @@ Grammar (the documented subset, parsed by :func:`parse_bgp`)::
     -- other query forms (same WHERE subset):
     CONSTRUCT { plain template triples } WHERE { ... }   # :func:`construct`
     ASK { patterns... }                                  # :func:`ask`
+    DESCRIBE <iri> ... ?v ... [WHERE { ... }]            # :func:`describe`
 
 Terms: ``?name`` is a variable; ``<...>`` is a constant (string-typed,
 matching however the edge table types its nodes/relations after a cast);
@@ -167,6 +168,7 @@ __all__ = [
     "bgp",
     "construct",
     "ask",
+    "describe",
     "BGPQuery",
     "Pattern",
     "Filter",
@@ -1015,3 +1017,93 @@ def ask(
     q = parse_bgp("SELECT * WHERE " + m.group(1))
     sols = bgp(edges, q, cols=cols, allow_product=allow_product)
     return sols.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
+
+
+_DESCRIBE_RE = re.compile(
+    r"^\s*DESCRIBE\s+(.+?)\s*(?:WHERE\s*\{(.*)\})?\s*$", re.IGNORECASE | re.DOTALL
+)
+
+
+def describe(
+    edges: DataFrame,
+    query: str,
+    cols: tuple = ("src", "rel", "dst"),
+    allow_product: bool = False,
+) -> DataFrame:
+    """``DESCRIBE <iri> ... ?var ... [WHERE { ... }]`` — every edge
+    incident (as subject OR object) to any described resource, in the
+    edge table's own schema; the per-resource neighborhood dump SPARQL
+    endpoints answer "what do we know about X?" with (the W3C leaves the
+    description shape to the service; this one returns the resource's
+    full 1-hop edge set, both directions, which is what an edge-list
+    store can say about a node).
+
+    Two node sources, planned differently on purpose:
+
+    * constants (``DESCRIBE <x> <y>``) compile to ONE pruned scan with
+      ``subj IN (...) OR obj IN (...)`` — the Or of two In filters
+      pushes to parquet, no join at all;
+    * variables need a WHERE block that binds them (required-side only
+      — describing an OPTIONAL variable would describe NULL); the
+      solved node set is stacked into one column, deduplicated, and the
+      edge table is LEFT-SEMI-joined against it twice (subject end,
+      object end). Each semi-join is AQE-planned (broadcast when the
+      node set is small — the common case — shuffle otherwise), and the
+      two ends union BEFORE a final set-dedup, since an edge between
+      two described nodes must appear once, not twice.
+
+    Output is a GRAPH (a set): duplicates are dropped. The one exchange
+    this costs is the same price construct() pays for set semantics.
+    """
+    m = _DESCRIBE_RE.match(query)
+    if not m:
+        raise ValueError("not a DESCRIBE query")
+    src, rel, dst = cols
+    consts, varnames = [], []
+    pos = 0
+    head = m.group(1)
+    for tm in _TERM_RE.finditer(head):
+        if head[pos : tm.start()].strip():
+            raise ValueError(f"bad DESCRIBE term list: {head!r}")
+        value, is_var = _term(tm.group(0))
+        (varnames if is_var else consts).append(value)
+        pos = tm.end()
+    if head[pos:].strip() or not (consts or varnames):
+        raise ValueError(f"bad DESCRIBE term list: {head!r}")
+    if varnames and m.group(2) is None:
+        raise ValueError("DESCRIBE with variables needs a WHERE block")
+    nodes = None
+    if varnames:
+        q = parse_bgp(
+            "SELECT DISTINCT "
+            + " ".join(f"?{v}" for v in varnames)
+            + " WHERE {"
+            + m.group(2)
+            + "}"
+        )
+        required = set().union(*[p.variables() for p in q.patterns]) if q.patterns else (
+            set().intersection(*[br.variables() for br in q.unions]) if q.unions else set()
+        )
+        missing = [v for v in varnames if v not in required]
+        if missing:
+            raise ValueError(
+                f"DESCRIBE variables not bound by the required pattern: {missing}"
+            )
+        sols = bgp(edges, q, cols=cols, allow_product=allow_product)
+        acc = None
+        for v in varnames:
+            col = sols.select(F.col(v).alias("__node"))
+            acc = col if acc is None else acc.unionByName(col)
+        nodes = acc.dropDuplicates()
+    out = None
+    if consts:
+        out = edges.filter(
+            F.col(src).isin(*consts) | F.col(dst).isin(*consts)
+        ).select(*cols)
+    if nodes is not None:
+        for end in (src, dst):
+            part = edges.join(
+                nodes, on=F.col(end) == F.col("__node"), how="left_semi"
+            ).select(*cols)
+            out = part if out is None else out.unionByName(part)
+    return out.dropDuplicates()

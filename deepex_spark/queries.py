@@ -1160,6 +1160,39 @@ def kg_sparql_minus(spark, sf_dir):
 
 
 @register(
+    "kg_sparql_describe",
+    # DESCRIBE = the 1-hop neighborhood dump: every edge incident (either
+    # end) to a node the WHERE block binds. Re-derived as a distinct
+    # projection over an IN-either-end membership test.
+    oracle=_O21_BASE
+    + """
+    , nodes AS (
+      SELECT DISTINCT src AS n FROM edges
+      WHERE is_rev = 0 AND rel = '1-URGENT' AND dst < 100
+    )
+    SELECT DISTINCT e.src, e.rel, e.dst FROM edges e
+    WHERE e.is_rev = 0
+      AND (e.src IN (SELECT n FROM nodes) OR e.dst IN (SELECT n FROM nodes))
+    """,
+)
+def kg_sparql_describe(spark, sf_dir):
+    """DESCRIBE arm of the read-side layer (operators/sparql.py): the
+    WHERE block binds the node set (customers holding an early urgent
+    order), then the edge table is LEFT-SEMI-joined against it at each
+    end — AQE broadcasts the (small) node set, the edge side never
+    shuffles for the membership test — and the two ends union before one
+    set-dedup, so an edge between two described nodes appears once."""
+    from deepex_spark.operators.sparql import describe
+
+    edges = o21_reverse_union(spark, sf_dir).filter(F.col("is_rev") == 0)
+    return describe(
+        edges,
+        "DESCRIBE ?c WHERE { ?c <1-URGENT> ?o . FILTER(?o < 100) }",
+        cols=("src", "rel", "dst"),
+    )
+
+
+@register(
     "kg_sparql_having",
     # HAVING restricts groups after the one implicit-grouping exchange;
     # the COUNT re-statement reuses the SELECT aggregate's column while

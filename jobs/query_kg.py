@@ -45,6 +45,8 @@ def _compile(edges, query: str, cols: tuple, allow_product: bool = False):
         return sparql.construct(edges, query, cols=cols, allow_product=allow_product)
     if head == "ASK":
         return sparql.ask(edges, query, cols=cols, allow_product=allow_product)
+    if head == "DESCRIBE":
+        return sparql.describe(edges, query, cols=cols, allow_product=allow_product)
     return sparql.bgp(edges, query, cols=cols, allow_product=allow_product)
 
 

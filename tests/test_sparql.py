@@ -891,3 +891,87 @@ def test_having_rejections():
         parse_bgp(
             "SELECT ?a WHERE { ?a <knows> ?b . } HAVING(SUM(DISTINCT ?b) > 1)"
         )
+
+
+def test_describe_constant(spark):
+    from deepex_spark.operators.sparql import describe
+
+    df = _edges_df(spark)
+    out = describe(df, "DESCRIBE <paris>")
+    assert out.columns == ["src", "rel", "dst"]
+    assert sorted(map(tuple, out.collect())) == [
+        ("alice", "born_in", "paris"),
+        ("bob", "born_in", "paris"),
+        ("paris", "in_country", "france"),
+    ]
+
+
+def test_describe_multiple_constants_dedup(spark):
+    """An edge between two described nodes appears ONCE."""
+    from deepex_spark.operators.sparql import describe
+
+    df = _edges_df(spark)
+    out = describe(df, "DESCRIBE <paris> <france>")
+    rows = sorted(map(tuple, out.collect()))
+    assert rows.count(("paris", "in_country", "france")) == 1
+    assert ("lyon", "in_country", "france") in rows
+
+
+def test_describe_variable_with_where(spark):
+    from deepex_spark.operators.sparql import describe
+
+    df = _edges_df(spark)
+    out = describe(
+        df, "DESCRIBE ?city WHERE { ?city <in_country> <germany> . }"
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        ("berlin", "in_country", "germany"),
+        ("dave", "born_in", "berlin"),
+    ]
+
+
+def test_describe_mixed_terms(spark):
+    from deepex_spark.operators.sparql import describe
+
+    df = _edges_df(spark)
+    out = describe(
+        df, "DESCRIBE <lyon> ?x WHERE { ?x <knows> <eve> . }"
+    )
+    rows = sorted(map(tuple, out.collect()))
+    # lyon's edges + eve's (self-loop counted once)
+    assert rows == [
+        ("carol", "born_in", "lyon"),
+        ("eve", "knows", "eve"),
+        ("lyon", "in_country", "france"),
+    ]
+
+
+def test_describe_constants_push_to_scan(spark, tmp_path):
+    """Constants-only DESCRIBE is ONE pruned scan — the Or of two
+    membership filters reaches parquet, no join in the plan."""
+    from deepex_spark.operators.sparql import describe
+
+    p = str(tmp_path / "edges")
+    _edges_df(spark).write.parquet(p)
+    out = describe(spark.read.parquet(p), "DESCRIBE <paris> <lyon>")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [Or(In(src" in plan or "Or(In" in plan
+    assert "Join" not in plan
+
+
+def test_describe_rejections(spark):
+    from deepex_spark.operators.sparql import describe
+
+    df = _edges_df(spark)
+    with pytest.raises(ValueError, match="needs a WHERE block"):
+        describe(df, "DESCRIBE ?x")
+    with pytest.raises(ValueError, match="not bound by the required"):
+        describe(
+            df,
+            "DESCRIBE ?n WHERE { ?p <born_in> ?c ."
+            " OPTIONAL { ?c <in_country> ?n . } }",
+        )
+    with pytest.raises(ValueError, match="not a DESCRIBE"):
+        describe(df, "DESCRIBE")
+    with pytest.raises(ValueError, match="bad DESCRIBE term list"):
+        describe(df, "DESCRIBE foo")
