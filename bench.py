@@ -102,6 +102,7 @@ GRAPH = [
     "kg_sparql_exists",
     "kg_sparql_having",
     "kg_sparql_describe",
+    "kg_sparql_bind",
     "kg_sparql_path",
 ]
 

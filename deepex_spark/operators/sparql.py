@@ -33,6 +33,13 @@ Grammar (the documented subset, parsed by :func:`parse_bgp`)::
         FILTER EXISTS { patterns... FILTER(...) }      # semi-join group
         VALUES ?x { <a> <b> ... }                      # inline binding
         VALUES (?x ?y) { (<a> 1) (<b> 2) ... }         #   restriction
+        BIND(?a + 1 AS ?b)           # computed column: ONE binary
+        BIND(CONCAT(?a, "-", ?c) AS ?k)  #   + - * / op, CONCAT, or a
+        BIND(STRLEN(?a) AS ?n)       #   single-arg STRLEN/UCASE/LCASE/
+        ...                          #   ABS over required-bound vars and
+        ...                          #   earlier BINDs; chain BINDs for
+        ...                          #   deeper expressions (no operator
+        ...                          #   precedence to get wrong)
     }
     [HAVING(AGG(?v) op literal) ...]
     [ORDER BY ?v | ASC(?v) | DESC(?v) ...] [LIMIT n]
@@ -260,6 +267,35 @@ class ValuesClause:
 
 
 @dataclass(frozen=True)
+class Bind:
+    """``BIND(expr AS ?v)`` — a computed column over required-bound
+    variables. ``expr`` is a parsed tree:
+
+    * ``("term", (value, is_var))`` — a bare copy/alias;
+    * ``("arith", op, lhs_term, rhs_term)`` — ONE binary + - * / (no
+      precedence ambiguity by construction: chain BINDs for more);
+    * ``("func", name, [terms])`` — CONCAT(n-ary) or a single-arg
+      STRLEN/UCASE/LCASE/ABS.
+    """
+
+    var: str
+    expr: tuple
+
+    def variables(self) -> set:
+        kind = self.expr[0]
+        if kind == "term":
+            v, is_var = self.expr[1]
+            return {v} if is_var else set()
+        if kind == "arith":
+            out = set()
+            for v, is_var in (self.expr[2], self.expr[3]):
+                if is_var:
+                    out.add(v)
+            return out
+        return {v for v, is_var in self.expr[2] if is_var}
+
+
+@dataclass(frozen=True)
 class Aggregate:
     func: str  # count | count_distinct | min | max | sum | avg
     var: str | None  # None for COUNT(*)
@@ -291,6 +327,7 @@ class BGPQuery:
     negations: list = field(default_factory=list)  # NegationGroup
     exists_groups: list = field(default_factory=list)  # ExistsGroup
     values: list = field(default_factory=list)  # ValuesClause
+    binds: list = field(default_factory=list)  # Bind, in source order
     havings: list = field(default_factory=list)  # Having
     order_by: list = field(default_factory=list)  # (var, descending)
     limit: int | None = None
@@ -342,6 +379,14 @@ _NEGATION_RE = re.compile(
 # EXISTS here), but extracted AFTER it so the two never race
 _EXISTS_RE = re.compile(r"FILTER\s+EXISTS\s*\{([^{}]*)\}", re.IGNORECASE | re.DOTALL)
 _UNION_SEP_RE = re.compile(r"\}\s*UNION\s*\{", re.IGNORECASE)
+_BIND_RE = re.compile(
+    r"BIND\s*\(\s*(.+?)\s+AS\s+(\?[A-Za-z_][A-Za-z0-9_]*)\s*\)",
+    re.IGNORECASE | re.DOTALL,
+)
+_BIND_FUNC_RE = re.compile(
+    r"(CONCAT|STRLEN|UCASE|LCASE|ABS)\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL
+)
+_BIND_ARITH_RE = re.compile(rf"{_TERM}\s*([+\-*/])\s*{_TERM}\s*$")
 _VALUES_RE = re.compile(
     r"VALUES\s*(\?[A-Za-z_][A-Za-z0-9_]*|\([^()]*\))\s*\{([^{}]*)\}",
     re.IGNORECASE | re.DOTALL,
@@ -364,6 +409,58 @@ _HAVING_RE = re.compile(
     r"""("[^"]*"|-?\d+(?:\.\d+)?)\s*\)""",
     re.IGNORECASE,
 )
+
+
+def _parse_bind_expr(src: str) -> tuple:
+    """One BIND expression -> parsed tree (see :class:`Bind`). The subset
+    is unambiguous by construction: exactly one binary arithmetic op (no
+    precedence to get wrong — chain BINDs for more), CONCAT, a single-arg
+    function, or a bare term."""
+    s = src.strip()
+    fm = _BIND_FUNC_RE.match(s)
+    if fm:
+        name = fm.group(1).lower()
+        args = [a.strip() for a in fm.group(2).split(",")]
+        terms = []
+        for a in args:
+            if not _TERM_RE.fullmatch(a):
+                raise ValueError(f"bad BIND argument: {a!r}")
+            terms.append(_term(a))
+        if name == "concat":
+            if len(terms) < 2:
+                raise ValueError("CONCAT needs at least two arguments")
+        elif len(terms) != 1:
+            raise ValueError(f"{name.upper()} takes exactly one argument")
+        return ("func", name, terms)
+    am = _BIND_ARITH_RE.match(s)
+    if am:
+        return ("arith", am.group(2), _term(am.group(1)), _term(am.group(3)))
+    if _TERM_RE.fullmatch(s):
+        return ("term", _term(s))
+    raise ValueError(f"unsupported BIND expression: {src!r}")
+
+
+def _bind_col(expr: tuple):
+    """Parsed BIND tree -> one JVM Column expression (never a UDF)."""
+
+    def tc(t):
+        v, is_var = t
+        return F.col(v) if is_var else F.lit(v)
+
+    kind = expr[0]
+    if kind == "term":
+        return tc(expr[1])
+    if kind == "arith":
+        lhs, rhs = tc(expr[2]), tc(expr[3])
+        return {
+            "+": lhs + rhs, "-": lhs - rhs, "*": lhs * rhs, "/": lhs / rhs,
+        }[expr[1]]
+    name, args = expr[1], [tc(t) for t in expr[2]]
+    if name == "concat":
+        return F.concat(*args)
+    return {
+        "strlen": F.length, "ucase": F.upper, "lcase": F.lower, "abs": F.abs,
+    }[name](args[0])
 
 
 def _parse_group(body: str, fresh=None):
@@ -625,6 +722,11 @@ def parse_bgp(query: str) -> BGPQuery:
                     )
             optionals.append(group)
         body = _OPTIONAL_RE.sub(" ", body)
+    binds = []
+    if not unions:
+        for bm in _BIND_RE.finditer(body):
+            binds.append(Bind(var=bm.group(2)[1:], expr=_parse_bind_expr(bm.group(1))))
+        body = _BIND_RE.sub(" ", body)
         patterns, filters = _parse_group(body, fresh)
         if not patterns:
             raise ValueError("empty graph pattern")
@@ -632,6 +734,26 @@ def parse_bgp(query: str) -> BGPQuery:
         bound = required | set().union(
             set(), *[g.variables() for g in optionals]
         )
+        # BIND validation, in source order: each expression may use only
+        # required vars and EARLIER bind vars (never optional NULLs); the
+        # bound name must be fresh everywhere — a collision with any
+        # pattern/group/VALUES variable would silently become a join key
+        taken = set(bound)
+        for g in negations + exists_groups:
+            taken |= g.variables()
+        for vc in values:
+            taken |= set(vc.variables)
+        allowed = set(required)
+        for b in binds:
+            if b.var in taken or b.var in allowed - required:
+                raise ValueError(f"BIND variable already in use: ?{b.var}")
+            missing_refs = b.variables() - allowed
+            if missing_refs:
+                raise ValueError(
+                    f"BIND expression uses unbound variables: {sorted(missing_refs)}"
+                )
+            allowed.add(b.var)
+        bound |= {b.var for b in binds}
     aggregates = []
     for am in _AGG_RE.finditer(sel_raw):
         func = am.group(1).lower()
@@ -663,8 +785,10 @@ def parse_bgp(query: str) -> BGPQuery:
         raise ValueError(f"SELECT variables never bound by a pattern: {missing}")
     for f in filters:
         # top-level filters must not touch optional-only (nullable) vars —
-        # SPARQL's bound()/COALESCE semantics are out of the subset
-        if not f.variables() <= required:
+        # SPARQL's bound()/COALESCE semantics are out of the subset;
+        # BIND-computed vars are fine (such filters apply after the bind
+        # columns are attached)
+        if not f.variables() <= required | {b.var for b in binds}:
             raise ValueError(f"FILTER uses unbound variable: {f}")
     for g in optionals:
         if not (g.variables() & required):
@@ -705,6 +829,7 @@ def parse_bgp(query: str) -> BGPQuery:
         negations=negations,
         exists_groups=exists_groups,
         values=values,
+        binds=binds,
         havings=havings,
         order_by=order_by,
         limit=limit,
@@ -799,7 +924,23 @@ def bgp(
             )
             bound |= gb
     else:
-        acc, bound = _solve(edges, q.patterns, q.filters, cols, allow_product)
+        # filters over BIND-computed vars cannot resolve inside the join
+        # tree — they apply right after the bind columns are attached
+        bind_vars = {b.var for b in q.binds}
+        solve_filters = [f for f in q.filters if not (f.variables() & bind_vars)]
+        post_filters = [f for f in q.filters if f.variables() & bind_vars]
+        acc, bound = _solve(edges, q.patterns, solve_filters, cols, allow_product)
+        for b in q.binds:
+            # one JVM Column per BIND — a pure projection, zero exchanges,
+            # stays inside whole-stage codegen
+            acc = acc.withColumn(b.var, _bind_col(b.expr))
+            bound.add(b.var)
+        for f in post_filters:
+            if f.op in _STR_OPS:
+                acc = acc.filter(_STR_OPS[f.op](F.col(f.left), f.right))
+            else:
+                rhs = F.col(f.right) if f.right_var else F.lit(f.right)
+                acc = acc.filter(_OPS[f.op](F.col(f.left), rhs))
     for vc in q.values:
         # inline binding table: driver-small by construction, broadcast
         # inner join == a pushable semi-constraint on the VALUES vars

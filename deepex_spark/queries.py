@@ -1160,6 +1160,46 @@ def kg_sparql_minus(spark, sf_dir):
 
 
 @register(
+    "kg_sparql_bind",
+    # BIND = computed columns: two chained binds (the second referencing
+    # the first) plus a FILTER over the bound var, all pure projection
+    # algebra — re-derived as SQL expressions with the same
+    # deterministic top-k cutoff (unique (score, c, o) total order).
+    oracle=_O21_BASE
+    + """
+    SELECT e.src AS c, e.dst AS o, e.dst * 3 + e.src AS score
+    FROM edges e
+    WHERE e.is_rev = 0 AND e.rel = '1-URGENT' AND e.dst * 3 + e.src < 9000
+    ORDER BY score, c, o
+    LIMIT 100
+    """,
+)
+def kg_sparql_bind(spark, sf_dir):
+    """BIND arm of the BGP layer (operators/sparql.py): computed columns
+    as pure JVM projections — one Column expression per BIND, zero
+    exchanges, inside whole-stage codegen (plan-pinned by
+    tests/test_sparql.py::test_bind_stays_codegen). BINDs chain in source
+    order (the second sees the first), expressions are unambiguous by
+    construction (ONE binary op each — no precedence to get wrong), and a
+    FILTER over a bound var applies right after the bind columns attach."""
+    from deepex_spark.operators.sparql import bgp
+
+    edges = o21_reverse_union(spark, sf_dir).filter(F.col("is_rev") == 0)
+    return bgp(
+        edges,
+        """
+        SELECT ?c ?o ?score WHERE {
+          ?c <1-URGENT> ?o .
+          BIND(?o * 3 AS ?t) .
+          BIND(?t + ?c AS ?score) .
+          FILTER(?score < 9000)
+        } ORDER BY ?score ?c ?o LIMIT 100
+        """,
+        cols=("src", "rel", "dst"),
+    )
+
+
+@register(
     "kg_sparql_describe",
     # DESCRIBE = the 1-hop neighborhood dump: every edge incident (either
     # end) to a node the WHERE block binds. Re-derived as a distinct

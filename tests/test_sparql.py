@@ -975,3 +975,91 @@ def test_describe_rejections(spark):
         describe(df, "DESCRIBE")
     with pytest.raises(ValueError, match="bad DESCRIBE term list"):
         describe(df, "DESCRIBE foo")
+
+
+def test_bind_arith_and_copy(spark):
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?p ?a2 WHERE { ?p <age> ?a . BIND(?a * 2 AS ?a2) }"
+        " ORDER BY ?p",
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("alice", 60.0), ("bob", 82.0), ("carol", 60.0),
+    ]
+
+
+def test_bind_chain_and_concat(spark):
+    """BINDs apply in source order; later ones see earlier ones."""
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        'SELECT ?k WHERE { ?p <born_in> ?c . BIND(UCASE(?p) AS ?u) .'
+        ' BIND(CONCAT(?u, "@", ?c) AS ?k) } ORDER BY ?k',
+    )
+    assert [r["k"] for r in out.collect()] == [
+        "ALICE@paris", "BOB@paris", "CAROL@lyon", "DAVE@berlin",
+    ]
+
+
+def test_bind_strlen_filterable(spark):
+    """A FILTER over a BIND var applies after the bind column exists."""
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?p ?n WHERE { ?p <born_in> ?c . BIND(STRLEN(?c) AS ?n) ."
+        " FILTER(?n >= 5) } ORDER BY ?p",
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("alice", 5), ("bob", 5), ("dave", 6),
+    ]
+
+
+def test_bind_in_aggregate(spark):
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?c (SUM(?a2) AS ?s) WHERE { ?p <born_in> ?c ."
+        " ?p <age> ?a . BIND(?a + 0 AS ?a2) } ORDER BY ?c",
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("lyon", 30.0), ("paris", 71.0),
+    ]
+
+
+def test_bind_stays_codegen(spark):
+    """BIND is a pure projection: no exchange, no Python stage."""
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?p ?n WHERE { ?p <age> ?a . BIND(?a * 3 AS ?n) }",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_bind_rejections():
+    with pytest.raises(ValueError, match="unbound variables"):
+        parse_bgp("SELECT ?b WHERE { ?p <age> ?a . BIND(?z + 1 AS ?b) }")
+    with pytest.raises(ValueError, match="already in use"):
+        parse_bgp("SELECT ?a WHERE { ?p <age> ?a . BIND(?a + 1 AS ?a) }")
+    with pytest.raises(ValueError, match="already in use"):
+        parse_bgp(
+            "SELECT ?b WHERE { ?p <age> ?a . BIND(1 AS ?b) . BIND(2 AS ?b) }"
+        )
+    with pytest.raises(ValueError, match="already in use"):
+        parse_bgp(
+            "SELECT ?p WHERE { ?p <age> ?a ."
+            " OPTIONAL { ?p <born_in> ?c . } BIND(1 AS ?c) }"
+        )
+    with pytest.raises(ValueError, match="unsupported BIND expression"):
+        parse_bgp(
+            "SELECT ?b WHERE { ?p <age> ?a . BIND(?a + 1 + 2 AS ?b) }"
+        )
+    # BIND referencing an optional-only (nullable) var is refused
+    with pytest.raises(ValueError, match="unbound variables"):
+        parse_bgp(
+            "SELECT ?b WHERE { ?p <age> ?a ."
+            " OPTIONAL { ?p <born_in> ?c . } BIND(STRLEN(?c) AS ?b) }"
+        )
