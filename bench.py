@@ -103,6 +103,7 @@ GRAPH = [
     "kg_sparql_having",
     "kg_sparql_describe",
     "kg_sparql_bind",
+    "kg_sparql_page",
     "kg_sparql_path",
 ]
 

@@ -42,7 +42,9 @@ Grammar (the documented subset, parsed by :func:`parse_bgp`)::
         ...                          #   precedence to get wrong)
     }
     [HAVING(AGG(?v) op literal) ...]
-    [ORDER BY ?v | ASC(?v) | DESC(?v) ...] [LIMIT n]
+    [ORDER BY ?v | ASC(?v) | DESC(?v) ...] [LIMIT n] [OFFSET n]
+    -- OFFSET requires ORDER BY (a page over an unordered multiset is
+    -- partition-order-dependent on a distributed engine — refused)
 
     -- or a whole-body union (branches are pattern+FILTER groups;
     -- OPTIONAL inside a branch is outside the subset):
@@ -331,6 +333,7 @@ class BGPQuery:
     havings: list = field(default_factory=list)  # Having
     order_by: list = field(default_factory=list)  # (var, descending)
     limit: int | None = None
+    offset: int | None = None  # requires order_by
 
 
 _TERM = r"""(\?[A-Za-z_][A-Za-z0-9_]*|<[^>]*>|"[^"]*"|-?\d+(?:\.\d+)?)"""
@@ -393,6 +396,7 @@ _VALUES_RE = re.compile(
 )
 _TERM_RE = re.compile(_TERM)
 _LIMIT_RE = re.compile(r"LIMIT\s+(\d+)", re.IGNORECASE)
+_OFFSET_RE = re.compile(r"OFFSET\s+(\d+)", re.IGNORECASE)
 _ORDER_KEY_RE = re.compile(
     r"(ASC|DESC)\s*\(\s*\?([A-Za-z_][A-Za-z0-9_]*)\s*\)"
     r"|\?([A-Za-z_][A-Za-z0-9_]*)",
@@ -599,6 +603,11 @@ def _parse_tail(tail: str):
     if lm:
         limit = int(lm.group(1))
         tail = tail[: lm.start()] + tail[lm.end() :]
+    offset = None
+    om_ = _OFFSET_RE.search(tail)
+    if om_:
+        offset = int(om_.group(1))
+        tail = tail[: om_.start()] + tail[om_.end() :]
     order = []
     om = re.search(r"ORDER\s+BY\s+(.*)", tail, re.IGNORECASE | re.DOTALL)
     if om:
@@ -617,7 +626,12 @@ def _parse_tail(tail: str):
         tail = tail[: om.start()]
     if tail.strip():
         raise ValueError(f"unparsed trailing clause: {tail.strip()!r}")
-    return order, limit, havings
+    if offset is not None and not order:
+        # a page boundary over an unordered solution multiset is
+        # non-deterministic on a distributed engine — refused, not quietly
+        # partition-order-dependent
+        raise ValueError("OFFSET requires ORDER BY")
+    return order, limit, offset, havings
 
 
 def parse_bgp(query: str) -> BGPQuery:
@@ -630,7 +644,7 @@ def parse_bgp(query: str) -> BGPQuery:
         raise ValueError("not a SELECT ... WHERE { ... } query")
     distinct = bool(m.group(1))
     sel_raw, body = m.group(2).strip(), m.group(3)
-    order_by, limit, havings = _parse_tail(m.group(4))
+    order_by, limit, offset, havings = _parse_tail(m.group(4))
     import itertools
 
     fresh = itertools.count()  # query-global anonymous path-var counter
@@ -833,6 +847,7 @@ def parse_bgp(query: str) -> BGPQuery:
         havings=havings,
         order_by=order_by,
         limit=limit,
+        offset=offset,
     )
 
 
@@ -1003,6 +1018,10 @@ def bgp(
         out = out.orderBy(
             *[F.col(v).desc() if d else F.col(v).asc() for v, d in q.order_by]
         )
+    if q.offset is not None:
+        # OFFSET before LIMIT (SPARQL page semantics); with both, Spark
+        # still plans a top-(offset+limit) + skip — no global materialize
+        out = out.offset(q.offset)
     if q.limit is not None:
         out = out.limit(q.limit)
     return out

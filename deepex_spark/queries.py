@@ -1160,6 +1160,41 @@ def kg_sparql_minus(spark, sf_dir):
 
 
 @register(
+    "kg_sparql_page",
+    # OFFSET paging under a total order: page 3 of the per-customer
+    # urgent-order counts. Spark plans top-(offset+limit) + skip — no
+    # global materialization; OFFSET without ORDER BY is refused.
+    oracle=_O21_BASE
+    + """
+    SELECT e.src AS c, count(*) AS n
+    FROM edges e
+    WHERE e.is_rev = 0 AND e.rel = '1-URGENT'
+    GROUP BY e.src
+    ORDER BY n DESC, c
+    LIMIT 50 OFFSET 100
+    """,
+)
+def kg_sparql_page(spark, sf_dir):
+    """OFFSET arm of the solution modifiers (operators/sparql.py): page
+    boundaries are only deterministic under a total order, so OFFSET
+    without ORDER BY is refused at parse time rather than silently
+    partition-order-dependent. With ORDER BY + LIMIT + OFFSET Spark
+    plans a top-(offset+limit) merge then skips — the page never pays
+    for a global sort materialization."""
+    from deepex_spark.operators.sparql import bgp
+
+    edges = o21_reverse_union(spark, sf_dir).filter(F.col("is_rev") == 0)
+    return bgp(
+        edges,
+        """
+        SELECT ?c (COUNT(?o) AS ?n) WHERE { ?c <1-URGENT> ?o . }
+        ORDER BY DESC(?n) ?c LIMIT 50 OFFSET 100
+        """,
+        cols=("src", "rel", "dst"),
+    )
+
+
+@register(
     "kg_sparql_bind",
     # BIND = computed columns: two chained binds (the second referencing
     # the first) plus a FILTER over the bound var, all pure projection

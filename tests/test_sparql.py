@@ -1063,3 +1063,19 @@ def test_bind_rejections():
             "SELECT ?b WHERE { ?p <age> ?a ."
             " OPTIONAL { ?p <born_in> ?c . } BIND(STRLEN(?c) AS ?b) }"
         )
+
+
+def test_offset_pages_deterministically(spark):
+    df = _edges_df(spark)
+    base = ("SELECT ?p WHERE { ?p <born_in> ?c . } ORDER BY ?p %s")
+    all_rows = [r["p"] for r in bgp(df, base % "").collect()]
+    page1 = [r["p"] for r in bgp(df, base % "LIMIT 2").collect()]
+    page2 = [r["p"] for r in bgp(df, base % "LIMIT 2 OFFSET 2").collect()]
+    assert page1 + page2 == all_rows == ["alice", "bob", "carol", "dave"]
+    # tail page past the end is empty, not an error
+    assert bgp(df, base % "OFFSET 4").count() == 0
+
+
+def test_offset_requires_order(spark):
+    with pytest.raises(ValueError, match="OFFSET requires ORDER BY"):
+        parse_bgp("SELECT ?p WHERE { ?p <born_in> ?c . } OFFSET 2")
