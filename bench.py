@@ -104,6 +104,7 @@ GRAPH = [
     "kg_sparql_describe",
     "kg_sparql_bind",
     "kg_sparql_page",
+    "kg_sparql_groupby",
     "kg_sparql_path",
 ]
 

@@ -41,6 +41,9 @@ Grammar (the documented subset, parsed by :func:`parse_bgp`)::
         ...                          #   deeper expressions (no operator
         ...                          #   precedence to get wrong)
     }
+    [GROUP BY ?v ...]     -- explicit group keys; plain SELECT vars must
+                          -- all be keys (default: implicit grouping on
+                          -- the plain SELECT variables)
     [HAVING(AGG(?v) op literal) ...]
     [ORDER BY ?v | ASC(?v) | DESC(?v) ...] [LIMIT n] [OFFSET n]
     -- OFFSET requires ORDER BY (a page over an unordered multiset is
@@ -330,6 +333,7 @@ class BGPQuery:
     exists_groups: list = field(default_factory=list)  # ExistsGroup
     values: list = field(default_factory=list)  # ValuesClause
     binds: list = field(default_factory=list)  # Bind, in source order
+    group_by: list = field(default_factory=list)  # explicit group keys
     havings: list = field(default_factory=list)  # Having
     order_by: list = field(default_factory=list)  # (var, descending)
     limit: int | None = None
@@ -397,6 +401,7 @@ _VALUES_RE = re.compile(
 _TERM_RE = re.compile(_TERM)
 _LIMIT_RE = re.compile(r"LIMIT\s+(\d+)", re.IGNORECASE)
 _OFFSET_RE = re.compile(r"OFFSET\s+(\d+)", re.IGNORECASE)
+_GROUPBY_RE = re.compile(r"GROUP\s+BY((?:\s+\?[A-Za-z_][A-Za-z0-9_]*)+)", re.IGNORECASE)
 _ORDER_KEY_RE = re.compile(
     r"(ASC|DESC)\s*\(\s*\?([A-Za-z_][A-Za-z0-9_]*)\s*\)"
     r"|\?([A-Za-z_][A-Za-z0-9_]*)",
@@ -583,7 +588,14 @@ def _parse_values(head: str, body: str) -> ValuesClause:
 
 def _parse_tail(tail: str):
     """HAVING / ORDER BY / LIMIT clauses after the WHERE block ->
-    (order, limit, havings)."""
+    (order, limit, offset, group_by, havings)."""
+    group_by = []
+    gm = _GROUPBY_RE.search(tail)
+    if gm:
+        group_by = [v[1:] for v in gm.group(1).split()]
+        if len(set(group_by)) != len(group_by):
+            raise ValueError(f"duplicate GROUP BY key: {gm.group(1).strip()!r}")
+        tail = tail[: gm.start()] + tail[gm.end() :]
     havings = []
     for hm in _HAVING_RE.finditer(tail):
         func = hm.group(1).lower()
@@ -631,7 +643,7 @@ def _parse_tail(tail: str):
         # non-deterministic on a distributed engine — refused, not quietly
         # partition-order-dependent
         raise ValueError("OFFSET requires ORDER BY")
-    return order, limit, offset, havings
+    return order, limit, offset, group_by, havings
 
 
 def parse_bgp(query: str) -> BGPQuery:
@@ -644,7 +656,7 @@ def parse_bgp(query: str) -> BGPQuery:
         raise ValueError("not a SELECT ... WHERE { ... } query")
     distinct = bool(m.group(1))
     sel_raw, body = m.group(2).strip(), m.group(3)
-    order_by, limit, offset, havings = _parse_tail(m.group(4))
+    order_by, limit, offset, group_by, havings = _parse_tail(m.group(4))
     import itertools
 
     fresh = itertools.count()  # query-global anonymous path-var counter
@@ -797,6 +809,17 @@ def parse_bgp(query: str) -> BGPQuery:
     missing = [v for v in select if v not in bound]
     if missing:
         raise ValueError(f"SELECT variables never bound by a pattern: {missing}")
+    if group_by:
+        bad_keys = [v for v in group_by if v not in bound]
+        if bad_keys:
+            raise ValueError(f"GROUP BY variables never bound: {bad_keys}")
+        # SPARQL's projection rule: a plain (non-aggregate) SELECT var
+        # must be a group key — anything else has no single value per group
+        stray = [v for v in select if v not in group_by]
+        if stray:
+            raise ValueError(
+                f"SELECT variables not in the explicit GROUP BY: {stray}"
+            )
     for f in filters:
         # top-level filters must not touch optional-only (nullable) vars —
         # SPARQL's bound()/COALESCE semantics are out of the subset;
@@ -844,6 +867,7 @@ def parse_bgp(query: str) -> BGPQuery:
         exists_groups=exists_groups,
         values=values,
         binds=binds,
+        group_by=group_by,
         havings=havings,
         order_by=order_by,
         limit=limit,
@@ -985,8 +1009,10 @@ def bgp(
         keys = sorted(g.variables() & bound)
         acc = acc.join(gdf, on=keys, how="left")
         bound |= g.variables()
+    keys = q.group_by or q.select
     if q.aggregates or q.havings:
-        # plain SELECT variables are the (implicit) GROUP BY keys; the
+        # group keys are the explicit GROUP BY clause when present, else
+        # the plain SELECT variables (SPARQL's implicit grouping); the
         # aggregation is one map-side-combinable exchange on those keys.
         # Each HAVING re-states its aggregate (SPARQL style): one that
         # matches a SELECT aggregate reuses the grouped column, any other
@@ -1001,12 +1027,17 @@ def bgp(
                 hidden = f"#having{i}"  # '#' is not legal in a ?var name
                 exprs.append(_agg_expr(h.func, h.var).alias(hidden))
                 agg_cols[(h.func, h.var)] = hidden
-        grouped = acc.groupBy(*q.select).agg(*exprs) if q.select else acc.agg(*exprs)
+        grouped = acc.groupBy(*keys).agg(*exprs) if keys else acc.agg(*exprs)
         for h in q.havings:
             grouped = grouped.filter(
                 _OPS[h.op](F.col(agg_cols[(h.func, h.var)]), F.lit(h.value))
             )
         out = grouped.select(*q.select, *[a.alias for a in q.aggregates])
+    elif q.group_by:
+        # explicit GROUP BY with no aggregates: one row PER GROUP (bag
+        # semantics — two groups agreeing on the projected subset stay
+        # two rows), i.e. a dedup on the full key set then the projection
+        out = acc.dropDuplicates(q.group_by).select(*q.select)
     else:
         out = acc.select(*q.select)
     if q.distinct:

@@ -1160,6 +1160,43 @@ def kg_sparql_minus(spark, sf_dir):
 
 
 @register(
+    "kg_sparql_groupby",
+    # explicit GROUP BY on a key HIDDEN from SELECT — per-customer
+    # urgent-order stats with the customer id projected away; the max
+    # orderkey is unique per customer (an order has one customer), so
+    # ORDER BY m is a total order and the LIMIT cutoff is deterministic.
+    oracle=_O21_BASE
+    + """
+    SELECT count(e.dst) AS n, max(e.dst) AS m
+    FROM edges e
+    WHERE e.is_rev = 0 AND e.rel = '1-URGENT'
+    GROUP BY e.src
+    ORDER BY m
+    LIMIT 60
+    """,
+)
+def kg_sparql_groupby(spark, sf_dir):
+    """Explicit-GROUP-BY arm (operators/sparql.py): group keys need not
+    be selected — the aggregation still runs as ONE map-side-combinable
+    exchange on the declared keys, and the final projection drops them.
+    Plain SELECT vars must all be group keys (SPARQL's projection rule,
+    refused otherwise); without aggregates an explicit GROUP BY emits
+    one row per group (bag semantics over the projected subset)."""
+    from deepex_spark.operators.sparql import bgp
+
+    edges = o21_reverse_union(spark, sf_dir).filter(F.col("is_rev") == 0)
+    return bgp(
+        edges,
+        """
+        SELECT (COUNT(?o) AS ?n) (MAX(?o) AS ?m)
+        WHERE { ?c <1-URGENT> ?o . }
+        GROUP BY ?c ORDER BY ?m LIMIT 60
+        """,
+        cols=("src", "rel", "dst"),
+    )
+
+
+@register(
     "kg_sparql_page",
     # OFFSET paging under a total order: page 3 of the per-customer
     # urgent-order counts. Spark plans top-(offset+limit) + skip — no

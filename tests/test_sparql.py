@@ -1079,3 +1079,68 @@ def test_offset_pages_deterministically(spark):
 def test_offset_requires_order(spark):
     with pytest.raises(ValueError, match="OFFSET requires ORDER BY"):
         parse_bgp("SELECT ?p WHERE { ?p <born_in> ?c . } OFFSET 2")
+
+
+def test_group_by_explicit_hidden_key(spark):
+    """Explicit GROUP BY can group by a var NOT in SELECT — one output
+    row per group, bag semantics (groups agreeing on the projection
+    stay separate rows)."""
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT (COUNT(?p) AS ?n) WHERE { ?p <born_in> ?city . }"
+        " GROUP BY ?city ORDER BY DESC(?n)",
+    )
+    assert [r["n"] for r in out.collect()] == [2, 1, 1]
+
+
+def test_group_by_matches_implicit_when_same(spark):
+    df = _edges_df(spark)
+    imp = bgp(
+        df,
+        "SELECT ?city (COUNT(?p) AS ?n) WHERE { ?p <born_in> ?city . }",
+    )
+    exp = bgp(
+        df,
+        "SELECT ?city (COUNT(?p) AS ?n) WHERE { ?p <born_in> ?city . }"
+        " GROUP BY ?city",
+    )
+    assert sorted(map(tuple, imp.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_group_by_no_aggregates_one_row_per_group(spark):
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?c WHERE { ?p <born_in> ?city . ?city <in_country> ?c . }"
+        " GROUP BY ?c ?city ORDER BY ?c",
+    )
+    # groups: (france,paris) (france,lyon) (germany,berlin) -> bag keeps
+    # both france rows
+    assert [r["c"] for r in out.collect()] == ["france", "france", "germany"]
+
+
+def test_group_by_with_having(spark):
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?c WHERE { ?p <born_in> ?city . ?city <in_country> ?c . }"
+        " GROUP BY ?c HAVING(COUNT(*) >= 3)",
+    )
+    assert [r["c"] for r in out.collect()] == ["france"]
+
+
+def test_group_by_rejections():
+    with pytest.raises(ValueError, match="not in the explicit GROUP BY"):
+        parse_bgp(
+            "SELECT ?p WHERE { ?p <born_in> ?city . } GROUP BY ?city"
+        )
+    with pytest.raises(ValueError, match="never bound"):
+        parse_bgp(
+            "SELECT (COUNT(?p) AS ?n) WHERE { ?p <born_in> ?c . } GROUP BY ?z"
+        )
+    with pytest.raises(ValueError, match="duplicate GROUP BY"):
+        parse_bgp(
+            "SELECT (COUNT(?p) AS ?n) WHERE { ?p <born_in> ?c . }"
+            " GROUP BY ?c ?c"
+        )
