@@ -105,6 +105,7 @@ GRAPH = [
     "kg_sparql_bind",
     "kg_sparql_page",
     "kg_sparql_groupby",
+    "kg_sparql_groupconcat",
     "kg_sparql_path",
 ]
 

@@ -10,7 +10,10 @@ DataFrame equi-joins so Catalyst/AQE owns the physical plan.
 Grammar (the documented subset, parsed by :func:`parse_bgp`)::
 
     SELECT [DISTINCT] ?v1 ?v2 ... | * | (COUNT(*|?v) AS ?n) | (MIN/
-           MAX/SUM/AVG(?v) AS ?x) | (COUNT(DISTINCT ?v) AS ?n) ...
+           MAX/SUM/AVG(?v) AS ?x) | (COUNT(DISTINCT ?v) AS ?n)
+           | (GROUP_CONCAT([DISTINCT] ?v [; SEPARATOR="|"]) AS ?s) ...
+           -- GROUP_CONCAT joins values SORTED (deterministic; SPARQL
+           -- leaves the order undefined, a distributed engine must not)
     WHERE {
         term <rel> term .            # triple pattern; term = ?var,
         ...                          #   <iri/string> or a number
@@ -302,9 +305,10 @@ class Bind:
 
 @dataclass(frozen=True)
 class Aggregate:
-    func: str  # count | count_distinct | min | max | sum | avg
+    func: str  # count | count_distinct | min | max | sum | avg | group_concat[_distinct]
     var: str | None  # None for COUNT(*)
     alias: str
+    sep: str = " "  # GROUP_CONCAT separator (SPARQL default: space)
 
 
 @dataclass(frozen=True)
@@ -410,6 +414,12 @@ _ORDER_KEY_RE = re.compile(
 _AGG_RE = re.compile(
     r"\(\s*(COUNT|MIN|MAX|SUM|AVG)\s*\(\s*(DISTINCT\s+)?"
     r"(\*|\?[A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+(\?[A-Za-z_][A-Za-z0-9_]*)\s*\)",
+    re.IGNORECASE,
+)
+_GROUP_CONCAT_RE = re.compile(
+    r"\(\s*GROUP_CONCAT\s*\(\s*(DISTINCT\s+)?\?([A-Za-z_][A-Za-z0-9_]*)"
+    r"""(?:\s*;\s*SEPARATOR\s*=\s*"([^"]*)")?\s*\)"""
+    r"\s+AS\s+(\?[A-Za-z_][A-Za-z0-9_]*)\s*\)",
     re.IGNORECASE,
 )
 _HAVING_RE = re.compile(
@@ -780,6 +790,22 @@ def parse_bgp(query: str) -> BGPQuery:
                 )
             allowed.add(b.var)
         bound |= {b.var for b in binds}
+    # aggregates keep SELECT-list author order across both syntaxes
+    positioned = []
+    for gcm in _GROUP_CONCAT_RE.finditer(sel_raw):
+        gc_var = gcm.group(2)
+        if gc_var not in bound:
+            raise ValueError(f"aggregate over unbound variable: ?{gc_var}")
+        positioned.append((
+            gcm.start(),
+            Aggregate(
+                func="group_concat_distinct" if gcm.group(1) else "group_concat",
+                var=gc_var,
+                alias=gcm.group(4)[1:],
+                sep=gcm.group(3) if gcm.group(3) is not None else " ",
+            ),
+        ))
+    sel_raw = _GROUP_CONCAT_RE.sub(lambda m: " " * len(m.group(0)), sel_raw)
     aggregates = []
     for am in _AGG_RE.finditer(sel_raw):
         func = am.group(1).lower()
@@ -793,7 +819,10 @@ def parse_bgp(query: str) -> BGPQuery:
             raise ValueError(f"{func.upper()}(*) is not supported")
         if var is not None and var not in bound:
             raise ValueError(f"aggregate over unbound variable: ?{var}")
-        aggregates.append(Aggregate(func=func, var=var, alias=am.group(4)[1:]))
+        positioned.append(
+            (am.start(), Aggregate(func=func, var=var, alias=am.group(4)[1:]))
+        )
+    aggregates = [a for _, a in sorted(positioned, key=lambda t: t[0])]
     for h in havings:
         if h.var is not None and h.var not in bound:
             raise ValueError(f"HAVING aggregate over unbound variable: ?{h.var}")
@@ -893,9 +922,18 @@ _STR_OPS = {
 }
 
 
-def _agg_expr(func: str, var: str | None):
-    """One aggregate function over a bound variable (or COUNT(*))."""
+def _agg_expr(func: str, var: str | None, sep: str = " "):
+    """One aggregate function over a bound variable (or COUNT(*)).
+    GROUP_CONCAT sorts its collected values (lexicographically, on the
+    string casts it joins) — SPARQL leaves concatenation order undefined,
+    and on a distributed engine an undefined order is a nondeterministic
+    result; sorted is the one choice that is reproducible AND
+    oracle-checkable."""
     col = F.col(var) if var is not None else None
+    if func == "group_concat":
+        return F.array_join(F.sort_array(F.collect_list(col.cast("string"))), sep)
+    if func == "group_concat_distinct":
+        return F.array_join(F.sort_array(F.collect_set(col.cast("string"))), sep)
     return {
         "count": F.count(col) if col is not None else F.count(F.lit(1)),
         "count_distinct": F.count_distinct(col) if col is not None else None,
@@ -1020,7 +1058,7 @@ def bgp(
         # by the final projection — HAVING never costs a second shuffle.
         exprs, agg_cols = [], {}
         for a in q.aggregates:
-            exprs.append(_agg_expr(a.func, a.var).alias(a.alias))
+            exprs.append(_agg_expr(a.func, a.var, a.sep).alias(a.alias))
             agg_cols.setdefault((a.func, a.var), a.alias)
         for i, h in enumerate(q.havings):
             if (h.func, h.var) not in agg_cols:

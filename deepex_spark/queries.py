@@ -1160,6 +1160,44 @@ def kg_sparql_minus(spark, sf_dir):
 
 
 @register(
+    "kg_sparql_groupconcat",
+    # GROUP_CONCAT with deterministic (sorted) concatenation order —
+    # SPARQL leaves it undefined, a distributed engine must not: the
+    # same query must emit the same string regardless of partitioning.
+    # Re-derived as string_agg(... ORDER BY ...) over the same casts.
+    oracle=_O21_BASE
+    + """
+    SELECT e.src AS c,
+           string_agg(CAST(e.dst AS VARCHAR), ','
+                      ORDER BY CAST(e.dst AS VARCHAR)) AS orders
+    FROM edges e
+    WHERE e.is_rev = 0 AND e.rel = '1-URGENT'
+    GROUP BY e.src
+    ORDER BY c
+    LIMIT 80
+    """,
+)
+def kg_sparql_groupconcat(spark, sf_dir):
+    """GROUP_CONCAT arm of the aggregate layer (operators/sparql.py):
+    collect_list -> sort_array -> array_join inside the one grouping
+    exchange, so the concatenation order is pinned (lexicographic on the
+    joined string casts) and the result is partition-invariant — the
+    property the oracle hash depends on."""
+    from deepex_spark.operators.sparql import bgp
+
+    edges = o21_reverse_union(spark, sf_dir).filter(F.col("is_rev") == 0)
+    return bgp(
+        edges,
+        """
+        SELECT ?c (GROUP_CONCAT(?o; SEPARATOR=",") AS ?orders)
+        WHERE { ?c <1-URGENT> ?o . }
+        ORDER BY ?c LIMIT 80
+        """,
+        cols=("src", "rel", "dst"),
+    )
+
+
+@register(
     "kg_sparql_groupby",
     # explicit GROUP BY on a key HIDDEN from SELECT — per-customer
     # urgent-order stats with the customer id projected away; the max

@@ -1144,3 +1144,36 @@ def test_group_by_rejections():
             "SELECT (COUNT(?p) AS ?n) WHERE { ?p <born_in> ?c . }"
             " GROUP BY ?c ?c"
         )
+
+
+def test_group_concat_sorted_custom_sep(spark):
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        'SELECT ?city (GROUP_CONCAT(?p; SEPARATOR="|") AS ?people)'
+        " WHERE { ?p <born_in> ?city . } ORDER BY ?city",
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("berlin", "dave"), ("lyon", "carol"), ("paris", "alice|bob"),
+    ]
+
+
+def test_group_concat_distinct_default_sep(spark):
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT (GROUP_CONCAT(DISTINCT ?a) AS ?ages)"
+        " WHERE { ?p <age> ?a . }",
+    )
+    # ages 30 30 41 -> distinct sorted, space-joined
+    assert out.collect()[0]["ages"] == "30 41"
+
+
+def test_group_concat_mixed_with_other_aggregates(spark):
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        'SELECT ?city (COUNT(?p) AS ?n) (GROUP_CONCAT(?p; SEPARATOR=",") AS ?who)'
+        " WHERE { ?p <born_in> ?city . } HAVING(COUNT(?p) >= 2)",
+    )
+    assert [tuple(r) for r in out.collect()] == [("paris", 2, "alice,bob")]
