@@ -1177,3 +1177,151 @@ def test_group_concat_mixed_with_other_aggregates(spark):
         " WHERE { ?p <born_in> ?city . } HAVING(COUNT(?p) >= 2)",
     )
     assert [tuple(r) for r in out.collect()] == [("paris", 2, "alice,bob")]
+
+
+# ---------------------------------------------------------------------------
+# independent FULL-fragment enumerator: patterns + filters + VALUES +
+# negation + EXISTS + OPTIONAL + string BINDs + DISTINCT, evaluated the
+# slow, obviously-correct way (enumerate every edge assignment) — no
+# Spark, no SQL, shares nothing with the implementation but the parser.
+
+
+def _naive_match(edges, patterns, filters, seed_binding=None):
+    """All consistent bindings of `patterns` over `edges` extending
+    `seed_binding`, with group-local filters applied."""
+    out = []
+    for combo in itertools.product(edges, repeat=len(patterns)):
+        binding = dict(seed_binding or {})
+        ok = True
+        for (s, p, o), pat in zip(combo, patterns):
+            for val, (term, is_var) in zip(
+                (s, p, o),
+                ((pat.subj, pat.subj_var), (pat.pred, pat.pred_var),
+                 (pat.obj, pat.obj_var)),
+            ):
+                if is_var:
+                    if binding.setdefault(term, val) != val:
+                        ok = False
+                elif isinstance(term, tuple):
+                    if val not in term:
+                        ok = False
+                elif val != term:
+                    ok = False
+            if not ok:
+                break
+        if ok and all(_naive_filter(f, binding) for f in filters):
+            out.append(binding)
+    return out
+
+
+def _naive_filter(f, binding):
+    lhs = binding[f.left]
+    rhs = binding[f.right] if f.right_var else f.right
+    return {
+        "=": lambda: lhs == rhs, "!=": lambda: lhs != rhs,
+        "<": lambda: lhs < rhs, "<=": lambda: lhs <= rhs,
+        ">": lambda: lhs > rhs, ">=": lambda: lhs >= rhs,
+        "strstarts": lambda: str(lhs).startswith(str(rhs)),
+        "strends": lambda: str(lhs).endswith(str(rhs)),
+        "contains": lambda: str(rhs) in str(lhs),
+        "regex": lambda: bool(re.search(str(rhs), str(lhs))),
+    }[f.op]()
+
+
+def _naive_bind_val(expr, binding):
+    kind = expr[0]
+    if kind == "term":
+        v, is_var = expr[1]
+        return binding[v] if is_var else v
+    if kind == "func":
+        name, terms = expr[1], expr[2]
+        vals = [binding[v] if iv else v for v, iv in terms]
+        if name == "concat":
+            return "".join(str(v) for v in vals)
+        if name == "ucase":
+            return str(vals[0]).upper()
+        if name == "lcase":
+            return str(vals[0]).lower()
+        if name == "strlen":
+            return len(str(vals[0]))
+    raise NotImplementedError(f"enumerator bind: {expr}")
+
+
+def naive_full(edges, query):
+    """Full-fragment reference evaluator (no aggregates/paths)."""
+    q = parse_bgp(query)
+    bind_vars = {b.var for b in q.binds}
+    sols = _naive_match(
+        edges, q.patterns,
+        [f for f in q.filters if not (f.variables() & bind_vars)],
+    )
+    for vc in q.values:
+        sols = [b for b in sols
+                if tuple(b[v] for v in vc.variables) in set(map(tuple, vc.rows))]
+    for g in q.negations:
+        sols = [b for b in sols if not _naive_match(edges, g.patterns, g.filters, b)]
+    for g in q.exists_groups:
+        sols = [b for b in sols if _naive_match(edges, g.patterns, g.filters, b)]
+    for g in q.optionals:
+        nxt = []
+        for b in sols:
+            ext = _naive_match(edges, g.patterns, g.filters, b)
+            if ext:
+                nxt.extend(ext)
+            else:
+                nb = dict(b)
+                for v in g.variables():
+                    nb.setdefault(v, None)
+                nxt.append(nb)
+        sols = nxt
+    for b_ in q.binds:
+        for s in sols:
+            s[b_.var] = _naive_bind_val(b_.expr, s)
+    bind_filters = [f for f in q.filters
+                    if f.variables() & {b.var for b in q.binds}]
+    sols = [s for s in sols if all(_naive_filter(f, s) for f in bind_filters)]
+    rows = [tuple(s.get(v) for v in q.select) for s in sols]
+    return set(rows) if q.distinct else sorted(
+        rows, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+FULL_QUERIES = [
+    # OPTIONAL + NOT EXISTS composition
+    "SELECT ?a ?city WHERE { ?a <knows> ?b ."
+    " FILTER NOT EXISTS { ?a <born_in> ?c . }"
+    " OPTIONAL { ?a <born_in> ?city . } }",
+    # EXISTS + OPTIONAL with group filter
+    'SELECT ?a ?nat WHERE { ?a <born_in> ?city .'
+    ' FILTER EXISTS { ?a <knows> ?x . }'
+    ' OPTIONAL { ?city <in_country> ?nat . FILTER(?nat = "france") } }',
+    # VALUES restriction + negation
+    "SELECT ?a WHERE { ?a <knows> ?b . VALUES ?a { <alice> <eve> <bob> }"
+    " MINUS { ?a <born_in> <paris> . } }",
+    # EXISTS with group-local filter
+    'SELECT DISTINCT ?a WHERE { ?a <knows> ?b .'
+    ' FILTER EXISTS { ?a <age> ?g . FILTER(?g >= "41") } }',
+    # two OPTIONALs (independent left joins)
+    "SELECT ?p ?city ?friend WHERE { ?p <age> ?a ."
+    " OPTIONAL { ?p <born_in> ?city . }"
+    " OPTIONAL { ?p <knows> ?friend . } }",
+    # string BIND + filter over the bound var
+    'SELECT ?p ?u WHERE { ?p <born_in> ?c . BIND(UCASE(?c) AS ?u) .'
+    ' FILTER(CONTAINS(?u, "PAR")) }',
+    # chained string binds
+    'SELECT ?k WHERE { ?p <knows> ?q . BIND(CONCAT(?p, ">", ?q) AS ?k) }',
+    # EXISTS and NOT EXISTS on different groups simultaneously
+    "SELECT ?a WHERE { ?a <knows> ?b ."
+    " FILTER EXISTS { ?a <age> ?g . }"
+    " FILTER NOT EXISTS { ?a <born_in> <lyon> . } }",
+]
+
+
+@pytest.mark.parametrize("query", FULL_QUERIES)
+def test_matches_full_enumerator(spark, query):
+    str_edges = [(s, p, str(o)) for s, p, o in EDGES]
+    exp = naive_full(str_edges, query)
+    got = [tuple(r) for r in bgp(_edges_df(spark), query).collect()]
+    if isinstance(exp, set):
+        assert set(got) == exp and len(got) == len(set(got))
+    else:
+        assert sorted(got, key=lambda t: tuple((x is None, str(x)) for x in t)) == exp
