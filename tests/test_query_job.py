@@ -205,3 +205,19 @@ def test_main_materialize_flag(spark, tmp_path, capsys):
             "--query", "SELECT ?a WHERE { ?a <parent_of> ?b . }",
             "--materialize", "nope",
         ])
+
+
+def test_run_query_describe_form(spark, tmp_path):
+    """DESCRIBE through the job: the 1-hop neighborhood of a WHERE-bound
+    node set, in the snapshot's own column mapping."""
+    from jobs.query_kg import run_query
+
+    cat = _catalog(spark, tmp_path)
+    out = run_query(
+        spark, cat,
+        "DESCRIBE ?cap WHERE { ?cap <capital_of> <france> . }",
+    )
+    assert out.columns == ["subj_id", "pred_canon", "obj_id"]
+    assert sorted(map(tuple, out.collect())) == [
+        ("paris", "capital_of", "france"),
+    ]

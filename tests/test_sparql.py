@@ -1325,3 +1325,44 @@ def test_matches_full_enumerator(spark, query):
         assert set(got) == exp and len(got) == len(set(got))
     else:
         assert sorted(got, key=lambda t: tuple((x is None, str(x)) for x in t)) == exp
+
+
+def test_randomized_differential_vs_enumerator(spark):
+    """Seeded fuzz: 15 random KGs x random composite queries, Spark vs
+    the full-fragment reference evaluator. Deterministic (fixed seed) so
+    a failure is reproducible; the generator covers every solution-set
+    clause the fragment has."""
+    import random
+
+    rng = random.Random(20260819)
+    rels = ["r0", "r1", "r2"]
+    nodes = [f"n{i}" for i in range(6)]
+    for case in range(15):
+        edges = sorted({
+            (rng.choice(nodes), rng.choice(rels), rng.choice(nodes))
+            for _ in range(rng.randint(8, 18))
+        })
+        parts = [f"?a <{rng.choice(rels)}> ?b ."]
+        if rng.random() < 0.7:
+            parts.append(f"?b <{rng.choice(rels)}> ?c .")
+        extra = rng.choice(["opt", "exists", "minus", "values", "filter", ""])
+        if extra == "opt":
+            parts.append(f"OPTIONAL {{ ?a <{rng.choice(rels)}> ?d . }}")
+        elif extra == "exists":
+            parts.append(f"FILTER EXISTS {{ ?b <{rng.choice(rels)}> ?e . }}")
+        elif extra == "minus":
+            parts.append(f"MINUS {{ ?a <{rng.choice(rels)}> ?e . }}")
+        elif extra == "values":
+            parts.append("VALUES ?a { <n0> <n1> <n2> }")
+        elif extra == "filter":
+            parts.append("FILTER(?a != ?b)")
+        sel = "SELECT * " if rng.random() < 0.5 else "SELECT DISTINCT ?a ?b "
+        query = sel + "WHERE { " + " ".join(parts) + " }"
+        df = spark.createDataFrame(edges, "src string, rel string, dst string")
+        got = [tuple(r) for r in bgp(df, query).collect()]
+        exp = naive_full(edges, query)
+        key = lambda t: tuple((x is None, str(x)) for x in t)  # noqa: E731
+        if isinstance(exp, set):
+            assert set(got) == exp and len(got) == len(set(got)), (case, query, edges)
+        else:
+            assert sorted(got, key=key) == exp, (case, query, edges)
