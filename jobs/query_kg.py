@@ -59,6 +59,74 @@ def run_query(spark, catalog, query: str, table: str = "edges",
     return _compile(edges, query, cols)
 
 
+def _entity_out_cols(query: str, cols: tuple, out_cols: list) -> list:
+    """Output columns holding ENTITY ids — the ones label resolution may
+    touch. For SELECT: variables that appear in a subject/object slot of
+    any pattern (top-level, OPTIONAL, negation, EXISTS, union branch);
+    predicate variables are excluded (the edge table already stores the
+    canonical predicate string, and predicate ids are not vertices). For
+    CONSTRUCT/DESCRIBE the output IS the edge schema, so the subject and
+    object columns resolve by name. ASK has nothing to resolve."""
+    from deepex_spark.operators import sparql
+
+    head = query.split(None, 1)[0].upper() if query.split() else ""
+    if head == "ASK":
+        return []
+    if head in ("CONSTRUCT", "DESCRIBE"):
+        return [c for c in (cols[0], cols[2]) if c in out_cols]
+    q = sparql.parse_bgp(query)
+    groups = [q] + q.optionals + q.negations + q.exists_groups + q.unions
+    evars = set()
+    for g in groups:
+        for p in g.patterns:
+            if p.subj_var:
+                evars.add(p.subj)
+            if p.obj_var:
+                evars.add(p.obj)
+    return [c for c in out_cols if c in evars]
+
+
+def with_labels(spark, catalog, out, query: str,
+                cols: tuple = ("subj_id", "pred_canon", "obj_id"),
+                vertices_table: str = "vertices"):
+    """Append ``<col>_label`` (the vertex table's canonical surface form)
+    next to every entity-id output column — the id->label hop a KG
+    consumer otherwise hand-writes. Non-destructive: ids stay, labels are
+    extra columns; an id absent from the vertex table labels as NULL.
+
+    Scale shape: one LEFT equi-join per entity column against the
+    2-column (entity_id, canonical) projection of the vertex table. A
+    query result is usually driver-small (top-k, aggregates, DESCRIBE of
+    a node set) while vertices is the big side, so AQE broadcasts the
+    RESULT into the vertex scan; ids are unique per vertex by
+    construction (entity_id = xxhash64(canonical)), so the join can only
+    relabel, never multiply rows."""
+    from pyspark.sql import functions as F
+
+    targets = _entity_out_cols(query, cols, out.columns)
+    if not targets:
+        return out
+    verts = catalog.read(spark, vertices_table).select("entity_id", "canonical")
+    orig = list(out.columns)
+    for c in targets:
+        out = out.join(
+            verts.select(
+                F.col("entity_id").alias(c),
+                F.col("canonical").alias(f"{c}_label"),
+            ),
+            on=c,
+            how="left",
+        )
+    # the equi-join moves its key to the front — restore the query's
+    # column order, each label right after its id column
+    ordered = []
+    for c in orig:
+        ordered.append(c)
+        if c in targets:
+            ordered.append(f"{c}_label")
+    return out.select(*ordered)
+
+
 def derived_edges_delta(derived, run_id: str, evidence_tag: str | None = None):
     """Lift a CONSTRUCT result (the 3-column query view of the edge
     snapshot, in (subject, predicate, object) column order) into a
@@ -163,6 +231,10 @@ def main(argv=None):
                    help="CONSTRUCT only: merge the derived triples back "
                         "into the edge snapshot under this run_id "
                         "(idempotent per run_id) instead of previewing")
+    p.add_argument("--resolve-labels", action="store_true",
+                   help="append <col>_label (vertex canonical form) next "
+                        "to every entity-id output column")
+    p.add_argument("--vertices-table", default="vertices")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -185,6 +257,9 @@ def main(argv=None):
         return None
     edges = catalog.read(spark, args.edges_table)
     out = _compile(edges, args.query, cols, args.allow_product)
+    if args.resolve_labels:
+        out = with_labels(spark, catalog, out, args.query, cols,
+                          vertices_table=args.vertices_table)
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
         print(f"wrote {args.output}")

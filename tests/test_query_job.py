@@ -221,3 +221,57 @@ def test_run_query_describe_form(spark, tmp_path):
     assert sorted(map(tuple, out.collect())) == [
         ("paris", "capital_of", "france"),
     ]
+
+
+def test_with_labels_appends_canonicals(spark, tmp_path):
+    """--resolve-labels: entity-id output columns get a <col>_label with
+    the vertex canonical; predicate vars and aggregates untouched; ids
+    missing from the vertex table label as NULL."""
+    from pyspark.sql import functions as F
+    from deepex_spark.plans.catalog import Catalog
+    from jobs.query_kg import run_query, with_labels
+
+    cat = Catalog(str(tmp_path / "kg"))
+    cat.write(spark.createDataFrame(
+        [(1, "capital_of", 2), (2, "member_of", 3), (9, "member_of", 3)],
+        "subj_id long, pred_canon string, obj_id long"), "edges")
+    cat.write(spark.createDataFrame(
+        [(1, "Paris", 1, 1), (2, "France", 2, 3), (3, "EU", 2, 2)],
+        "entity_id long, canonical string, n_docs long, n_mentions long"),
+        "vertices")
+    q = ("SELECT ?cap ?r ?c WHERE { ?cap ?r ?c . ?c <member_of> ?u . }")
+    out = run_query(spark, cat, q)
+    labeled = with_labels(spark, cat, out, q)
+    assert labeled.columns == ["cap", "cap_label", "r", "c", "c_label"]
+    rows = sorted(map(tuple, labeled.collect()))
+    assert rows == [(1, "Paris", "capital_of", 2, "France")]
+    # ASK is a no-op for label resolution
+    ask = run_query(spark, cat, "ASK { ?x <member_of> ?y . }")
+    assert with_labels(spark, cat, ask, "ASK { ?x <member_of> ?y . }"
+                       ).columns == ["ask"]
+    # id 9 has no vertex row -> NULL label, row kept
+    q2 = "SELECT ?s WHERE { ?s <member_of> ?u . }"
+    lab2 = with_labels(spark, cat, run_query(spark, cat, q2), q2)
+    got = sorted(((r["s"], r["s_label"]) for r in lab2.collect()),
+                 key=lambda t: t[0])
+    assert got == [(2, "France"), (9, None)]
+
+
+def test_main_resolve_labels_flag(spark, tmp_path, capsys):
+    from deepex_spark.plans.catalog import Catalog
+    from jobs.query_kg import main
+
+    cat = Catalog(str(tmp_path / "kg"))
+    cat.write(spark.createDataFrame(
+        [(1, "capital_of", 2)], "subj_id long, pred_canon string, obj_id long"),
+        "edges")
+    cat.write(spark.createDataFrame(
+        [(1, "Paris", 1, 1), (2, "France", 1, 1)],
+        "entity_id long, canonical string, n_docs long, n_mentions long"),
+        "vertices")
+    main([
+        "--catalog", str(tmp_path / "kg"),
+        "--query", "SELECT ?a ?b WHERE { ?a <capital_of> ?b . }",
+        "--resolve-labels", "--show", "5",
+    ])
+    assert "1\tParis\t2\tFrance" in capsys.readouterr().out
