@@ -50,3 +50,16 @@ def test_spark_builders_analyze(spark):
         except Exception as e:  # noqa: BLE001
             bad.append((name, str(e)[:120]))
     assert not bad, bad
+
+
+def test_bench_suites_resolve_to_registered_queries():
+    """Every name in bench.py's suite lists must be a registered query —
+    a rename can't silently turn a bench arm into a KeyError at
+    measurement time (the driver runs bench.py unattended)."""
+    import bench
+    from deepex_spark.queries import REGISTRY
+
+    for suite in ("HEADLINE", "CURATION", "GRAPH", "ANN"):
+        names = getattr(bench, suite, [])
+        missing = [n for n in names if n not in REGISTRY]
+        assert not missing, f"{suite}: {missing}"
