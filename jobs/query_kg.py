@@ -208,6 +208,52 @@ def materialize_construct(spark, catalog, query: str, run_id: str,
     return v, catalog.read_snapshot(spark, table, version=v).count()
 
 
+def materialize_rules(spark, catalog, rules: list, run_id: str,
+                      table: str = "edges",
+                      cols: tuple = ("subj_id", "pred_canon", "obj_id"),
+                      allow_product: bool = False):
+    """Apply a BATCH of CONSTRUCT rules in one pass — the forward-chaining
+    step of a rule engine, Spark-shaped: every rule compiles against the
+    SAME input snapshot (rules never see each other's output within a
+    batch — one deterministic stratum, order-independent by construction),
+    their deltas union as plan concatenation (no exchange), and the whole
+    batch pays ONE merge_edges fold and ONE atomic snapshot publish.
+    Contrast with N materialize_construct calls: N merges, N publishes,
+    and order-dependent results.
+
+    Idempotent per ``run_id`` like every publish (retried batches cannot
+    double-count). Each rule's evidence is tagged ``sparql:<run_id>#<i>``
+    so per-rule lineage survives the shared publish. Transitive closure =
+    re-run the batch under fresh run_ids until ASK says no new edges (or
+    use operators/kgq.py's path-doubling closure, the right tool for
+    unbounded depth). Returns ``(version, row_count)``."""
+    from deepex_spark.operators.graph import merge_edges, with_edge_bucket
+
+    if not rules:
+        raise ValueError("materialize_rules needs at least one rule")
+    for r in rules:
+        head = r.split(None, 1)[0].upper() if r.split() else ""
+        if head != "CONSTRUCT":
+            raise ValueError(f"not a CONSTRUCT rule: {r[:60]!r}")
+    already = catalog.version_of_run(table, run_id)
+    if already is not None:
+        return already, catalog.read_snapshot(spark, table, version=already).count()
+    existing = catalog.read(spark, table)
+    keep = [c for c in existing.columns if c != "bucket"]
+    delta = None
+    for i, r in enumerate(rules):
+        derived = _compile(existing, r, cols, allow_product)
+        d = derived_edges_delta(
+            derived, run_id, evidence_tag=f"sparql:{run_id}#{i}"
+        ).select(*keep)
+        delta = d if delta is None else delta.unionByName(d)
+    merged = with_edge_bucket(
+        merge_edges(existing.select(*keep), delta, run_id=run_id)
+    )
+    v = catalog.write_snapshot(merged, table, partition_by=["bucket"], run_id=run_id)
+    return v, catalog.read_snapshot(spark, table, version=v).count()
+
+
 def main(argv=None):
     from deepex_spark.plans.catalog import Catalog
     from deepex_spark.session import build_session
@@ -216,8 +262,13 @@ def main(argv=None):
     p.add_argument("--catalog", required=True, help="catalog base dir")
     p.add_argument("--catalog-format", default="parquet",
                    choices=["parquet", "iceberg"])
-    p.add_argument("--query", required=True,
+    p.add_argument("--query", default=None,
                    help="SPARQL-lite query string (see operators/sparql.py)")
+    p.add_argument("--rules-file", default=None,
+                   help="file of CONSTRUCT rules (blank-line separated, "
+                        "'#' comment lines skipped) applied as ONE batch — "
+                        "one merge, one atomic publish; requires "
+                        "--materialize RUN_ID and replaces --query")
     p.add_argument("--edges-table", default="edges")
     p.add_argument("--cols", default="subj_id,pred_canon,obj_id",
                    help="comma-separated (subject,predicate,object) columns")
@@ -242,8 +293,30 @@ def main(argv=None):
     if len(cols) != 3:
         p.error("--cols needs exactly three comma-separated column names")
 
+    if (args.query is None) == (args.rules_file is None):
+        p.error("exactly one of --query / --rules-file is required")
+    if args.rules_file and not args.materialize:
+        p.error("--rules-file requires --materialize RUN_ID")
+
     spark = build_session(master=args.master) if args.master else build_session()
     catalog = Catalog(args.catalog, fmt=args.catalog_format, spark=spark)
+    if args.rules_file:
+        with open(args.rules_file) as f:
+            text = f.read()
+        rules = []
+        for block in text.split("\n\n"):
+            lines = [ln for ln in block.splitlines()
+                     if ln.strip() and not ln.lstrip().startswith("#")]
+            if lines:
+                rules.append(" ".join(ln.strip() for ln in lines))
+        v, n = materialize_rules(
+            spark, catalog, rules, args.materialize,
+            table=args.edges_table, cols=cols,
+            allow_product=args.allow_product,
+        )
+        print(f"published {args.edges_table} v{v}: {n} edges "
+              f"({len(rules)} rules)")
+        return None
     if args.materialize:
         head = args.query.split(None, 1)[0].upper() if args.query.split() else ""
         if head != "CONSTRUCT":

@@ -275,3 +275,64 @@ def test_main_resolve_labels_flag(spark, tmp_path, capsys):
         "--resolve-labels", "--show", "5",
     ])
     assert "1\tParis\t2\tFrance" in capsys.readouterr().out
+
+
+def test_materialize_rules_batch_one_publish(spark, tmp_path):
+    """A rule BATCH compiles every rule against the SAME input snapshot
+    (order-independent single stratum), pays one merge and one publish,
+    tags per-rule lineage, and is idempotent per run_id."""
+    from pyspark.sql import functions as F
+    from jobs.query_kg import materialize_rules
+
+    cat = _stat_edges_catalog(spark, tmp_path)
+    rules = [
+        "CONSTRUCT { ?a <grandparent_of> ?c . } WHERE {"
+        " ?a <parent_of> ?b . ?b <parent_of> ?c . }",
+        "CONSTRUCT { ?b <child_of> ?a . } WHERE { ?a <parent_of> ?b . }",
+    ]
+    v1, n1 = materialize_rules(spark, cat, rules, run_id="batch1")
+    cur = cat.read(spark, "edges")
+    gp = cur.where(F.col("pred_canon") == "grandparent_of").collect()
+    ch = cur.where(F.col("pred_canon") == "child_of").collect()
+    assert [(r.subj_id, r.obj_id) for r in gp] == [(1, 3)]
+    assert sorted((r.subj_id, r.obj_id) for r in ch) == [(2, 1), (3, 2)]
+    # per-rule lineage tags survive the shared publish
+    assert gp[0].sample_docid == "sparql:batch1#0"
+    assert {r.sample_docid for r in ch} == {"sparql:batch1#1"}
+    # ONE publish: exactly one new snapshot version
+    assert cat.version_of_run("edges", "batch1") == v1
+    # single stratum: rule 2 did NOT see rule 1's output (no child_of
+    # derived from grandparent edges, no grandparent from child edges)
+    assert cur.where(F.col("pred_canon") == "grandparent_of").count() == 1
+    # idempotent retry
+    v2, n2 = materialize_rules(spark, cat, rules, run_id="batch1")
+    assert (v2, n2) == (v1, n1)
+
+
+def test_main_rules_file(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+    from deepex_spark.plans.catalog import Catalog
+    from jobs.query_kg import main
+
+    cat = _stat_edges_catalog(spark, tmp_path)
+    rf = tmp_path / "rules.sparql"
+    rf.write_text(
+        "# derive grandparents\n"
+        "CONSTRUCT { ?a <grandparent_of> ?c . } WHERE {\n"
+        "  ?a <parent_of> ?b . ?b <parent_of> ?c . }\n"
+        "\n"
+        "# inverse edges\n"
+        "CONSTRUCT { ?b <child_of> ?a . } WHERE { ?a <parent_of> ?b . }\n"
+    )
+    main([
+        "--catalog", str(tmp_path / "kg"),
+        "--rules-file", str(rf),
+        "--materialize", "batch1",
+    ])
+    assert "(2 rules)" in capsys.readouterr().out
+    assert cat.read(spark, "edges").where(
+        F.col("pred_canon").isin("grandparent_of", "child_of")).count() == 3
+    with pytest.raises(SystemExit):
+        main(["--catalog", str(tmp_path / "kg"), "--rules-file", str(rf)])
+    with pytest.raises(SystemExit):
+        main(["--catalog", str(tmp_path / "kg")])
