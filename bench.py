@@ -107,6 +107,7 @@ GRAPH = [
     "kg_sparql_groupby",
     "kg_sparql_groupconcat",
     "kg_sparql_path",
+    "kg_sparql_path_plus",
 ]
 
 # vector-index layer — `--ann`, own metric name; snapshot in BENCH/ANN.md.

@@ -21,6 +21,11 @@ Grammar (the documented subset, parsed by :func:`parse_bgp`)::
         ...                          #   slot: sequence (/) of constant
         ...                          #   steps, each optionally inverted
         ...                          #   (^) — desugared at parse time
+        term <a>+ term .             # path modifiers on a step: + (one
+        term <a>*/<b> term .         #   or more), * (zero or more),
+        term ^(<a>|<b>)? term .      #   ? (zero or one) — compiled to a
+        ...                          #   path-doubling closure of that
+        ...                          #   predicate's edge set
         term (<a>|<b>) term .        # predicate alternation: a step (or
         ...                          #   the whole predicate) may be a
         ...                          #   |-group of constant IRIs; also
@@ -113,9 +118,25 @@ Compilation (:func:`bgp`), and why it scales:
   variables (``^`` swaps subject/object for that step), so the join
   planner, filter placement, scan pushdown and cartesian guard all see
   plain patterns — no special executor. Anonymous variables are hidden
-  from ``SELECT *``. Unbounded paths (``+``/``*``) are outside the
-  subset — transitive closure lives in ``operators/kgq.py``'s
-  path-doubling closure, the right tool at scale;
+  from ``SELECT *``;
+* a path step may carry a MODIFIER — ``<a>+`` (one or more), ``<a>*``
+  (zero or more), ``<a>?`` (zero or one), also on an alternation group
+  and composable with ``^`` and ``/``. A modified step compiles to the
+  step's solution PAIR SET instead of a scan: the predicate constant
+  filters the scan first (pushed to parquet — the closure runs over one
+  predicate's edge set, never the whole table), ``+``/``*`` close the
+  pair set EXACTLY by path DOUBLING to a fixpoint (``log2(diameter)``
+  eager self-join+distinct rounds with ``localCheckpoint`` lineage
+  truncation and a count convergence probe — the same iterative shape
+  as ``graph.connected_components``), and ``*``/``?`` union the
+  zero-length pairs (every graph node to itself). Distinct pairs ==
+  SPARQL 1.1's connectivity semantics, which is also what terminates on
+  cycles. The pair set then joins into the left-deep tree like any
+  pattern, ordered after plain patterns of equal constant count (a
+  closure is never more selective than its base predicate). Documented
+  deviation: zero-length paths range over the GRAPH's node universe, so
+  a constant endpoint absent from the graph does not zero-length-match
+  itself;
 * predicate alternation ``(<a>|<b>)`` — standalone or as one step of a
   sequence path — stays ONE pattern whose predicate constant is the
   member SET, compiled to ``rel IN (...)`` so it pushes to the scan as
@@ -200,6 +221,11 @@ class Pattern:
     subj_var: bool = False
     pred_var: bool = False
     obj_var: bool = False
+    # property-path modifier on a CONSTANT predicate (or alternation
+    # group): '+' one-or-more, '*' zero-or-more, '?' zero-or-one, None
+    # for a plain pattern. A modified pattern compiles to a closure of
+    # the predicate's edge set, not a single scan (see _pattern_df).
+    pred_mod: str | None = None
 
     def variables(self) -> set:
         out = set()
@@ -351,8 +377,8 @@ _PATTERN_RE = re.compile(rf"{_TERM}\s+{_TERM}\s+{_TERM}")
 # fresh __path{n} vars are reserved for desugaring
 _ANON_PREFIX = "__path"
 _ALT_GROUP = r"\(\s*<[^>]*>(?:\s*\|\s*<[^>]*>)*\s*\)"
-_PATH_STEP_RE = re.compile(rf"(\^?)(<[^>]*>|{_ALT_GROUP})")
-_PATH_STEP = rf"\^?(?:<[^>]*>|{_ALT_GROUP})"
+_PATH_STEP_RE = re.compile(rf"(\^?)(<[^>]*>|{_ALT_GROUP})([+*?]?)")
+_PATH_STEP = rf"\^?(?:<[^>]*>|{_ALT_GROUP})[+*?]?"
 _PATTERN_PATH_RE = re.compile(
     rf"{_TERM}\s+({_PATH_STEP}(?:\s*/\s*{_PATH_STEP})*)\s+{_TERM}"
 )
@@ -529,7 +555,7 @@ def _parse_group(body: str, fresh=None):
         o, ov = _term(pp.group(3))
         steps = _PATH_STEP_RE.findall(pp.group(2))
         cur, cur_var = s, sv
-        for i, (inv, step) in enumerate(steps):
+        for i, (inv, step, mod) in enumerate(steps):
             if step.startswith("("):
                 # alternation group -> the step's predicate constant is
                 # the member tuple (deduped, declaration order); a
@@ -540,15 +566,19 @@ def _parse_group(body: str, fresh=None):
                 iri = step[1:-1]
             last = i == len(steps) - 1
             nxt, nxt_var = (o, ov) if last else (f"{_ANON_PREFIX}{next(fresh)}", True)
+            # ^p+ == (^p)+ == ^(p+) for a single-direction step set, so
+            # inversion still just swaps the pattern's endpoints
             if inv:
                 patterns.append(
                     Pattern(subj=nxt, pred=iri, obj=cur,
-                            subj_var=nxt_var, pred_var=False, obj_var=cur_var)
+                            subj_var=nxt_var, pred_var=False, obj_var=cur_var,
+                            pred_mod=mod or None)
                 )
             else:
                 patterns.append(
                     Pattern(subj=cur, pred=iri, obj=nxt,
-                            subj_var=cur_var, pred_var=False, obj_var=nxt_var)
+                            subj_var=cur_var, pred_var=False, obj_var=nxt_var,
+                            pred_mod=mod or None)
                 )
             cur, cur_var = nxt, nxt_var
     return patterns, filters
@@ -944,15 +974,103 @@ def _agg_expr(func: str, var: str | None, sep: str = " "):
     }[func]
 
 
-def _pattern_df(edges: DataFrame, p: Pattern, cols: tuple) -> DataFrame:
-    """One triple pattern -> (filtered, variable-renamed) projection."""
+# round cap for +/* closures: path doubling squares reachable depth per
+# round, so 16 rounds cover paths of 2**16 = 65536 edges — beyond any
+# real predicate's diameter. The loop exits at the FIXPOINT (closure
+# complete and exact), almost always far earlier; the cap only stops a
+# runaway and raises loudly rather than silently truncating.
+CLOSURE_ROUNDS = 16
+
+
+def _path_closure(pairs: DataFrame, rounds: int) -> DataFrame:
+    """EXACT transitive closure of a distinct (``__ps``, ``__po``) pair
+    set by path DOUBLING: after round k every pair connected by a path
+    of length <= 2**k is present, so an ontology 1000 levels deep
+    converges in 10 rounds, not 1000 driver iterations. Each round is
+    one equi-join + distinct over the (predicate-filtered, usually
+    small) pair set; ``distinct`` gives SPARQL 1.1's connectivity (set)
+    semantics, which is also what terminates on cycles. Rounds run
+    eagerly with ``localCheckpoint`` lineage truncation and a pair-count
+    convergence probe — without the checkpoint the self-referencing plan
+    triples per round and the OPTIMIZER, not the data, becomes the
+    bottleneck (same iterative pattern as graph.connected_components;
+    the closure shares its compile technique with kgq.subclass_closure).
+    """
+    c = pairs.localCheckpoint(eager=True)
+    n = c.count()
+    for _ in range(rounds):
+        step = (
+            c.select(F.col("__ps").alias("__s1"), F.col("__po").alias("__m"))
+            .join(
+                c.select(F.col("__ps").alias("__m"), F.col("__po").alias("__o2")),
+                on="__m",
+            )
+            .select(F.col("__s1").alias("__ps"), F.col("__o2").alias("__po"))
+        )
+        nxt = c.unionByName(step).distinct().localCheckpoint(eager=True)
+        m = nxt.count()
+        if m == n:
+            # fixpoint: no new pair appeared, the closure is complete
+            return c
+        c, n = nxt, m
+    raise RuntimeError(
+        f"path closure did not converge within {rounds} doubling rounds "
+        f"(depth 2**{rounds}); raise bgp(closure_rounds=...)"
+    )
+
+
+def _closure_pairs(
+    edges: DataFrame, p: Pattern, cols: tuple, rounds: int
+) -> DataFrame:
+    """A modified path step ``<r>+ / <r>* / <r>?`` -> its solution pair
+    set (``__ps``, ``__po``). The predicate constant (or alternation
+    member set) filters the scan FIRST — the closure runs over one
+    predicate's edge set, never the whole table. Zero-length paths
+    (``*``/``?``) range over the node universe of the GRAPH (every term
+    appearing as a subject or object of any edge), the standard engine
+    reading of SPARQL 1.1's zero-length path; a CONSTANT endpoint that
+    never occurs in the graph therefore does NOT zero-length-match
+    itself (documented deviation from the letter of the spec)."""
     src, rel, dst = cols
-    df = edges
-    for col, value, is_var in (
-        (src, p.subj, p.subj_var),
-        (rel, p.pred, p.pred_var),
-        (dst, p.obj, p.obj_var),
-    ):
+    if isinstance(p.pred, tuple):
+        base = edges.filter(F.col(rel).isin(*p.pred))
+    else:
+        base = edges.filter(F.col(rel) == F.lit(p.pred))
+    pairs = base.select(
+        F.col(src).alias("__ps"), F.col(dst).alias("__po")
+    ).distinct()
+    if p.pred_mod in ("+", "*"):
+        pairs = _path_closure(pairs, rounds)
+    if p.pred_mod in ("*", "?"):
+        nodes = (
+            edges.select(F.col(src).alias("__n"))
+            .unionByName(edges.select(F.col(dst).alias("__n")))
+            .distinct()
+        )
+        zero = nodes.select(F.col("__n").alias("__ps"), F.col("__n").alias("__po"))
+        pairs = pairs.unionByName(zero).distinct()
+    return pairs
+
+
+def _pattern_df(
+    edges: DataFrame, p: Pattern, cols: tuple, closure_rounds: int = CLOSURE_ROUNDS
+) -> DataFrame:
+    """One triple pattern -> (filtered, variable-renamed) projection.
+    A path-modified pattern (``pred_mod``) resolves to its closure pair
+    set first; endpoint constants/variables then apply to the pairs
+    exactly as they would to a plain scan."""
+    src, rel, dst = cols
+    if p.pred_mod is not None:
+        df = _closure_pairs(edges, p, cols, closure_rounds)
+        positions = [("__ps", p.subj, p.subj_var), ("__po", p.obj, p.obj_var)]
+    else:
+        df = edges
+        positions = [
+            (src, p.subj, p.subj_var),
+            (rel, p.pred, p.pred_var),
+            (dst, p.obj, p.obj_var),
+        ]
+    for col, value, is_var in positions:
         if not is_var:
             if isinstance(value, tuple):
                 # predicate alternation: one In filter, pushed to the scan
@@ -962,11 +1080,7 @@ def _pattern_df(edges: DataFrame, p: Pattern, cols: tuple) -> DataFrame:
     # a variable used twice within one pattern (?x <r> ?x) self-constrains
     var_cols = []
     var_names = []
-    for col, value, is_var in (
-        (src, p.subj, p.subj_var),
-        (rel, p.pred, p.pred_var),
-        (dst, p.obj, p.obj_var),
-    ):
+    for col, value, is_var in positions:
         if not is_var:
             continue
         if value in var_names:
@@ -982,11 +1096,14 @@ def bgp(
     query: str | BGPQuery,
     cols: tuple = ("src", "rel", "dst"),
     allow_product: bool = False,
+    closure_rounds: int = CLOSURE_ROUNDS,
 ) -> DataFrame:
     """Run a BGP query against an edge DataFrame.
 
     ``cols`` names the (subject, predicate, object) columns. Returns a
     DataFrame whose columns are the SELECT variables, in SELECT order.
+    ``closure_rounds`` caps the ``+``/``*`` fixpoint loop at 2**rounds
+    path depth (default 65536) — see :func:`_path_closure`.
     """
     q = parse_bgp(query) if isinstance(query, str) else query
     if q.unions:
@@ -995,7 +1112,7 @@ def bgp(
         # exchange: union is plan concatenation.
         acc, bound = None, set()
         for br in q.unions:
-            gdf, gb = _solve(edges, br.patterns, br.filters, cols, allow_product)
+            gdf, gb = _solve(edges, br.patterns, br.filters, cols, allow_product, closure_rounds)
             acc = gdf if acc is None else acc.unionByName(
                 gdf, allowMissingColumns=True
             )
@@ -1006,7 +1123,7 @@ def bgp(
         bind_vars = {b.var for b in q.binds}
         solve_filters = [f for f in q.filters if not (f.variables() & bind_vars)]
         post_filters = [f for f in q.filters if f.variables() & bind_vars]
-        acc, bound = _solve(edges, q.patterns, solve_filters, cols, allow_product)
+        acc, bound = _solve(edges, q.patterns, solve_filters, cols, allow_product, closure_rounds)
         for b in q.binds:
             # one JVM Column per BIND — a pure projection, zero exchanges,
             # stays inside whole-stage codegen
@@ -1027,7 +1144,7 @@ def bgp(
         # anti-join on the shared variables: drop every required-side row
         # for which the negation group has at least one solution. Runs
         # BEFORE optional joins, so it only ever tests never-null vars.
-        gdf, _ = _solve(edges, g.patterns, g.filters, cols, allow_product)
+        gdf, _ = _solve(edges, g.patterns, g.filters, cols, allow_product, closure_rounds)
         keys = sorted(g.variables() & bound)
         acc = acc.join(gdf.select(*keys), on=keys, how="left_anti")
     for g in q.exists_groups:
@@ -1035,7 +1152,7 @@ def bgp(
         # its bindings. LeftSemi short-circuits on first build-side match
         # and never widens the row — AQE picks broadcast vs shuffle, the
         # group's solution count never multiplies the required side.
-        gdf, _ = _solve(edges, g.patterns, g.filters, cols, allow_product)
+        gdf, _ = _solve(edges, g.patterns, g.filters, cols, allow_product, closure_rounds)
         keys = sorted(g.variables() & bound)
         acc = acc.join(gdf.select(*keys), on=keys, how="left_semi")
     for g in q.optionals:
@@ -1043,7 +1160,7 @@ def bgp(
         # pre-filter the optional side), then LEFT-joined to the solution
         # on the shared variables — unmatched rows keep NULLs, SPARQL's
         # OPTIONAL semantics for this subset
-        gdf, _ = _solve(edges, g.patterns, g.filters, cols, allow_product)
+        gdf, _ = _solve(edges, g.patterns, g.filters, cols, allow_product, closure_rounds)
         keys = sorted(g.variables() & bound)
         acc = acc.join(gdf, on=keys, how="left")
         bound |= g.variables()
@@ -1102,10 +1219,20 @@ def _solve(
     filters: list,
     cols: tuple,
     allow_product: bool,
+    closure_rounds: int = CLOSURE_ROUNDS,
 ):
     """Left-deep join of one pattern group; returns (df, bound vars)."""
-    # most-constant-first, stable on author order
-    order = sorted(range(len(patterns)), key=lambda i: (-patterns[i].n_constants(), i))
+    # most-constant-first, stable on author order; a closure pattern
+    # sorts after a plain pattern with the same constant count (its pair
+    # set is a superset of the base predicate's — never more selective)
+    order = sorted(
+        range(len(patterns)),
+        key=lambda i: (
+            -patterns[i].n_constants(),
+            patterns[i].pred_mod is not None,
+            i,
+        ),
+    )
     pending_filters = list(filters)
 
     def apply_ready_filters(df: DataFrame, bound: set) -> DataFrame:
@@ -1125,7 +1252,7 @@ def _solve(
 
     remaining = list(order)
     first = remaining.pop(0)
-    acc = _pattern_df(edges, patterns[first], cols)
+    acc = _pattern_df(edges, patterns[first], cols, closure_rounds)
     bound = set(patterns[first].variables())
     acc = apply_ready_filters(acc, bound)
     while remaining:
@@ -1142,7 +1269,7 @@ def _solve(
                 )
             idx = 0
         i = remaining.pop(idx)
-        pdf = _pattern_df(edges, patterns[i], cols)
+        pdf = _pattern_df(edges, patterns[i], cols, closure_rounds)
         keys = sorted(patterns[i].variables() & bound)
         acc = acc.join(pdf, on=keys, how="inner") if keys else acc.crossJoin(pdf)
         bound |= patterns[i].variables()

@@ -1450,6 +1450,114 @@ def kg_sparql_path(spark, sf_dir):
     )
 
 
+# shared derivation for the transitive-path arms: a "next" chain edge
+# per customer linking consecutive orderkeys — a DAG whose per-customer
+# chains give the closure real multi-hop depth (up to the customer's
+# order count), derived identically in Spark (window lead) and SQL
+_NEXT_CHAIN_SQL = """
+    WITH RECURSIVE e AS (
+      SELECT s, o FROM (
+        SELECT o_orderkey AS s,
+               lead(o_orderkey) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderkey) AS o
+        FROM orders
+      ) t WHERE o IS NOT NULL
+    ),
+    reach(s, o) AS (
+      SELECT s, o FROM e
+      UNION
+      SELECT r.s, e.o FROM reach r JOIN e ON e.s = r.o
+    )
+"""
+
+
+def _next_chain_edges(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey")
+        .withColumn("nxt", F.lead("o_orderkey").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.col("o_orderkey").alias("src"),
+            F.lit("next").alias("rel"),
+            F.col("nxt").alias("dst"),
+        )
+    )
+
+
+@register(
+    "kg_sparql_path_plus",
+    # INDEPENDENT oracle: recursive-CTE transitive closure (depth-first
+    # recursion — a different algorithm from the engine's path doubling)
+    # over the same window-derived chain, aggregated per source
+    oracle=_NEXT_CHAIN_SQL
+    + """
+    SELECT s AS x, CAST(count(*) AS BIGINT) AS n_reach, max(o) AS max_reach
+    FROM reach GROUP BY s
+    """,
+)
+def kg_sparql_path_plus(spark, sf_dir):
+    """Transitive one-or-more property path: ``?x <next>+ ?y`` over the
+    per-customer order chain closes each chain to its full ordered pair
+    set. Compiled by operators/sparql.py's ``_path_closure`` — the
+    predicate filter reaches the scan first, then log2(diameter) eager
+    path-doubling rounds (localCheckpoint lineage truncation + count
+    convergence probe, the graph.connected_components iteration shape)
+    produce SPARQL 1.1's connectivity (set) semantics exactly. The
+    implicit-grouping aggregate keeps the registered output compact
+    while staying sensitive to every closure pair."""
+    from deepex_spark.operators.sparql import bgp
+
+    return bgp(
+        _next_chain_edges(spark, sf_dir),
+        """
+        SELECT ?x (COUNT(*) AS ?n_reach) (MAX(?y) AS ?max_reach)
+        WHERE { ?x <next>+ ?y . }
+        """,
+        cols=("src", "rel", "dst"),
+    )
+
+
+@register(
+    "kg_sparql_path_star",
+    # zero-or-more == the + closure UNION one (n, n) row per node of the
+    # graph's node universe (the chain is a DAG, so no (s, s) collision).
+    # Deduping is an explicit DISTINCT over UNION ALL: inside a WITH
+    # RECURSIVE clause DuckDB does not set-dedupe a plain UNION in the
+    # non-recursive CTEs, so spell the set semantics out
+    oracle=_NEXT_CHAIN_SQL
+    + """
+    , star AS (
+      SELECT DISTINCT s, o FROM (
+        SELECT s, o FROM reach
+        UNION ALL
+        SELECT s AS s, s AS o FROM e
+        UNION ALL
+        SELECT o AS s, o AS o FROM e
+      )
+    )
+    SELECT s AS x, CAST(count(*) AS BIGINT) AS n
+    FROM star GROUP BY s
+    """,
+)
+def kg_sparql_path_star(spark, sf_dir):
+    """Zero-or-more property path: ``?x <next>* ?y`` == the ``+``
+    closure plus the zero-length pairs — every node of the graph's node
+    universe paired with itself (so a chain's LAST order, never a
+    subject, still appears with n = 1). Pins the zero-length semantics
+    the star modifier adds on top of kg_sparql_path_plus."""
+    from deepex_spark.operators.sparql import bgp
+
+    return bgp(
+        _next_chain_edges(spark, sf_dir),
+        "SELECT ?x (COUNT(*) AS ?n) WHERE { ?x <next>* ?y . }",
+        cols=("src", "rel", "dst"),
+    )
+
+
 @register(
     "kg_sparql_values",
     # VALUES == an IN-list restriction: per-predicate counts over just

@@ -15,7 +15,8 @@ serves snapshot-versioned tables at their published version, so a
 concurrent ``maintain_kg`` merge never tears a half-written table under
 this job). The full documented fragment applies — BGP joins, FILTER
 (comparisons + STRSTARTS/STRENDS/CONTAINS/REGEX), OPTIONAL, UNION,
-EXISTS/NOT EXISTS/MINUS, property paths with per-step alternation, VALUES,
+EXISTS/NOT EXISTS/MINUS, property paths with per-step alternation and transitive +/*/?
+modifiers (exact doubling-fixpoint closure), VALUES,
 aggregates, ORDER BY/LIMIT, plus the CONSTRUCT (derived edge-shaped
 graph, writable straight back through maintain_kg) and ASK (one-row
 boolean) query forms (``operators/sparql.py``) — compiled to DataFrame
@@ -225,8 +226,7 @@ def materialize_rules(spark, catalog, rules: list, run_id: str,
     double-count). Each rule's evidence is tagged ``sparql:<run_id>#<i>``
     so per-rule lineage survives the shared publish. Transitive closure =
     re-run the batch under fresh run_ids until ASK says no new edges (or
-    use operators/kgq.py's path-doubling closure, the right tool for
-    unbounded depth). Returns ``(version, row_count)``."""
+    query with a +/* property path, whose closure is exact). Returns ``(version, row_count)``."""
     from deepex_spark.operators.graph import merge_edges, with_edge_bucket
 
     if not rules:

@@ -34,19 +34,54 @@ def _edges_df(spark):
     return spark.createDataFrame(rows, "src string, rel string, dst string")
 
 
+def _closure_candidates(edges, pat):
+    """Candidate (s, p, o) triples for one pattern: the raw edge list for
+    a plain pattern; for a path-modified one, the pure-Python closure
+    pair set (BFS — an algorithm independent of the engine's path
+    doubling) as pseudo-triples with the consumed predicate set to None
+    so the generic binding loop skips that position."""
+    if pat.pred_mod is None:
+        return edges
+    members = pat.pred if isinstance(pat.pred, tuple) else (pat.pred,)
+    base = {(s, o) for s, p, o in edges if p in members}
+    pairs = set()
+    if pat.pred_mod in ("+", "*"):
+        adj = {}
+        for s, o in base:
+            adj.setdefault(s, set()).add(o)
+        for start in adj:
+            seen, stack = set(), [start]
+            while stack:
+                for o in adj.get(stack.pop(), ()):
+                    if o not in seen:
+                        seen.add(o)
+                        stack.append(o)
+            pairs |= {(start, t) for t in seen}
+    if pat.pred_mod == "?":
+        pairs |= base
+    if pat.pred_mod in ("*", "?"):
+        nodes = {s for s, _, _ in edges} | {o for _, _, o in edges}
+        pairs |= {(n, n) for n in nodes}
+    return sorted(((s, None, o) for s, o in pairs), key=lambda t: (str(t[0]), str(t[2])))
+
+
 def naive_bgp(edges, query):
     """Independent evaluator: enumerate every assignment of edges to
     patterns, keep consistent bindings, apply filters, project."""
     q = parse_bgp(query)
     results = []
-    for combo in itertools.product(edges, repeat=len(q.patterns)):
+    for combo in itertools.product(
+        *[_closure_candidates(edges, pat) for pat in q.patterns]
+    ):
         binding = {}
         ok = True
         for (s, p, o), pat in zip(combo, q.patterns):
-            for val, (term, is_var) in zip(
+            for pos, (val, (term, is_var)) in enumerate(zip(
                 (s, p, o),
                 ((pat.subj, pat.subj_var), (pat.pred, pat.pred_var), (pat.obj, pat.obj_var)),
-            ):
+            )):
+                if pos == 1 and pat.pred_mod is not None:
+                    continue  # predicate consumed by the closure
                 if is_var:
                     if binding.setdefault(term, val) != val:
                         ok = False
@@ -104,6 +139,15 @@ QUERIES = [
     'SELECT ?p ?r ?x WHERE { ?p ?r ?x . FILTER(STRSTARTS(?r, "born")) }',
     'SELECT ?p WHERE { ?p <born_in> ?c . FILTER(STRENDS(?c, "is")) }',
     'SELECT ?a ?b WHERE { ?a <knows> ?b . FILTER(REGEX(?b, "^(a|e)")) }',
+    # path modifiers (engine: doubling fixpoint; enumerator: BFS)
+    "SELECT ?x ?y WHERE { ?x <knows>+ ?y . }",
+    "SELECT ?x WHERE { ?x <knows>+ ?x . }",
+    'SELECT ?x ?y WHERE { ?x <born_in>? ?y . FILTER(STRSTARTS(?x, "al")) }',
+    "SELECT ?a ?c WHERE { ?a <knows>*/<born_in> ?c . }",
+    "SELECT ?x WHERE { <alice> ^<knows>+ ?x . }",
+    "SELECT DISTINCT ?x ?y WHERE { ?x (<knows>|<born_in>)+ ?y . }",
+    # closure joined with a plain pattern through a shared variable
+    "SELECT ?x ?c WHERE { ?x <knows>+ ?b . ?b <born_in> ?c . }",
 ]
 
 
@@ -495,6 +539,74 @@ def test_path_equivalent_to_explicit_chain(spark):
         df, "SELECT ?p ?c WHERE { ?p <born_in> ?m . ?m <in_country> ?c . }"
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_path_plus_closure_cycle(spark):
+    """+ over the knows 3-cycle: connectivity (set) semantics — every
+    ordered pair inside the cycle exactly once, incl. (x, x) via the
+    cycle, plus eve's self-loop; the cycle proves fixpoint termination."""
+    df = _edges_df(spark)
+    out = bgp(df, "SELECT ?x ?y WHERE { ?x <knows>+ ?y . }")
+    cyc = ["alice", "bob", "carol"]
+    exp = sorted([(x, y) for x in cyc for y in cyc] + [("eve", "eve")])
+    assert sorted(map(tuple, out.collect())) == exp
+
+
+def test_path_plus_self_constraint(spark):
+    """?x <r>+ ?x == cycle membership — the repeated variable
+    self-constrains the closure pair set."""
+    df = _edges_df(spark)
+    out = bgp(df, "SELECT ?x WHERE { ?x <knows>+ ?x . }")
+    assert sorted(r["x"] for r in out.collect()) == ["alice", "bob", "carol", "eve"]
+
+
+def test_path_star_includes_zero_length(spark):
+    """* == + ∪ zero-length: anchored on a constant, the constant pairs
+    with itself (it occurs in the graph) plus everything reachable."""
+    df = _edges_df(spark)
+    out = bgp(df, "SELECT ?y WHERE { <paris> <in_country>* ?y . }")
+    assert sorted(r["y"] for r in out.collect()) == ["france", "paris"]
+    # zero-length ranges over the graph's node universe: a var-var ?
+    # step yields one (n, n) row per distinct node plus the base edges
+    nodes = {s for s, _, _ in EDGES} | {str(o) for _, _, o in EDGES}
+    base = {(s, str(o)) for s, p, o in EDGES if p == "in_country"}
+    out2 = bgp(df, "SELECT ?x ?y WHERE { ?x <in_country>? ?y . }")
+    assert set(map(tuple, out2.collect())) == base | {(n, n) for n in nodes}
+
+
+def test_path_modifier_in_sequence_and_inverse(spark):
+    df = _edges_df(spark)
+    # zero-or-more step inside a sequence: knows*/born_in = born_in of
+    # anyone transitively known INCLUDING yourself (zero-length arm)
+    out = bgp(df, "SELECT ?a ?c WHERE { ?a <knows>*/<born_in> ?c . }")
+    got = sorted(map(tuple, out.collect()))
+    assert ("dave", "berlin") in got  # zero-length arm (dave knows no one)
+    assert ("alice", "lyon") in got  # via alice->bob->carol
+    # inverse closure anchored on a constant: ^knows+ from alice == the
+    # cycle members who reach alice forwards
+    inv = bgp(df, "SELECT ?x WHERE { <alice> ^<knows>+ ?x . }")
+    assert sorted(r["x"] for r in inv.collect()) == ["alice", "bob", "carol"]
+
+
+def test_path_plus_long_chain_converges(spark):
+    """A 33-node chain needs depth 32 > 2**5 — the doubling fixpoint
+    must keep going until the full n*(n-1)/2 pair set is closed."""
+    n = 33
+    rows = [(f"v{i:02d}", "next", f"v{i + 1:02d}") for i in range(n - 1)]
+    df = spark.createDataFrame(rows, "src string, rel string, dst string")
+    out = bgp(df, "SELECT ?x ?y WHERE { ?x <next>+ ?y . }")
+    assert out.count() == n * (n - 1) // 2
+
+
+def test_path_modifier_rejections():
+    # a modifier needs a constant step — a variable predicate can't close
+    with pytest.raises(ValueError, match="bad triple pattern"):
+        parse_bgp("SELECT ?x ?y WHERE { ?x ?p+ ?y . }")
+    # CONSTRUCT templates are plain triples: no modifiers
+    from deepex_spark.operators.sparql import construct
+
+    with pytest.raises(ValueError, match="bad CONSTRUCT template"):
+        construct(None, "CONSTRUCT { ?x <r>+ ?y . } WHERE { ?x <knows> ?y . }")
 
 
 def test_alternation_in_path_step(spark):
@@ -1190,15 +1302,19 @@ def _naive_match(edges, patterns, filters, seed_binding=None):
     """All consistent bindings of `patterns` over `edges` extending
     `seed_binding`, with group-local filters applied."""
     out = []
-    for combo in itertools.product(edges, repeat=len(patterns)):
+    for combo in itertools.product(
+        *[_closure_candidates(edges, pat) for pat in patterns]
+    ):
         binding = dict(seed_binding or {})
         ok = True
         for (s, p, o), pat in zip(combo, patterns):
-            for val, (term, is_var) in zip(
+            for pos, (val, (term, is_var)) in enumerate(zip(
                 (s, p, o),
                 ((pat.subj, pat.subj_var), (pat.pred, pat.pred_var),
                  (pat.obj, pat.obj_var)),
-            ):
+            )):
+                if pos == 1 and pat.pred_mod is not None:
+                    continue  # predicate consumed by the closure
                 if is_var:
                     if binding.setdefault(term, val) != val:
                         ok = False
@@ -1342,7 +1458,8 @@ def test_randomized_differential_vs_enumerator(spark):
             (rng.choice(nodes), rng.choice(rels), rng.choice(nodes))
             for _ in range(rng.randint(8, 18))
         })
-        parts = [f"?a <{rng.choice(rels)}> ?b ."]
+        mod = rng.choice(["", "", "", "+", "*"])  # random dense KGs cycle
+        parts = [f"?a <{rng.choice(rels)}>{mod} ?b ."]
         if rng.random() < 0.7:
             parts.append(f"?b <{rng.choice(rels)}> ?c .")
         extra = rng.choice(["opt", "exists", "minus", "values", "filter", ""])
