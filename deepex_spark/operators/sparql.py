@@ -31,6 +31,13 @@ Grammar (the documented subset, parsed by :func:`parse_bgp`)::
         ...                          #   |-group of constant IRIs; also
         ...                          #   valid per step inside a path,
         ...                          #   e.g. ^(<a>|<b>)/<c>
+        term !<a> term .             # negated property set: matches any
+        term !(<a>|<b>) term .       #   edge whose predicate is NOT a
+        ...                          #   member — one scan-pushed
+        ...                          #   Not(In); composable with ^ and
+        ...                          #   as a step of a /-path (the
+        ...                          #   inverse-member form !^<a> is
+        ...                          #   outside the subset)
         FILTER(?x != ?y) FILTER(?x < 42) ...
         FILTER(STRSTARTS(?x, "pre")) FILTER(STRENDS(?x, "suf"))
         FILTER(CONTAINS(?x, "mid")) FILTER(REGEX(?x, "pat")) ...
@@ -226,6 +233,12 @@ class Pattern:
     # for a plain pattern. A modified pattern compiles to a closure of
     # the predicate's edge set, not a single scan (see _pattern_df).
     pred_mod: str | None = None
+    # negated property set: ``!<a>`` / ``!(<a>|<b>)`` — pred holds the
+    # member TUPLE (always a tuple, even for one member) and the pattern
+    # matches edges whose predicate is NOT in the set, compiled to a
+    # scan-pushed Not(In). Anti-selective by construction, so it never
+    # counts toward n_constants and sorts late in the join order.
+    pred_neg: bool = False
 
     def variables(self) -> set:
         out = set()
@@ -238,9 +251,12 @@ class Pattern:
         return out
 
     def n_constants(self) -> int:
-        return 3 - len(
+        n = 3 - len(
             [1 for v in (self.subj_var, self.pred_var, self.obj_var) if v]
         )
+        # a negated predicate keeps (almost) the whole table — for join
+        # ordering it is no more selective than a predicate variable
+        return n - 1 if self.pred_neg else n
 
 
 @dataclass(frozen=True)
@@ -377,8 +393,8 @@ _PATTERN_RE = re.compile(rf"{_TERM}\s+{_TERM}\s+{_TERM}")
 # fresh __path{n} vars are reserved for desugaring
 _ANON_PREFIX = "__path"
 _ALT_GROUP = r"\(\s*<[^>]*>(?:\s*\|\s*<[^>]*>)*\s*\)"
-_PATH_STEP_RE = re.compile(rf"(\^?)(<[^>]*>|{_ALT_GROUP})([+*?]?)")
-_PATH_STEP = rf"\^?(?:<[^>]*>|{_ALT_GROUP})[+*?]?"
+_PATH_STEP_RE = re.compile(rf"(\^?)(!?)(<[^>]*>|{_ALT_GROUP})([+*?]?)")
+_PATH_STEP = rf"\^?!?(?:<[^>]*>|{_ALT_GROUP})[+*?]?"
 _PATTERN_PATH_RE = re.compile(
     rf"{_TERM}\s+({_PATH_STEP}(?:\s*/\s*{_PATH_STEP})*)\s+{_TERM}"
 )
@@ -555,30 +571,36 @@ def _parse_group(body: str, fresh=None):
         o, ov = _term(pp.group(3))
         steps = _PATH_STEP_RE.findall(pp.group(2))
         cur, cur_var = s, sv
-        for i, (inv, step, mod) in enumerate(steps):
+        for i, (inv, neg, step, mod) in enumerate(steps):
             if step.startswith("("):
                 # alternation group -> the step's predicate constant is
                 # the member tuple (deduped, declaration order); a
                 # single-member group collapses to a plain constant
                 members = tuple(dict.fromkeys(_IRI_RE.findall(step)))
-                iri = members if len(members) > 1 else members[0]
+                iri = members if (neg or len(members) > 1) else members[0]
             else:
-                iri = step[1:-1]
+                iri = (step[1:-1],) if neg else step[1:-1]
+            # a NEGATED set always keeps the member tuple (even a single
+            # member) so the compiler has one shape to Not(In) against
             last = i == len(steps) - 1
             nxt, nxt_var = (o, ov) if last else (f"{_ANON_PREFIX}{next(fresh)}", True)
             # ^p+ == (^p)+ == ^(p+) for a single-direction step set, so
-            # inversion still just swaps the pattern's endpoints
+            # inversion still just swaps the pattern's endpoints; the
+            # same holds for ^!(...) — the negated set constrains the
+            # edge's predicate regardless of traversal direction. (The
+            # DISTINCT SPARQL form !^a — negated set of INVERSE members
+            # — is outside the subset: ^ binds inside our ! only.)
             if inv:
                 patterns.append(
                     Pattern(subj=nxt, pred=iri, obj=cur,
                             subj_var=nxt_var, pred_var=False, obj_var=cur_var,
-                            pred_mod=mod or None)
+                            pred_mod=mod or None, pred_neg=bool(neg))
                 )
             else:
                 patterns.append(
                     Pattern(subj=cur, pred=iri, obj=nxt,
                             subj_var=cur_var, pred_var=False, obj_var=nxt_var,
-                            pred_mod=mod or None)
+                            pred_mod=mod or None, pred_neg=bool(neg))
                 )
             cur, cur_var = nxt, nxt_var
     return patterns, filters
@@ -1032,7 +1054,11 @@ def _closure_pairs(
     never occurs in the graph therefore does NOT zero-length-match
     itself (documented deviation from the letter of the spec)."""
     src, rel, dst = cols
-    if isinstance(p.pred, tuple):
+    if p.pred_neg:
+        # negated-set closure base: every edge whose predicate is NOT a
+        # member — still one scan-pushed Not(In) before the closure
+        base = edges.filter(~F.col(rel).isin(*p.pred))
+    elif isinstance(p.pred, tuple):
         base = edges.filter(F.col(rel).isin(*p.pred))
     else:
         base = edges.filter(F.col(rel) == F.lit(p.pred))
@@ -1072,7 +1098,11 @@ def _pattern_df(
         ]
     for col, value, is_var in positions:
         if not is_var:
-            if isinstance(value, tuple):
+            if col == rel and p.pred_neg and p.pred_mod is None:
+                # negated property set: one Not(In) filter, pushed to
+                # the scan exactly like the positive alternation's In
+                df = df.filter(~F.col(col).isin(*value))
+            elif isinstance(value, tuple):
                 # predicate alternation: one In filter, pushed to the scan
                 df = df.filter(F.col(col).isin(*value))
             else:
@@ -1232,7 +1262,7 @@ def _solve(
             patterns[i].pred_mod is not None,
             i,
         ),
-    )
+    )  # pred_neg already discounts itself via n_constants()
     pending_filters = list(filters)
 
     def apply_ready_filters(df: DataFrame, bound: set) -> DataFrame:

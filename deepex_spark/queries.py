@@ -1559,6 +1559,79 @@ def kg_sparql_path_star(spark, sf_dir):
 
 
 @register(
+    "kg_sparql_path_opt",
+    # zero-or-one == the raw edge pairs UNION one (n, n) row per node of
+    # the graph's node universe — no closure at all. DISTINCT over
+    # UNION ALL spells out the set semantics explicitly (the chain is a
+    # DAG so only the zero-length arms can collide).
+    oracle=_NEXT_CHAIN_SQL
+    + """
+    , opt AS (
+      SELECT DISTINCT s, o FROM (
+        SELECT s, o FROM e
+        UNION ALL
+        SELECT s AS s, s AS o FROM e
+        UNION ALL
+        SELECT o AS s, o AS o FROM e
+      )
+    )
+    SELECT s AS x, CAST(count(*) AS BIGINT) AS n, max(o) AS max_y
+    FROM opt GROUP BY s
+    """,
+)
+def kg_sparql_path_opt(spark, sf_dir):
+    """Zero-or-one property path: ``?x <next>? ?y`` == the single-step
+    pairs plus the zero-length node-universe pairs, with NO transitive
+    closure (an interior chain order pairs with itself and its direct
+    successor only: n = 2). Completes the modifier trio registered on
+    the driver gate (kg_sparql_path_plus / _star / _opt)."""
+    from deepex_spark.operators.sparql import bgp
+
+    return bgp(
+        _next_chain_edges(spark, sf_dir),
+        "SELECT ?x (COUNT(*) AS ?n) (MAX(?y) AS ?max_y) WHERE { ?x <next>? ?y . }",
+        cols=("src", "rel", "dst"),
+    )
+
+
+@register(
+    "kg_sparql_negprop",
+    # negated property set == NOT IN over the predicate column, pushed
+    # to the scan; the plain selective pattern leads the left-deep join
+    oracle=_O21_BASE
+    + """
+    SELECT e1.src AS s, CAST(count(*) AS BIGINT) AS n_pairs,
+           max(e2.dst) AS max_other
+    FROM edges e1 JOIN edges e2 ON e1.src = e2.src
+    WHERE e1.is_rev = 0 AND e1.rel = '5-LOW'
+      AND e2.is_rev = 0 AND e2.rel NOT IN ('1-URGENT', '5-LOW')
+    GROUP BY e1.src
+    """,
+)
+def kg_sparql_negprop(spark, sf_dir):
+    """Negated property set: ``?s !(<1-URGENT>|<5-LOW>) ?other`` matches
+    every edge whose predicate is NOT a member — compiled to one
+    scan-pushed Not(In) filter, never a union of per-member scans. The
+    conjunction with a plain ``<5-LOW>`` pattern pins the join order: a
+    negated predicate keeps almost the whole table, so it must not count
+    as a selective constant (Pattern.n_constants discounts it)."""
+    from deepex_spark.operators.sparql import bgp
+
+    edges = o21_reverse_union(spark, sf_dir).filter(F.col("is_rev") == 0)
+    return bgp(
+        edges,
+        """
+        SELECT ?s (COUNT(*) AS ?n_pairs) (MAX(?other) AS ?max_other)
+        WHERE {
+          ?s <5-LOW> ?low .
+          ?s !(<1-URGENT>|<5-LOW>) ?other .
+        }
+        """,
+        cols=("src", "rel", "dst"),
+    )
+
+
+@register(
     "kg_sparql_values",
     # VALUES == an IN-list restriction: per-predicate counts over just
     # the three inline-bound priorities

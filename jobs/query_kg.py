@@ -15,8 +15,9 @@ serves snapshot-versioned tables at their published version, so a
 concurrent ``maintain_kg`` merge never tears a half-written table under
 this job). The full documented fragment applies — BGP joins, FILTER
 (comparisons + STRSTARTS/STRENDS/CONTAINS/REGEX), OPTIONAL, UNION,
-EXISTS/NOT EXISTS/MINUS, property paths with per-step alternation and transitive +/*/?
-modifiers (exact doubling-fixpoint closure), VALUES,
+EXISTS/NOT EXISTS/MINUS, property paths with per-step alternation, transitive +/*/?
+modifiers (exact doubling-fixpoint closure) and negated property sets
+!(<a>|<b>) (one scan-pushed Not-In), VALUES,
 aggregates, ORDER BY/LIMIT, plus the CONSTRUCT (derived edge-shaped
 graph, writable straight back through maintain_kg) and ASK (one-row
 boolean) query forms (``operators/sparql.py``) — compiled to DataFrame

@@ -43,7 +43,8 @@ def _closure_candidates(edges, pat):
     if pat.pred_mod is None:
         return edges
     members = pat.pred if isinstance(pat.pred, tuple) else (pat.pred,)
-    base = {(s, o) for s, p, o in edges if p in members}
+    # a negated set's base edge set is the complement membership
+    base = {(s, o) for s, p, o in edges if (p in members) != pat.pred_neg}
     pairs = set()
     if pat.pred_mod in ("+", "*"):
         adj = {}
@@ -85,8 +86,8 @@ def naive_bgp(edges, query):
                 if is_var:
                     if binding.setdefault(term, val) != val:
                         ok = False
-                elif isinstance(term, tuple):  # predicate alternation
-                    if val not in term:
+                elif isinstance(term, tuple):  # alternation / negated set
+                    if (val in term) == (pos == 1 and pat.pred_neg):
                         ok = False
                 else:
                     if val != term:
@@ -709,6 +710,91 @@ def test_alternation_rejections():
         parse_bgp("SELECT ?a WHERE { ?a () ?b . }")
 
 
+def test_negated_set_single(spark):
+    """!<knows> matches every edge whose predicate is anything BUT
+    knows — one scan, one Not filter."""
+    df = _edges_df(spark)
+    out = bgp(df, "SELECT ?s ?o WHERE { ?s !<knows> ?o . }")
+    exp = sorted((s, str(o)) for s, p, o in EDGES if p != "knows")
+    assert sorted(map(tuple, out.collect())) == exp
+
+
+def test_negated_set_group(spark):
+    df = _edges_df(spark)
+    out = bgp(df, "SELECT ?s ?o WHERE { ?s !(<knows>|<age>) ?o . }")
+    exp = sorted((s, str(o)) for s, p, o in EDGES if p not in ("knows", "age"))
+    assert sorted(map(tuple, out.collect())) == exp
+
+
+def test_negated_set_inverse(spark):
+    """^!(...) walks the complement edge set backwards — inversion still
+    just swaps the pattern's endpoints."""
+    df = _edges_df(spark)
+    out = bgp(df, "SELECT ?s ?o WHERE { ?s ^!(<knows>|<age>) ?o . }")
+    exp = sorted((str(o), s) for s, p, o in EDGES if p not in ("knows", "age"))
+    assert sorted(map(tuple, out.collect())) == exp
+
+
+def test_negated_set_in_path_step(spark):
+    """A negated set as one step of a sequence path: !(knows|age) here
+    equals born_in|in_country, and only born_in reaches a city that has
+    an in_country edge."""
+    df = _edges_df(spark)
+    out = bgp(df, "SELECT ?p ?c WHERE { ?p !(<knows>|<age>)/<in_country> ?c . }")
+    assert sorted(map(tuple, out.collect())) == [
+        ("alice", "france"), ("bob", "france"),
+        ("carol", "france"), ("dave", "germany"),
+    ]
+
+
+def test_negated_set_closure(spark):
+    """A modifier composes with negation: !(born_in|in_country|age)+ is
+    the transitive closure of the knows edges — the 3-cycle closes to
+    all 9 ordered pairs plus eve's self-loop."""
+    df = _edges_df(spark)
+    out = bgp(
+        df, "SELECT ?s ?o WHERE { ?s !(<born_in>|<in_country>|<age>)+ ?o . }"
+    )
+    people = ["alice", "bob", "carol"]
+    exp = sorted([(a, b) for a in people for b in people] + [("eve", "eve")])
+    assert sorted(map(tuple, out.collect())) == exp
+
+
+def test_negated_set_pushes_not_filter_to_scan(spark, tmp_path):
+    """The negated set must reach the parquet scan as ONE Not filter —
+    one pruned pass, never a union or a post-scan Python filter."""
+    p = str(tmp_path / "edges_neg")
+    _edges_df(spark).write.parquet(p)
+    out = bgp(
+        spark.read.parquet(p),
+        "SELECT ?a ?b WHERE { ?a !(<knows>|<age>) ?b . }",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "Not(" in plan
+    assert "Union" not in plan
+
+
+def test_negated_set_orders_after_selective_patterns():
+    """Join ordering: a negated predicate keeps almost the whole table,
+    so it must not count as a constant — the selective plain pattern
+    leads the left-deep tree."""
+    q = parse_bgp("SELECT ?a ?b WHERE { ?a !<knows> ?b . }")
+    assert q.patterns[0].n_constants() == 0
+    q2 = parse_bgp("SELECT ?a ?b WHERE { ?a <knows> ?b . }")
+    assert q2.patterns[0].n_constants() == 1
+
+
+def test_negated_set_rejections():
+    with pytest.raises(ValueError, match="bad triple pattern"):
+        # negated set of INVERSE members is outside the subset
+        parse_bgp("SELECT ?a WHERE { ?a !^<knows> ?b . }")
+    with pytest.raises(ValueError, match="bad triple pattern"):
+        # a variable cannot be negated
+        parse_bgp("SELECT ?a WHERE { ?a !?p ?b . }")
+    with pytest.raises(ValueError, match="bad triple pattern"):
+        parse_bgp("SELECT ?a WHERE { ?a !() ?b . }")
+
+
 def test_path_reserved_prefix_and_bad_path():
     with pytest.raises(ValueError, match="reserved"):
         parse_bgp("SELECT ?__path1 WHERE { ?__path1 <r> ?b . }")
@@ -1318,8 +1404,8 @@ def _naive_match(edges, patterns, filters, seed_binding=None):
                 if is_var:
                     if binding.setdefault(term, val) != val:
                         ok = False
-                elif isinstance(term, tuple):
-                    if val not in term:
+                elif isinstance(term, tuple):  # alternation / negated set
+                    if (val in term) == (pos == 1 and pat.pred_neg):
                         ok = False
                 elif val != term:
                     ok = False
@@ -1459,7 +1545,12 @@ def test_randomized_differential_vs_enumerator(spark):
             for _ in range(rng.randint(8, 18))
         })
         mod = rng.choice(["", "", "", "+", "*"])  # random dense KGs cycle
-        parts = [f"?a <{rng.choice(rels)}>{mod} ?b ."]
+        pred = rng.choice(
+            [f"<{rng.choice(rels)}>", f"<{rng.choice(rels)}>",
+             f"!<{rng.choice(rels)}>",
+             f"!({'|'.join('<%s>' % r for r in rng.sample(rels, 2))})"]
+        )
+        parts = [f"?a {pred}{mod} ?b ."]
         if rng.random() < 0.7:
             parts.append(f"?b <{rng.choice(rels)}> ?c .")
         extra = rng.choice(["opt", "exists", "minus", "values", "filter", ""])
