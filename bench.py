@@ -108,6 +108,8 @@ GRAPH = [
     "kg_sparql_groupconcat",
     "kg_sparql_path",
     "kg_sparql_path_plus",
+    "kg_sparql_negprop",
+    "kg_sparql_subquery",
 ]
 
 # vector-index layer — `--ann`, own metric name; snapshot in BENCH/ANN.md.

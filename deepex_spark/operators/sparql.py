@@ -38,6 +38,12 @@ Grammar (the documented subset, parsed by :func:`parse_bgp`)::
         ...                          #   as a step of a /-path (the
         ...                          #   inverse-member form !^<a> is
         ...                          #   outside the subset)
+        { SELECT ... WHERE { ... } [GROUP BY/HAVING/ORDER/LIMIT] }
+        ...                          # subquery: solved bottom-up as a
+        ...                          #   full query, inner-joined to the
+        ...                          #   outer solution on its shared
+        ...                          #   projected variables (must share
+        ...                          #   >= 1 var; not inside UNION)
         FILTER(?x != ?y) FILTER(?x < 42) ...
         FILTER(STRSTARTS(?x, "pre")) FILTER(STRENDS(?x, "suf"))
         FILTER(CONTAINS(?x, "mid")) FILTER(REGEX(?x, "pat")) ...
@@ -110,6 +116,16 @@ Compilation (:func:`bgp`), and why it scales:
   (``bound()``/``COALESCE`` three-valued logic is outside the subset);
 * SELECT DISTINCT maps to a post-join ``dropDuplicates`` on the
   projection (one extra exchange only when requested);
+* a subquery ``{ SELECT ... }`` is solved BOTTOM-UP (SPARQL 1.1 §12) as
+  a full query of its own — aggregates, DISTINCT, ORDER BY/LIMIT
+  included — and inner-joined to the outer solution on its shared
+  projected variables (>= 1 shared var enforced at parse; a
+  var-disjoint subquery would be a cartesian). An aggregated subquery
+  is group-compact, so AQE picks a broadcast join when it is small —
+  the per-group-stat-joined-back-to-rows shape (degree filters, top-k
+  group restriction) costs one aggregation exchange plus one usually
+  broadcast join. Outer filters over subquery vars apply right after
+  the join; subqueries inside UNION bodies are outside the subset;
 * aggregate SELECT items turn the query into one ``groupBy`` on the
   plain SELECT variables (SPARQL's implicit grouping for this subset) —
   map-side combinable, so the aggregation adds at most one exchange.
@@ -384,6 +400,7 @@ class BGPQuery:
     order_by: list = field(default_factory=list)  # (var, descending)
     limit: int | None = None
     offset: int | None = None  # requires order_by
+    subqueries: list = field(default_factory=list)  # nested BGPQuery
 
 
 _TERM = r"""(\?[A-Za-z_][A-Za-z0-9_]*|<[^>]*>|"[^"]*"|-?\d+(?:\.\d+)?)"""
@@ -708,6 +725,39 @@ def _parse_tail(tail: str):
     return order, limit, offset, group_by, havings
 
 
+_SUBQ_OPEN_RE = re.compile(r"\{\s*SELECT\b", re.IGNORECASE)
+
+
+def _extract_subqueries(body: str):
+    """Pull every top-level ``{ SELECT ... }`` group out of a WHERE body
+    (balanced-brace scan — a subquery's own WHERE braces nest freely,
+    and a subquery inside a subquery resolves by recursion) and blank
+    its span. Returns ``(residual body, [BGPQuery, ...])``."""
+    subs = []
+    while True:
+        m = _SUBQ_OPEN_RE.search(body)
+        if not m:
+            return body, subs
+        depth = 0
+        for j in range(m.start(), len(body)):
+            if body[j] == "{":
+                depth += 1
+            elif body[j] == "}":
+                depth -= 1
+                if depth == 0:
+                    subs.append(parse_bgp(body[m.start() + 1 : j]))
+                    body = body[: m.start()] + " " + body[j + 1 :]
+                    break
+        else:
+            raise ValueError("unbalanced braces in subquery")
+
+
+def _subq_out_vars(q: BGPQuery) -> list:
+    """A subquery's projected columns — its visible vars in the outer
+    scope (SELECT * is already resolved to concrete names at parse)."""
+    return list(q.select) + [a.alias for a in q.aggregates]
+
+
 def parse_bgp(query: str) -> BGPQuery:
     m = re.search(
         r"SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE\s*\{(.*)\}([^{}]*)$",
@@ -719,11 +769,15 @@ def parse_bgp(query: str) -> BGPQuery:
     distinct = bool(m.group(1))
     sel_raw, body = m.group(2).strip(), m.group(3)
     order_by, limit, offset, group_by, havings = _parse_tail(m.group(4))
+    body, subqueries = _extract_subqueries(body)
+    if subqueries and re.search(r"\bUNION\b", body, re.IGNORECASE):
+        raise ValueError("subqueries cannot be combined with UNION")
     import itertools
 
     fresh = itertools.count()  # query-global anonymous path-var counter
     unions = []
     optionals = []
+    subq_vars = set()  # filled in the non-union branch below
     if _UNION_SEP_RE.search(body):
         # whole-body union: { branch } UNION { branch } [UNION ...] —
         # nothing may sit outside the braces, and a branch is a plain
@@ -817,11 +871,26 @@ def parse_bgp(query: str) -> BGPQuery:
         body = _BIND_RE.sub(" ", body)
         patterns, filters = _parse_group(body, fresh)
         if not patterns:
-            raise ValueError("empty graph pattern")
+            raise ValueError(
+                "a subquery needs at least one sibling triple pattern"
+                if subqueries
+                else "empty graph pattern"
+            )
         required = set().union(*[p.variables() for p in patterns])
         bound = required | set().union(
             set(), *[g.variables() for g in optionals]
         )
+        # subquery outputs: never-null in the outer scope (inner join on
+        # the shared projected vars), so they bind like pattern vars —
+        # but the join must be keyed, hence the shared-variable check
+        for sq in subqueries:
+            ov = set(_subq_out_vars(sq))
+            if not (ov & required):
+                raise ValueError(
+                    "subquery shares no variable with the required pattern"
+                )
+            subq_vars |= ov
+        bound |= subq_vars
         # BIND validation, in source order: each expression may use only
         # required vars and EARLIER bind vars (never optional NULLs); the
         # bound name must be fresh everywhere — a collision with any
@@ -831,7 +900,7 @@ def parse_bgp(query: str) -> BGPQuery:
             taken |= g.variables()
         for vc in values:
             taken |= set(vc.variables)
-        allowed = set(required)
+        allowed = set(required) | subq_vars  # subqueries join before binds
         for b in binds:
             if b.var in taken or b.var in allowed - required:
                 raise ValueError(f"BIND variable already in use: ?{b.var}")
@@ -906,7 +975,7 @@ def parse_bgp(query: str) -> BGPQuery:
         # SPARQL's bound()/COALESCE semantics are out of the subset;
         # BIND-computed vars are fine (such filters apply after the bind
         # columns are attached)
-        if not f.variables() <= required | {b.var for b in binds}:
+        if not f.variables() <= required | subq_vars | {b.var for b in binds}:
             raise ValueError(f"FILTER uses unbound variable: {f}")
     for g in optionals:
         if not (g.variables() & required):
@@ -953,6 +1022,7 @@ def parse_bgp(query: str) -> BGPQuery:
         order_by=order_by,
         limit=limit,
         offset=offset,
+        subqueries=subqueries,
     )
 
 
@@ -1148,12 +1218,26 @@ def bgp(
             )
             bound |= gb
     else:
-        # filters over BIND-computed vars cannot resolve inside the join
-        # tree — they apply right after the bind columns are attached
+        # filters over BIND-computed or subquery-projected vars cannot
+        # resolve inside the join tree — they apply right after those
+        # columns are attached
         bind_vars = {b.var for b in q.binds}
-        solve_filters = [f for f in q.filters if not (f.variables() & bind_vars)]
-        post_filters = [f for f in q.filters if f.variables() & bind_vars]
+        late_vars = bind_vars | set().union(
+            set(), *[set(_subq_out_vars(s)) for s in q.subqueries]
+        )
+        solve_filters = [f for f in q.filters if not (f.variables() & late_vars)]
+        post_filters = [f for f in q.filters if f.variables() & late_vars]
         acc, bound = _solve(edges, q.patterns, solve_filters, cols, allow_product, closure_rounds)
+        for sq in q.subqueries:
+            # bottom-up (SPARQL 1.1 §12): the subquery solves as a full
+            # query of its own — aggregates, DISTINCT, ORDER/LIMIT
+            # included — then inner-joins the outer solution on the
+            # shared projected variables. An aggregated subquery is
+            # group-compact, so AQE picks a broadcast join when small.
+            sdf = bgp(edges, sq, cols, allow_product, closure_rounds)
+            keys = sorted(set(_subq_out_vars(sq)) & bound)
+            acc = acc.join(sdf, on=keys, how="inner")
+            bound |= set(_subq_out_vars(sq))
         for b in q.binds:
             # one JVM Column per BIND — a pure projection, zero exchanges,
             # stays inside whole-stage codegen

@@ -1632,6 +1632,43 @@ def kg_sparql_negprop(spark, sf_dir):
 
 
 @register(
+    "kg_sparql_subquery",
+    # subquery == derived table joined back on the shared variable; the
+    # outer FILTER over its aggregate applies after the join
+    oracle=_O21_BASE
+    + """
+    SELECT e1.src AS s, e1.dst AS o, sub.n
+    FROM edges e1
+    JOIN (SELECT src, CAST(count(*) AS BIGINT) AS n FROM edges
+          WHERE is_rev = 0 AND rel <> '1-URGENT' GROUP BY src) sub
+      ON sub.src = e1.src
+    WHERE e1.is_rev = 0 AND e1.rel = '1-URGENT' AND sub.n >= 3
+    """,
+)
+def kg_sparql_subquery(spark, sf_dir):
+    """SPARQL 1.1 subquery, solved bottom-up: the inner SELECT counts
+    each subject's non-urgent edges (itself a negated-property-set
+    scan), inner-joins the outer urgent-edge pattern on ?s, and the
+    outer FILTER restricts on the subquery aggregate. One aggregation
+    exchange + one (AQE-broadcastable, group-compact) join — the
+    per-group-stat-joined-back-to-rows shape."""
+    from deepex_spark.operators.sparql import bgp
+
+    edges = o21_reverse_union(spark, sf_dir).filter(F.col("is_rev") == 0)
+    return bgp(
+        edges,
+        """
+        SELECT ?s ?o ?n WHERE {
+          ?s <1-URGENT> ?o .
+          { SELECT ?s (COUNT(*) AS ?n) WHERE { ?s !<1-URGENT> ?x . } }
+          FILTER(?n >= 3)
+        }
+        """,
+        cols=("src", "rel", "dst"),
+    )
+
+
+@register(
     "kg_sparql_values",
     # VALUES == an IN-list restriction: per-predicate counts over just
     # the three inline-bound priorities

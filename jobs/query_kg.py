@@ -17,7 +17,8 @@ this job). The full documented fragment applies — BGP joins, FILTER
 (comparisons + STRSTARTS/STRENDS/CONTAINS/REGEX), OPTIONAL, UNION,
 EXISTS/NOT EXISTS/MINUS, property paths with per-step alternation, transitive +/*/?
 modifiers (exact doubling-fixpoint closure) and negated property sets
-!(<a>|<b>) (one scan-pushed Not-In), VALUES,
+!(<a>|<b>) (one scan-pushed Not-In), subqueries ({ SELECT ... } solved
+bottom-up, joined on shared projected vars), VALUES,
 aggregates, ORDER BY/LIMIT, plus the CONSTRUCT (derived edge-shaped
 graph, writable straight back through maintain_kg) and ASK (one-row
 boolean) query forms (``operators/sparql.py``) — compiled to DataFrame

@@ -795,6 +795,136 @@ def test_negated_set_rejections():
         parse_bgp("SELECT ?a WHERE { ?a !() ?b . }")
 
 
+def test_subquery_group_stat_join(spark):
+    """The canonical subquery shape: a per-group aggregate joined back
+    to the rows — every born_in edge annotated with its city's resident
+    count."""
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        """
+        SELECT ?p ?city ?n WHERE {
+          ?p <born_in> ?city .
+          { SELECT ?city (COUNT(*) AS ?n) WHERE { ?q <born_in> ?city . } }
+        }
+        """,
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        ("alice", "paris", 2), ("bob", "paris", 2),
+        ("carol", "lyon", 1), ("dave", "berlin", 1),
+    ]
+
+
+def test_subquery_filter_on_aggregate(spark):
+    """An outer FILTER over the subquery's aggregate applies after the
+    join — people born in a city with >= 2 residents."""
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        """
+        SELECT ?p WHERE {
+          ?p <born_in> ?city .
+          { SELECT ?city (COUNT(*) AS ?n) WHERE { ?q <born_in> ?city . } }
+          FILTER(?n >= 2)
+        }
+        """,
+    )
+    assert sorted(r["p"] for r in out.collect()) == ["alice", "bob"]
+
+
+def test_subquery_topk_restricts_outer(spark):
+    """A subquery's own ORDER BY + LIMIT is honored BEFORE the join —
+    the top-1 city by resident count keeps only its residents."""
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        """
+        SELECT ?p ?city WHERE {
+          ?p <born_in> ?city .
+          { SELECT ?city (COUNT(*) AS ?n) WHERE { ?q <born_in> ?city . }
+            ORDER BY DESC(?n) ?city LIMIT 1 }
+        }
+        """,
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        ("alice", "paris"), ("bob", "paris"),
+    ]
+
+
+def test_subquery_output_feeds_outer_aggregate(spark):
+    """Outer implicit grouping may aggregate OVER a subquery column —
+    the count of (edge, group-stat) rows and the max group size."""
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        """
+        SELECT (COUNT(*) AS ?rows) (MAX(?n) AS ?biggest) WHERE {
+          ?p <born_in> ?city .
+          { SELECT ?city (COUNT(*) AS ?n) WHERE { ?q <born_in> ?city . } }
+        }
+        """,
+    )
+    assert [tuple(r) for r in out.collect()] == [(4, 2)]
+
+
+def test_subquery_nested_two_levels(spark):
+    """A subquery inside a subquery resolves by recursion: innermost
+    counts residents per city, the middle level keeps french cities
+    with >= 2 residents, the outer query returns their residents."""
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        """
+        SELECT ?p ?city ?n WHERE {
+          ?p <born_in> ?city .
+          { SELECT ?city ?n WHERE {
+              ?city <in_country> "france" .
+              { SELECT ?city (COUNT(*) AS ?n) WHERE { ?q <born_in> ?city . } }
+              FILTER(?n >= 2)
+            } }
+        }
+        """,
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        ("alice", "paris", 2), ("bob", "paris", 2),
+    ]
+
+
+def test_subquery_distinct_projection(spark):
+    """SELECT DISTINCT inside the subquery dedups before the join."""
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        """
+        SELECT ?p ?f WHERE {
+          ?p <knows> ?f .
+          { SELECT DISTINCT ?f WHERE { ?f <born_in> ?c . } }
+        }
+        """,
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        ("alice", "bob"), ("bob", "carol"), ("carol", "alice"),
+    ]
+
+
+def test_subquery_rejections():
+    with pytest.raises(ValueError, match="sibling triple pattern"):
+        parse_bgp(
+            "SELECT ?n WHERE { { SELECT ?c (COUNT(*) AS ?n)"
+            " WHERE { ?c <has> ?x . } } }"
+        )
+    with pytest.raises(ValueError, match="shares no variable"):
+        parse_bgp(
+            "SELECT ?z WHERE { ?z <w> ?v . { SELECT ?c (COUNT(*) AS ?n)"
+            " WHERE { ?c <has> ?x . } } }"
+        )
+    with pytest.raises(ValueError, match="combined with UNION"):
+        parse_bgp(
+            "SELECT ?c WHERE { { ?c <has> ?o . } UNION"
+            " { { SELECT ?c (COUNT(*) AS ?n) WHERE { ?c <has> ?x . } } } }"
+        )
+
+
 def test_path_reserved_prefix_and_bad_path():
     with pytest.raises(ValueError, match="reserved"):
         parse_bgp("SELECT ?__path1 WHERE { ?__path1 <r> ?b . }")
