@@ -10,7 +10,9 @@ DataFrame equi-joins so Catalyst/AQE owns the physical plan.
 Grammar (the documented subset, parsed by :func:`parse_bgp`)::
 
     SELECT [DISTINCT] ?v1 ?v2 ... | * | (COUNT(*|?v) AS ?n) | (MIN/
-           MAX/SUM/AVG(?v) AS ?x) | (COUNT(DISTINCT ?v) AS ?n)
+           MAX/SUM/AVG/SAMPLE(?v) AS ?x) | (COUNT(DISTINCT ?v) AS ?n)
+           -- SAMPLE picks the MIN member (SPARQL leaves the pick
+           -- arbitrary; a distributed engine must be deterministic)
            | (GROUP_CONCAT([DISTINCT] ?v [; SEPARATOR="|"]) AS ?s) ...
            -- GROUP_CONCAT joins values SORTED (deterministic; SPARQL
            -- leaves the order undefined, a distributed engine must not)
@@ -471,7 +473,7 @@ _ORDER_KEY_RE = re.compile(
     re.IGNORECASE,
 )
 _AGG_RE = re.compile(
-    r"\(\s*(COUNT|MIN|MAX|SUM|AVG)\s*\(\s*(DISTINCT\s+)?"
+    r"\(\s*(COUNT|MIN|MAX|SUM|AVG|SAMPLE)\s*\(\s*(DISTINCT\s+)?"
     r"(\*|\?[A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+(\?[A-Za-z_][A-Za-z0-9_]*)\s*\)",
     re.IGNORECASE,
 )
@@ -1063,6 +1065,10 @@ def _agg_expr(func: str, var: str | None, sep: str = " "):
         "max": F.max(col) if col is not None else None,
         "sum": F.sum(col) if col is not None else None,
         "avg": F.avg(col) if col is not None else None,
+        # SPARQL leaves SAMPLE's pick arbitrary; a distributed engine
+        # must not be nondeterministic, so SAMPLE == the min member —
+        # reproducible across partitionings AND oracle-checkable
+        "sample": F.min(col) if col is not None else None,
     }[func]
 
 

@@ -1669,6 +1669,33 @@ def kg_sparql_subquery(spark, sf_dir):
 
 
 @register(
+    "kg_sparql_sample",
+    # SAMPLE pinned to min — the deterministic member pick
+    oracle=_O21_BASE
+    + """
+    SELECT rel AS p, min(dst) AS sample_obj,
+           CAST(count(*) AS BIGINT) AS n
+    FROM edges WHERE is_rev = 0 GROUP BY rel
+    """,
+)
+def kg_sparql_sample(spark, sf_dir):
+    """SAMPLE aggregate: SPARQL leaves the member pick arbitrary, which
+    on a distributed engine means nondeterministic — this engine pins
+    SAMPLE == MIN (reproducible across partitionings, oracle-checkable).
+    Rides the same single map-side-combinable exchange as its sibling
+    aggregates."""
+    from deepex_spark.operators.sparql import bgp
+
+    edges = o21_reverse_union(spark, sf_dir).filter(F.col("is_rev") == 0)
+    return bgp(
+        edges,
+        "SELECT ?p (SAMPLE(?o) AS ?sample_obj) (COUNT(*) AS ?n)"
+        " WHERE { ?s ?p ?o . }",
+        cols=("src", "rel", "dst"),
+    )
+
+
+@register(
     "kg_sparql_values",
     # VALUES == an IN-list restriction: per-predicate counts over just
     # the three inline-bound priorities

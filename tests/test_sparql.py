@@ -907,6 +907,28 @@ def test_subquery_distinct_projection(spark):
     ]
 
 
+def test_sample_aggregate_deterministic_min(spark):
+    """SAMPLE == the min member: reproducible across partitionings
+    (SPARQL allows any member; nondeterminism is not an option on a
+    distributed engine)."""
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        "SELECT ?city (SAMPLE(?p) AS ?resident) (COUNT(*) AS ?n)"
+        " WHERE { ?p <born_in> ?city . }",
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        ("berlin", "dave", 1), ("lyon", "carol", 1), ("paris", "alice", 2),
+    ]
+
+
+def test_sample_rejections():
+    with pytest.raises(ValueError, match=r"SAMPLE\(\*\) is not supported"):
+        parse_bgp("SELECT (SAMPLE(*) AS ?x) WHERE { ?a <knows> ?b . }")
+    with pytest.raises(ValueError, match="DISTINCT is only supported"):
+        parse_bgp("SELECT (SAMPLE(DISTINCT ?b) AS ?x) WHERE { ?a <knows> ?b . }")
+
+
 def test_subquery_rejections():
     with pytest.raises(ValueError, match="sibling triple pattern"):
         parse_bgp(
