@@ -1601,14 +1601,50 @@ def _naive_bind_val(expr, binding):
     raise NotImplementedError(f"enumerator bind: {expr}")
 
 
+def _naive_subquery_rows(edges, sq):
+    """Rows (tuples in sq.select order) of one aggregate-free subquery,
+    evaluated by the same enumerator machinery, recursively."""
+    inner = naive_full(edges, sq)
+    return sorted(inner) if isinstance(inner, set) else inner
+
+
 def naive_full(edges, query):
-    """Full-fragment reference evaluator (no aggregates/paths)."""
-    q = parse_bgp(query)
+    """Full-fragment reference evaluator (no aggregates; paths via the
+    BFS closure; aggregate-free subqueries by recursion). Accepts a
+    query string or an already-parsed BGPQuery (subquery recursion)."""
+    q = parse_bgp(query) if isinstance(query, str) else query
     bind_vars = {b.var for b in q.binds}
+    subq_vars = set()
+    for sq in q.subqueries:
+        if sq.aggregates:
+            raise NotImplementedError("enumerator subqueries are aggregate-free")
+        subq_vars |= set(sq.select)
     sols = _naive_match(
         edges, q.patterns,
-        [f for f in q.filters if not (f.variables() & bind_vars)],
+        [f for f in q.filters
+         if not (f.variables() & (bind_vars | subq_vars))],
     )
+    for sq in q.subqueries:
+        # recursive bottom-up solve (the subquery is itself a full
+        # query), then a nested-loop join on the shared projected vars —
+        # bag semantics: a duplicate subquery row multiplies, exactly
+        # like the engine's inner join; DISTINCT dedups before the join
+        sub_rows = _naive_subquery_rows(edges, sq)
+        nxt = []
+        for b in sols:
+            for srow in sub_rows:
+                merged = dict(b)
+                ok = True
+                for v, val in zip(sq.select, srow):
+                    if merged.setdefault(v, val) != val:
+                        ok = False
+                        break
+                if ok:
+                    nxt.append(merged)
+        sols = nxt
+    for f in [f for f in q.filters
+              if f.variables() & subq_vars and not (f.variables() & bind_vars)]:
+        sols = [s for s in sols if _naive_filter(f, s)]
     for vc in q.values:
         sols = [b for b in sols
                 if tuple(b[v] for v in vc.variables) in set(map(tuple, vc.rows))]
@@ -1667,6 +1703,17 @@ FULL_QUERIES = [
     "SELECT ?a WHERE { ?a <knows> ?b ."
     " FILTER EXISTS { ?a <age> ?g . }"
     " FILTER NOT EXISTS { ?a <born_in> <lyon> . } }",
+    # aggregate-free DISTINCT subquery as a semi-restriction
+    "SELECT ?a ?city WHERE { ?a <born_in> ?city ."
+    " { SELECT DISTINCT ?a WHERE { ?a <knows> ?x . } } }",
+    # subquery binding a NEW var + outer filter over it
+    'SELECT ?p ?f ?c WHERE { ?p <knows> ?f .'
+    ' { SELECT ?f ?c WHERE { ?f <born_in> ?c . } }'
+    ' FILTER(STRSTARTS(?c, "p")) }',
+    # subquery + OPTIONAL composition
+    "SELECT ?p ?c ?fr WHERE { ?p <born_in> ?c ."
+    " { SELECT DISTINCT ?p WHERE { ?p <age> ?g . } }"
+    " OPTIONAL { ?p <knows> ?fr . } }",
 ]
 
 
@@ -1705,7 +1752,7 @@ def test_randomized_differential_vs_enumerator(spark):
         parts = [f"?a {pred}{mod} ?b ."]
         if rng.random() < 0.7:
             parts.append(f"?b <{rng.choice(rels)}> ?c .")
-        extra = rng.choice(["opt", "exists", "minus", "values", "filter", ""])
+        extra = rng.choice(["opt", "exists", "minus", "values", "filter", "subq", ""])
         if extra == "opt":
             parts.append(f"OPTIONAL {{ ?a <{rng.choice(rels)}> ?d . }}")
         elif extra == "exists":
@@ -1716,6 +1763,14 @@ def test_randomized_differential_vs_enumerator(spark):
             parts.append("VALUES ?a { <n0> <n1> <n2> }")
         elif extra == "filter":
             parts.append("FILTER(?a != ?b)")
+        elif extra == "subq":
+            parts.append(
+                "{ SELECT DISTINCT ?a WHERE { ?a <%s> ?z . } }"
+                % rng.choice(rels)
+                if rng.random() < 0.5
+                else "{ SELECT ?a ?w WHERE { ?a <%s> ?w . } }"
+                % rng.choice(rels)
+            )
         sel = "SELECT * " if rng.random() < 0.5 else "SELECT DISTINCT ?a ?b "
         query = sel + "WHERE { " + " ".join(parts) + " }"
         df = spark.createDataFrame(edges, "src string, rel string, dst string")
