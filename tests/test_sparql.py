@@ -929,6 +929,26 @@ def test_sample_rejections():
         parse_bgp("SELECT (SAMPLE(DISTINCT ?b) AS ?x) WHERE { ?a <knows> ?b . }")
 
 
+def test_subquery_aggregate_stays_below_join(spark):
+    """Scale shape: the subquery's aggregation runs on ITS side of the
+    join (group-compact build side), never re-derived above the
+    join-back — one Aggregate node, below the one Join, in the
+    optimized logical plan (stable node names, no AQE rewriting)."""
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        """
+        SELECT ?p ?city ?n WHERE {
+          ?p <born_in> ?city .
+          { SELECT ?city (COUNT(*) AS ?n) WHERE { ?q <born_in> ?city . } }
+        }
+        """,
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == 1, plan
+    assert "Join" in plan and plan.index("Join") < plan.index("Aggregate"), plan
+
+
 def test_subquery_rejections():
     with pytest.raises(ValueError, match="sibling triple pattern"):
         parse_bgp(
