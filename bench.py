@@ -108,8 +108,11 @@ GRAPH = [
     "kg_sparql_groupconcat",
     "kg_sparql_path",
     "kg_sparql_path_plus",
+    "kg_sparql_path_star",
+    "kg_sparql_path_opt",
     "kg_sparql_negprop",
     "kg_sparql_subquery",
+    "kg_sparql_sample",
 ]
 
 # vector-index layer — `--ann`, own metric name; snapshot in BENCH/ANN.md.
