@@ -731,27 +731,65 @@ _SUBQ_OPEN_RE = re.compile(r"\{\s*SELECT\b", re.IGNORECASE)
 
 
 def _extract_subqueries(body: str):
-    """Pull every top-level ``{ SELECT ... }`` group out of a WHERE body
-    (balanced-brace scan — a subquery's own WHERE braces nest freely,
-    and a subquery inside a subquery resolves by recursion) and blank
-    its span. Returns ``(residual body, [BGPQuery, ...])``."""
+    """Pull every DEPTH-0 ``{ SELECT ... }`` group out of a WHERE body
+    and blank its span; returns ``(residual body, [BGPQuery, ...])``.
+    The scan tracks brace depth and skips quoted literals, so a
+    subquery's own WHERE braces (and a nested subquery, which resolves
+    by recursion) nest freely and a ``{``/``}`` inside a FILTER string
+    cannot shift the span. A ``{ SELECT`` encountered INSIDE another
+    group (OPTIONAL / UNION / EXISTS / MINUS) is refused loudly —
+    hoisting it to a top-level join would silently change that group's
+    semantics (drop OPTIONAL rows, invert a NOT EXISTS)."""
+
+    def _skip_literal(s: str, i: int) -> int:
+        j = s.find('"', i + 1)
+        if j < 0:
+            raise ValueError("unterminated string literal")
+        return j + 1
+
     subs = []
-    while True:
-        m = _SUBQ_OPEN_RE.search(body)
-        if not m:
-            return body, subs
-        depth = 0
-        for j in range(m.start(), len(body)):
-            if body[j] == "{":
-                depth += 1
-            elif body[j] == "}":
-                depth -= 1
-                if depth == 0:
-                    subs.append(parse_bgp(body[m.start() + 1 : j]))
-                    body = body[: m.start()] + " " + body[j + 1 :]
-                    break
-        else:
-            raise ValueError("unbalanced braces in subquery")
+    out = []
+    depth = 0
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch == '"':
+            j = _skip_literal(body, i)
+            out.append(body[i:j])
+            i = j
+            continue
+        if ch == "{":
+            if _SUBQ_OPEN_RE.match(body, i):
+                if depth != 0:
+                    raise ValueError(
+                        "subqueries are only supported at the top level of "
+                        "WHERE (not inside OPTIONAL/UNION/EXISTS/MINUS groups)"
+                    )
+                d, j = 0, i
+                while j < n:
+                    cj = body[j]
+                    if cj == '"':
+                        j = _skip_literal(body, j)
+                        continue
+                    if cj == "{":
+                        d += 1
+                    elif cj == "}":
+                        d -= 1
+                        if d == 0:
+                            break
+                    j += 1
+                if j >= n:
+                    raise ValueError("unbalanced braces in subquery")
+                subs.append(parse_bgp(body[i + 1 : j]))
+                out.append(" ")
+                i = j + 1
+                continue
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+        out.append(ch)
+        i += 1
+    return "".join(out), subs
 
 
 def _subq_out_vars(q: BGPQuery) -> list:
@@ -772,7 +810,13 @@ def parse_bgp(query: str) -> BGPQuery:
     sel_raw, body = m.group(2).strip(), m.group(3)
     order_by, limit, offset, group_by, havings = _parse_tail(m.group(4))
     body, subqueries = _extract_subqueries(body)
-    if subqueries and re.search(r"\bUNION\b", body, re.IGNORECASE):
+    if subqueries and re.search(
+        # structural UNION token only: scrub IRIs and string literals
+        # first so <http://ex/UNION/x> or "UNION" cannot false-positive
+        r"\bUNION\b",
+        re.sub(r'<[^>]*>|"[^"]*"', " ", body),
+        re.IGNORECASE,
+    ):
         raise ValueError("subqueries cannot be combined with UNION")
     import itertools
 

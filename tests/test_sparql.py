@@ -68,49 +68,14 @@ def _closure_candidates(edges, pat):
 
 def naive_bgp(edges, query):
     """Independent evaluator: enumerate every assignment of edges to
-    patterns, keep consistent bindings, apply filters, project."""
+    patterns, keep consistent bindings, apply filters, project. The
+    binding/consistency loop is _naive_match's (one copy — a pattern
+    feature added there covers both reference evaluators)."""
     q = parse_bgp(query)
-    results = []
-    for combo in itertools.product(
-        *[_closure_candidates(edges, pat) for pat in q.patterns]
-    ):
-        binding = {}
-        ok = True
-        for (s, p, o), pat in zip(combo, q.patterns):
-            for pos, (val, (term, is_var)) in enumerate(zip(
-                (s, p, o),
-                ((pat.subj, pat.subj_var), (pat.pred, pat.pred_var), (pat.obj, pat.obj_var)),
-            )):
-                if pos == 1 and pat.pred_mod is not None:
-                    continue  # predicate consumed by the closure
-                if is_var:
-                    if binding.setdefault(term, val) != val:
-                        ok = False
-                elif isinstance(term, tuple):  # alternation / negated set
-                    if (val in term) == (pos == 1 and pat.pred_neg):
-                        ok = False
-                else:
-                    if val != term:
-                        ok = False
-            if not ok:
-                break
-        if not ok:
-            continue
-        for f in q.filters:
-            lhs = binding[f.left]
-            rhs = binding[f.right] if f.right_var else f.right
-            if not {
-                "=": lhs == rhs, "!=": lhs != rhs, "<": lhs < rhs,
-                "<=": lhs <= rhs, ">": lhs > rhs, ">=": lhs >= rhs,
-                "strstarts": str(lhs).startswith(str(rhs)),
-                "strends": str(lhs).endswith(str(rhs)),
-                "contains": str(rhs) in str(lhs),
-                "regex": bool(re.search(str(rhs), str(lhs))),
-            }[f.op]:
-                ok = False
-                break
-        if ok:
-            results.append(tuple(binding[v] for v in q.select))
+    results = [
+        tuple(b[v] for v in q.select)
+        for b in _naive_match(edges, q.patterns, q.filters)
+    ]
     return set(results) if q.distinct else sorted(results)
 
 
@@ -949,6 +914,55 @@ def test_subquery_aggregate_stays_below_join(spark):
     assert "Join" in plan and plan.index("Join") < plan.index("Aggregate"), plan
 
 
+def test_subquery_inside_group_refused():
+    """A { SELECT } written inside OPTIONAL/MINUS/EXISTS must not be
+    hoisted to a top-level inner join (that would drop OPTIONAL rows or
+    invert a NOT EXISTS) — refused loudly instead."""
+    for wrapper in (
+        "OPTIONAL { ?p <knows> ?f . %s }",
+        "FILTER NOT EXISTS { ?p <knows> ?f . %s }",
+        "FILTER EXISTS { ?p <knows> ?f . %s }",
+        "MINUS { ?p <knows> ?f . %s }",
+    ):
+        group = wrapper % "{ SELECT DISTINCT ?p WHERE { ?p <age> ?g . } }"
+        with pytest.raises(ValueError, match="top level of"):
+            parse_bgp("SELECT ?p WHERE { ?p <born_in> ?c . " + group + " }")
+
+
+def test_subquery_union_guard_is_structural():
+    """The UNION guard must not false-positive on the token inside an
+    IRI or a string literal."""
+    q = parse_bgp(
+        "SELECT ?s ?n WHERE { ?s <http://ex/UNION/member> ?o ."
+        " { SELECT ?s (COUNT(*) AS ?n) WHERE { ?s <p> ?x . } } }"
+    )
+    assert len(q.subqueries) == 1 and q.patterns[0].pred == "http://ex/UNION/member"
+
+
+def test_subquery_literal_braces_do_not_shift_span(spark):
+    """Braces inside a quoted FILTER literal must not close the
+    subquery span early."""
+    df = _edges_df(spark)
+    out = bgp(
+        df,
+        """
+        SELECT ?p ?c WHERE {
+          ?p <born_in> ?c .
+          { SELECT DISTINCT ?c WHERE { ?x <born_in> ?c .
+            FILTER(CONTAINS(?c, "par")) FILTER(STRSTARTS(?c, "{x")) } }
+        }
+        """,
+    )
+    # the literal "{x" matches nothing — empty result, but it PARSES
+    assert out.collect() == []
+    q = parse_bgp(
+        'SELECT ?p WHERE { ?p <born_in> ?c .'
+        ' { SELECT DISTINCT ?p WHERE { ?p <born_in> ?z .'
+        ' FILTER(CONTAINS(?z, "}y")) } } }'
+    )
+    assert len(q.subqueries) == 1
+
+
 def test_subquery_rejections():
     with pytest.raises(ValueError, match="sibling triple pattern"):
         parse_bgp(
@@ -960,10 +974,18 @@ def test_subquery_rejections():
             "SELECT ?z WHERE { ?z <w> ?v . { SELECT ?c (COUNT(*) AS ?n)"
             " WHERE { ?c <has> ?x . } } }"
         )
-    with pytest.raises(ValueError, match="combined with UNION"):
+    with pytest.raises(ValueError, match="top level of"):
+        # inside a UNION branch == inside a group: depth guard fires
         parse_bgp(
             "SELECT ?c WHERE { { ?c <has> ?o . } UNION"
             " { { SELECT ?c (COUNT(*) AS ?n) WHERE { ?c <has> ?x . } } } }"
+        )
+    with pytest.raises(ValueError, match="combined with UNION"):
+        # top-level subquery NEXT TO a union body: structural guard
+        parse_bgp(
+            "SELECT ?c WHERE {"
+            " { SELECT DISTINCT ?c WHERE { ?c <has> ?x . } }"
+            " { ?c <has> ?o . } UNION { ?c <got> ?o . } }"
         )
 
 
