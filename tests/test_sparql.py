@@ -914,6 +914,26 @@ def test_subquery_aggregate_stays_below_join(spark):
     assert "Join" in plan and plan.index("Join") < plan.index("Aggregate"), plan
 
 
+def test_subquery_composes_with_path_closure(spark):
+    """Feature composition: a + closure INSIDE a subquery aggregate —
+    each chain node annotated with the furthest node it reaches."""
+    rows = [(f"v{i}", "next", f"v{i + 1}") for i in range(4)]
+    df = spark.createDataFrame(rows, "src string, rel string, dst string")
+    out = bgp(
+        df,
+        """
+        SELECT ?x ?y ?top WHERE {
+          ?x <next> ?y .
+          { SELECT ?x (MAX(?z) AS ?top) WHERE { ?x <next>+ ?z . } }
+        }
+        """,
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        ("v0", "v1", "v4"), ("v1", "v2", "v4"),
+        ("v2", "v3", "v4"), ("v3", "v4", "v4"),
+    ]
+
+
 def test_subquery_inside_group_refused():
     """A { SELECT } written inside OPTIONAL/MINUS/EXISTS must not be
     hoisted to a top-level inner join (that would drop OPTIONAL rows or
