@@ -214,6 +214,104 @@ def inverse_rules(
     )
 
 
+def chain_rules(
+    edges: DataFrame,
+    min_support: int = 1,
+    max_mid_fanout: int | None = None,
+) -> DataFrame:
+    """AMIE-style chain (composition) rule mining: for every relation
+    triple (rel_a, rel_b, head_rel), the support and confidence of the
+    horn rule ``rel_a(x,z) ∧ rel_b(z,y) ⇒ head_rel(x,y)`` — the
+    length-2 path rules that drive KG completion (AMIE, Galárraga et
+    al., WWW'13; the length-1 inverse/symmetry case is
+    :func:`inverse_rules`).
+
+    Semantics (all counts over DISTINCT sets, so repeated evidence and
+    parallel mid-vertices can't inflate anything):
+
+    * body pair: a distinct (x, y) with ∃z: rel_a(x,z) ∧ rel_b(z,y) and
+      y ≠ x (pure backtracks/self-pairs excluded, mirroring
+      ``kg_relpath2``'s path definition — a rule instance that returns
+      to its own subject is noise, not inference).
+    * ``support``   = |{(x,y) body pairs with head_rel(x,y)}|
+    * ``confidence``= support / ``n_body``  (standard/CWA confidence)
+    * ``pca_confidence`` = support / |{(x,y) body pairs where x has ANY
+      head_rel edge}| — AMIE's partial-completeness assumption: a body
+      pair only counts against the rule if the KG knows SOMETHING about
+      (x, head_rel), so incomplete KGs don't drown true rules.
+
+    ``max_mid_fanout`` caps the path explosion on hub mid-vertices: a
+    vertex z contributes in_deg(z)·out_deg(z) raw paths, so z with
+    ``in_deg·out_deg > max_mid_fanout`` are excluded from the body —
+    the same disclosed-cutoff pattern as the hot-shingle doc-frequency
+    cap in n-gram dedup (any SQL oracle must encode the identical
+    cutoff). At crawl scale a 'links-to' hub would otherwise emit
+    degree² rows; rules through such hubs are statistically worthless
+    anyway (everything connects through them).
+
+    Scale: the body join keys on the shared mid-VERTEX — an entity id,
+    never a predicate — so predicate skew cannot hot-spot a partition
+    (same argument as :func:`inverse_rules`), and the hub cap bounds
+    the per-key output; the support and PCA joins key on the full
+    entity pair / the subject; every rollup is a map-side-combinable
+    count over ≤ |rels|³ groups; the final denominators join is tiny.
+    """
+    facts = edges.select("src", "dst", "rel").distinct()
+    a = facts.select(
+        F.col("src").alias("x"), F.col("dst").alias("z"), F.col("rel").alias("rel_a")
+    )
+    b = facts.select(
+        F.col("src").alias("z"), F.col("dst").alias("y"), F.col("rel").alias("rel_b")
+    )
+    if max_mid_fanout is not None:
+        ind = facts.groupBy(F.col("dst").alias("z")).agg(F.count("*").alias("n_in"))
+        outd = facts.groupBy(F.col("src").alias("z")).agg(F.count("*").alias("n_out"))
+        keep = (
+            ind.join(outd, "z")
+            .where(F.col("n_in") * F.col("n_out") <= max_mid_fanout)
+            .select("z")
+        )
+        a = a.join(keep, "z")
+    body = (
+        a.join(b, "z")
+        .where(F.col("y") != F.col("x"))
+        .select("x", "y", "rel_a", "rel_b")
+        .distinct()
+    )
+    n_body = body.groupBy("rel_a", "rel_b").agg(F.count("*").alias("n_body"))
+    heads = facts.select(
+        F.col("src").alias("x"), F.col("dst").alias("y"), F.col("rel").alias("head_rel")
+    )
+    support = (
+        body.join(heads, ["x", "y"])
+        .groupBy("rel_a", "rel_b", "head_rel")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    pca = (
+        body.join(heads.select("x", "head_rel").distinct(), "x")
+        .groupBy("rel_a", "rel_b", "head_rel")
+        .agg(F.count("*").alias("n_pca"))
+    )
+    return (
+        support.join(pca, ["rel_a", "rel_b", "head_rel"])
+        .join(F.broadcast(n_body), ["rel_a", "rel_b"])
+        .select(
+            "rel_a",
+            "rel_b",
+            "head_rel",
+            "n_body",
+            "support",
+            F.round(F.col("support").cast("double") / F.col("n_body"), 6).alias(
+                "confidence"
+            ),
+            F.round(F.col("support").cast("double") / F.col("n_pca"), 6).alias(
+                "pca_confidence"
+            ),
+        )
+    )
+
+
 def link_prediction_eval(
     test: DataFrame,
     candidates: DataFrame,

@@ -6535,6 +6535,148 @@ def kg_inverse_rules(spark, sf_dir):
     return inverse_rules(edges, min_support=1)
 
 
+_CHAIN_KG_SQL = """
+      SELECT DISTINCT src, dst, rel FROM (
+        SELECT o_custkey AS src, o_orderkey AS dst, 'placed' AS rel
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'ordered_by' FROM orders
+        UNION ALL
+        SELECT l_orderkey, l_partkey, 'contains' FROM lineitem
+        UNION ALL
+        SELECT l_partkey, l_orderkey, 'returned_part' FROM lineitem
+        WHERE l_returnflag = 'R'
+        UNION ALL
+        SELECT o_custkey, l_partkey, 'bought'
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT o_custkey, l_partkey, 'returned'
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+      ) t
+"""
+
+
+def _chain_kg(spark, sf_dir):
+    """Six-predicate KG over orders+lineitem for composition-rule mining:
+    'bought' IS placed∘contains by construction (the exact rule the miner
+    must recover at confidence 1.0) and 'returned' is its R-flag subset
+    (a partial rule whose PCA confidence exceeds its CWA confidence)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    bought = orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    return (
+        orders.select(
+            F.col("o_custkey").alias("src"),
+            F.col("o_orderkey").alias("dst"),
+            F.lit("placed").alias("rel"),
+        )
+        .unionByName(
+            orders.select(
+                F.col("o_orderkey").alias("src"),
+                F.col("o_custkey").alias("dst"),
+                F.lit("ordered_by").alias("rel"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.col("l_orderkey").alias("src"),
+                F.col("l_partkey").alias("dst"),
+                F.lit("contains").alias("rel"),
+            )
+        )
+        .unionByName(
+            li.where(F.col("l_returnflag") == "R").select(
+                F.col("l_partkey").alias("src"),
+                F.col("l_orderkey").alias("dst"),
+                F.lit("returned_part").alias("rel"),
+            )
+        )
+        .unionByName(
+            bought.select(
+                F.col("o_custkey").alias("src"),
+                F.col("l_partkey").alias("dst"),
+                F.lit("bought").alias("rel"),
+            )
+        )
+        .unionByName(
+            bought.where(F.col("l_returnflag") == "R").select(
+                F.col("o_custkey").alias("src"),
+                F.col("l_partkey").alias("dst"),
+                F.lit("returned").alias("rel"),
+            )
+        )
+    )
+
+
+@register(
+    "kg_chain_rules",
+    # independent naive oracle: materialize the distinct body-pair set
+    # and count; the disclosed hub cutoff (in_deg·out_deg <= 500 on the
+    # mid-vertex) is encoded here exactly as the engine applies it —
+    # same pattern as the hot-shingle doc-frequency cap in n-gram dedup
+    oracle="""
+    WITH facts AS MATERIALIZED ("""
+    + _CHAIN_KG_SQL
+    + """),
+    mid AS (
+      SELECT i.z FROM
+        (SELECT dst AS z, count(*) AS n_in FROM facts GROUP BY dst) i
+        JOIN (SELECT src AS z, count(*) AS n_out FROM facts GROUP BY src) o
+          ON o.z = i.z
+      WHERE i.n_in * o.n_out <= 500
+    ),
+    body AS MATERIALIZED (
+      SELECT DISTINCT a.src AS x, b.dst AS y,
+             a.rel AS rel_a, b.rel AS rel_b
+      FROM facts a
+      JOIN mid ON a.dst = mid.z
+      JOIN facts b ON b.src = a.dst
+      WHERE b.dst <> a.src
+    ),
+    nb AS (
+      SELECT rel_a, rel_b, CAST(count(*) AS BIGINT) AS n_body
+      FROM body GROUP BY 1, 2
+    ),
+    sup AS (
+      SELECT body.rel_a, body.rel_b, h.rel AS head_rel,
+             CAST(count(*) AS BIGINT) AS support
+      FROM body JOIN facts h ON h.src = body.x AND h.dst = body.y
+      GROUP BY 1, 2, 3 HAVING count(*) >= 5
+    ),
+    pca AS (
+      SELECT body.rel_a, body.rel_b, hx.rel AS head_rel,
+             CAST(count(*) AS BIGINT) AS n_pca
+      FROM body
+      JOIN (SELECT DISTINCT src, rel FROM facts) hx ON hx.src = body.x
+      GROUP BY 1, 2, 3
+    )
+    SELECT s.rel_a, s.rel_b, s.head_rel, nb.n_body, s.support,
+           round(CAST(s.support AS DOUBLE) / nb.n_body, 6) AS confidence,
+           round(CAST(s.support AS DOUBLE) / p.n_pca, 6) AS pca_confidence
+    FROM sup s
+    JOIN pca p ON p.rel_a = s.rel_a AND p.rel_b = s.rel_b
+             AND p.head_rel = s.head_rel
+    JOIN nb ON nb.rel_a = s.rel_a AND nb.rel_b = s.rel_b
+    """,
+)
+def kg_chain_rules(spark, sf_dir):
+    """AMIE-style chain-rule mining (operators/kgq.py::chain_rules):
+    mine ``rel_a(x,z) ∧ rel_b(z,y) ⇒ head_rel(x,y)`` rules with
+    support, standard (CWA) confidence and PCA confidence over the
+    six-predicate orders/lineitem KG. The miner must recover
+    ``placed ∘ contains ⇒ bought`` at confidence 1.0 (bought IS that
+    composition by construction), surface ``placed ∘ contains ⇒
+    returned`` as a partial rule whose PCA confidence strictly exceeds
+    its CWA confidence (the PCA denominator drops body pairs whose
+    customer never returned anything), and apply the disclosed
+    hub-fanout cutoff (mid-vertex in·out ≤ 500) identically to the
+    naive path-materializing oracle."""
+    from deepex_spark.operators.kgq import chain_rules
+
+    return chain_rules(_chain_kg(spark, sf_dir), min_support=5, max_mid_fanout=500)
+
+
 def _lp_emb(prefix: str):
     """Deterministic hash-embedding factory (moved to
     operators/kgq.py::hash_embedding; kept as the local name every

@@ -518,3 +518,61 @@ def test_training_lifts_designed_toy(spark):
     h1_tr, mrr_tr = metrics(e2)
     assert h1_init == 0.0 and mrr_init == 0.333333
     assert h1_tr == 0.666667 and mrr_tr == 0.833333
+
+
+def test_chain_rules_semantics(spark):
+    """Chain-rule mining pins: distinct-pair support (parallel mids count
+    once), CWA vs PCA confidence divergence, backtrack exclusion, and the
+    hub-fanout cutoff."""
+    from deepex_spark.operators.kgq import chain_rules
+
+    edges = spark.createDataFrame(
+        [
+            # placed ∘ contains ⇒ bought holds exactly; (c1,p1) is
+            # reachable through BOTH o1 and o2 — one body pair, not two
+            ("c1", "o1", "placed"),
+            ("c1", "o2", "placed"),
+            ("c2", "o3", "placed"),
+            ("o1", "p1", "contains"),
+            ("o1", "p2", "contains"),
+            ("o2", "p1", "contains"),
+            ("o3", "p2", "contains"),
+            ("c1", "p1", "bought"),
+            ("c1", "p2", "bought"),
+            ("c2", "p2", "bought"),
+            ("c1", "p1", "returned"),
+            # pure backtrack: knows(a,b) ∧ knows(b,a) returns to a
+            ("a", "b", "knows"),
+            ("b", "a", "knows"),
+            # hub mid-vertex: in_deg 2 × out_deg 2 = fanout 4
+            ("s1", "h", "in1"),
+            ("s2", "h", "in1"),
+            ("h", "t1", "out1"),
+            ("h", "t2", "out1"),
+            ("s1", "t1", "lh"),
+        ],
+        ["src", "dst", "rel"],
+    )
+    rows = {
+        (r["rel_a"], r["rel_b"], r["head_rel"]): r
+        for r in chain_rules(edges, min_support=1).collect()
+    }
+    exact = rows[("placed", "contains", "bought")]
+    assert exact["n_body"] == 3 and exact["support"] == 3
+    assert exact["confidence"] == 1.0 and exact["pca_confidence"] == 1.0
+    part = rows[("placed", "contains", "returned")]
+    # CWA: 1 of 3 body pairs returned; PCA: only c1's 2 pairs count
+    assert part["support"] == 1 and part["n_body"] == 3
+    assert part["confidence"] == 0.333333
+    assert part["pca_confidence"] == 0.5
+    # backtrack (y == x) pairs are not body pairs
+    assert not any(k[0] == "knows" and k[1] == "knows" for k in rows)
+    # uncapped: the hub rule is mined ...
+    assert rows[("in1", "out1", "lh")]["support"] == 1
+    # ... the fanout cap excludes the hub mid but keeps order mids
+    capped = {
+        (r["rel_a"], r["rel_b"], r["head_rel"])
+        for r in chain_rules(edges, min_support=1, max_mid_fanout=3).collect()
+    }
+    assert ("in1", "out1", "lh") not in capped
+    assert ("placed", "contains", "bought") in capped
