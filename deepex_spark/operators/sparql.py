@@ -28,6 +28,13 @@ Grammar (the documented subset, parsed by :func:`parse_bgp`)::
         term ^(<a>|<b>)? term .      #   ? (zero or one) — compiled to a
         ...                          #   path-doubling closure of that
         ...                          #   predicate's edge set
+        term (<a>/<b>)+ term .       # modifier on a sequence GROUP
+        term ^(<a>/!<b>)* term .     #   (one nesting level): the
+        ...                          #   closure base is the COMPOSITION
+        ...                          #   of the substeps' edge sets;
+        ...                          #   ^(a/b) == ^b/^a; a group with
+        ...                          #   no modifier is plain sequence
+        ...                          #   sugar and flattens at parse
         term (<a>|<b>) term .        # predicate alternation: a step (or
         ...                          #   the whole predicate) may be a
         ...                          #   |-group of constant IRIs; also
@@ -257,6 +264,12 @@ class Pattern:
     # scan-pushed Not(In). Anti-selective by construction, so it never
     # counts toward n_constants and sorts late in the join order.
     pred_neg: bool = False
+    # sequence GROUP under a modifier — ``(<a>/<b>)+`` — as a tuple of
+    # (inverted, negated, iri-or-member-tuple) substeps; the closure
+    # base is the COMPOSITION of the substeps' edge sets (pred holds the
+    # same tuple, pred_mod the group's modifier). None for everything
+    # else (a modifier-less group flattens at parse time).
+    pred_seq: tuple | None = None
 
     def variables(self) -> set:
         out = set()
@@ -412,8 +425,18 @@ _PATTERN_RE = re.compile(rf"{_TERM}\s+{_TERM}\s+{_TERM}")
 # fresh __path{n} vars are reserved for desugaring
 _ANON_PREFIX = "__path"
 _ALT_GROUP = r"\(\s*<[^>]*>(?:\s*\|\s*<[^>]*>)*\s*\)"
-_PATH_STEP_RE = re.compile(rf"(\^?)(!?)(<[^>]*>|{_ALT_GROUP})([+*?]?)")
-_PATH_STEP = rf"\^?!?(?:<[^>]*>|{_ALT_GROUP})[+*?]?"
+# a sequence GROUP: (step/step/...) of plain steps (each optionally
+# ^-inverted, !-negated, IRI or |-alternation — no nested modifiers),
+# itself optionally ^-inverted and carrying a +/*/? modifier: the
+# one-level path-nesting SPARQL 1.1 composition ``(<a>/<b>)+``. Needs
+# >= 2 /-separated members, so it never collides with _ALT_GROUP.
+_SIMPLE_STEP = rf"\^?!?(?:<[^>]*>|{_ALT_GROUP})"
+_SEQ_GROUP = rf"\(\s*{_SIMPLE_STEP}(?:\s*/\s*{_SIMPLE_STEP})+\s*\)"
+_PATH_STEP_RE = re.compile(
+    rf"(\^?)(?:(!?)(<[^>]*>|{_ALT_GROUP})|({_SEQ_GROUP}))([+*?]?)"
+)
+_SIMPLE_STEP_RE = re.compile(rf"(\^?)(!?)(<[^>]*>|{_ALT_GROUP})")
+_PATH_STEP = rf"\^?(?:!?(?:<[^>]*>|{_ALT_GROUP})|{_SEQ_GROUP})[+*?]?"
 _PATTERN_PATH_RE = re.compile(
     rf"{_TERM}\s+({_PATH_STEP}(?:\s*/\s*{_PATH_STEP})*)\s+{_TERM}"
 )
@@ -588,21 +611,58 @@ def _parse_group(body: str, fresh=None):
         # by fresh anonymous variables; ^ swaps subject/object per step
         s, sv = _term(pp.group(1))
         o, ov = _term(pp.group(3))
-        steps = _PATH_STEP_RE.findall(pp.group(2))
-        cur, cur_var = s, sv
-        for i, (inv, neg, step, mod) in enumerate(steps):
+
+        def _step_iri(neg: str, step: str):
             if step.startswith("("):
                 # alternation group -> the step's predicate constant is
                 # the member tuple (deduped, declaration order); a
                 # single-member group collapses to a plain constant
                 members = tuple(dict.fromkeys(_IRI_RE.findall(step)))
-                iri = members if (neg or len(members) > 1) else members[0]
-            else:
-                iri = (step[1:-1],) if neg else step[1:-1]
+                return members if (neg or len(members) > 1) else members[0]
             # a NEGATED set always keeps the member tuple (even a single
             # member) so the compiler has one shape to Not(In) against
-            last = i == len(steps) - 1
+            return (step[1:-1],) if neg else step[1:-1]
+
+        # normalize the step list into units: ('simple', inv, neg, iri,
+        # mod) | ('seq', substeps, mod). A sequence GROUP ^-inverts by
+        # reversing its members and flipping each member's ^ (SPARQL:
+        # ^(a/b) == ^b/^a, and ^(p+) == (^p)+); a MODIFIER-less group
+        # flattens into its members inline (plain sequence sugar).
+        units = []
+        for sm in _PATH_STEP_RE.finditer(pp.group(2)):
+            inv, neg, step, seq, mod = sm.groups()
+            if seq:
+                subs = [
+                    (bool(i2), bool(n2), _step_iri(n2, s2))
+                    for i2, n2, s2 in _SIMPLE_STEP_RE.findall(seq[1:-1])
+                ]
+                if inv:
+                    subs = [(not i2, n2, u) for i2, n2, u in reversed(subs)]
+                if not mod:
+                    units.extend(
+                        ("simple", i2, n2, u, "") for i2, n2, u in subs
+                    )
+                else:
+                    units.append(("seq", tuple(subs), mod))
+            else:
+                units.append(
+                    ("simple", bool(inv), bool(neg), _step_iri(neg, step), mod)
+                )
+
+        cur, cur_var = s, sv
+        for i, unit in enumerate(units):
+            last = i == len(units) - 1
             nxt, nxt_var = (o, ov) if last else (f"{_ANON_PREFIX}{next(fresh)}", True)
+            if unit[0] == "seq":
+                _, subs, mod = unit
+                patterns.append(
+                    Pattern(subj=cur, pred=subs, obj=nxt,
+                            subj_var=cur_var, pred_var=False, obj_var=nxt_var,
+                            pred_mod=mod, pred_seq=subs)
+                )
+                cur, cur_var = nxt, nxt_var
+                continue
+            _, inv, neg, iri, mod = unit
             # ^p+ == (^p)+ == ^(p+) for a single-direction step set, so
             # inversion still just swaps the pattern's endpoints; the
             # same holds for ^!(...) — the negated set constrains the
@@ -1174,17 +1234,45 @@ def _closure_pairs(
     never occurs in the graph therefore does NOT zero-length-match
     itself (documented deviation from the letter of the spec)."""
     src, rel, dst = cols
-    if p.pred_neg:
-        # negated-set closure base: every edge whose predicate is NOT a
-        # member — still one scan-pushed Not(In) before the closure
-        base = edges.filter(~F.col(rel).isin(*p.pred))
-    elif isinstance(p.pred, tuple):
-        base = edges.filter(F.col(rel).isin(*p.pred))
+
+    def _member_base(neg: bool, iri) -> DataFrame:
+        if neg:
+            # negated-set closure base: every edge whose predicate is
+            # NOT a member — still one scan-pushed Not(In)
+            return edges.filter(~F.col(rel).isin(*iri))
+        if isinstance(iri, tuple):
+            return edges.filter(F.col(rel).isin(*iri))
+        return edges.filter(F.col(rel) == F.lit(iri))
+
+    if p.pred_seq is not None:
+        # sequence group (<a>/<b>)+: the closure base is the COMPOSITION
+        # of the substeps' (scan-filtered, ^-oriented) pair sets — one
+        # equi-join per substep, distinct'd so the closure stays a set
+        pairs = None
+        for inv, neg, iri in p.pred_seq:
+            a, b = (dst, src) if inv else (src, dst)
+            step = (
+                _member_base(neg, iri)
+                .select(F.col(a).alias("__ps"), F.col(b).alias("__po"))
+                .distinct()
+            )
+            if pairs is None:
+                pairs = step
+            else:
+                hop = step.select(
+                    F.col("__ps").alias("__m"), F.col("__po").alias("__po2")
+                )
+                pairs = (
+                    pairs.join(hop, pairs["__po"] == hop["__m"])
+                    .select("__ps", F.col("__po2").alias("__po"))
+                    .distinct()
+                )
     else:
-        base = edges.filter(F.col(rel) == F.lit(p.pred))
-    pairs = base.select(
-        F.col(src).alias("__ps"), F.col(dst).alias("__po")
-    ).distinct()
+        pairs = (
+            _member_base(p.pred_neg, p.pred)
+            .select(F.col(src).alias("__ps"), F.col(dst).alias("__po"))
+            .distinct()
+        )
     if p.pred_mod in ("+", "*"):
         pairs = _path_closure(pairs, rounds)
     if p.pred_mod in ("*", "?"):

@@ -1595,6 +1595,71 @@ def kg_sparql_path_opt(spark, sf_dir):
 
 
 @register(
+    "kg_sparql_path_seq",
+    # INDEPENDENT oracle: compose the two alternating relations into the
+    # skip-2 edge set, then a recursive-CTE closure over the COMPOSED
+    # set (depth-first recursion vs the engine's composed-base path
+    # doubling — different algorithm, same fixpoint)
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT o_orderkey AS s,
+             lead(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey) AS o,
+             (row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey)) % 2 AS odd
+      FROM orders
+    ),
+    ea AS (SELECT s, o FROM t WHERE o IS NOT NULL AND odd = 1),
+    eb AS (SELECT s, o FROM t WHERE o IS NOT NULL AND odd = 0),
+    e2 AS (SELECT DISTINCT ea.s, eb.o FROM ea JOIN eb ON eb.s = ea.o),
+    reach(s, o) AS (
+      SELECT s, o FROM e2
+      UNION
+      SELECT r.s, e2.o FROM reach r JOIN e2 ON e2.s = r.o
+    )
+    SELECT s AS x, CAST(count(*) AS BIGINT) AS n_reach, max(o) AS max_reach
+    FROM reach GROUP BY s
+    """,
+)
+def kg_sparql_path_seq(spark, sf_dir):
+    """Transitive closure of a sequence GROUP: ``?x (<nexta>/<nextb>)+
+    ?y`` over a per-customer chain whose edges ALTERNATE between the two
+    relations — the composition nexta∘nextb is the chain's skip-2 edge
+    set starting at odd positions, so the closure has real multi-hop
+    depth that neither relation's own closure contains. Compiled by
+    operators/sparql.py: the substeps' scan-filtered pair sets compose
+    by equi-join FIRST (one join per substep), then the standard
+    path-doubling fixpoint closes the composed set — never a closure
+    per member and never an edge-table closure."""
+    from deepex_spark.operators.sparql import bgp
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey")
+        .withColumn("nxt", F.lead("o_orderkey").over(w))
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.col("o_orderkey").alias("src"),
+            F.when(F.col("pos") % 2 == 1, F.lit("nexta"))
+            .otherwise(F.lit("nextb"))
+            .alias("rel"),
+            F.col("nxt").alias("dst"),
+        )
+    )
+    return bgp(
+        edges,
+        """
+        SELECT ?x (COUNT(*) AS ?n_reach) (MAX(?y) AS ?max_reach)
+        WHERE { ?x (<nexta>/<nextb>)+ ?y . }
+        """,
+        cols=("src", "rel", "dst"),
+    )
+
+
+@register(
     "kg_sparql_negprop",
     # negated property set == NOT IN over the predicate column, pushed
     # to the scan; the plain selective pattern leads the left-deep join

@@ -42,9 +42,28 @@ def _closure_candidates(edges, pat):
     so the generic binding loop skips that position."""
     if pat.pred_mod is None:
         return edges
-    members = pat.pred if isinstance(pat.pred, tuple) else (pat.pred,)
-    # a negated set's base edge set is the complement membership
-    base = {(s, o) for s, p, o in edges if (p in members) != pat.pred_neg}
+    if pat.pred_seq is not None:
+        # sequence group: compose the substeps' (oriented, possibly
+        # negated) pair sets by nested-loop join — independent of the
+        # engine's DataFrame composition
+        base = None
+        for inv, neg, iri in pat.pred_seq:
+            members = iri if isinstance(iri, tuple) else (iri,)
+            step = {
+                ((o, s) if inv else (s, o))
+                for s, p, o in edges
+                if (p in members) != neg
+            }
+            if base is None:
+                base = step
+            else:
+                base = {
+                    (s, o2) for s, m in base for m2, o2 in step if m2 == m
+                }
+    else:
+        members = pat.pred if isinstance(pat.pred, tuple) else (pat.pred,)
+        # a negated set's base edge set is the complement membership
+        base = {(s, o) for s, p, o in edges if (p in members) != pat.pred_neg}
     pairs = set()
     if pat.pred_mod in ("+", "*"):
         adj = {}
@@ -112,6 +131,19 @@ QUERIES = [
     "SELECT ?a ?c WHERE { ?a <knows>*/<born_in> ?c . }",
     "SELECT ?x WHERE { <alice> ^<knows>+ ?x . }",
     "SELECT DISTINCT ?x ?y WHERE { ?x (<knows>|<born_in>)+ ?y . }",
+    # sequence-GROUP modifiers (engine: composed pair set + doubling;
+    # enumerator: nested-loop composition + BFS)
+    "SELECT ?x ?y WHERE { ?x (<knows>/<knows>)+ ?y . }",
+    "SELECT DISTINCT ?x ?y WHERE { ?x (<knows>/<born_in>)+ ?y . }",
+    'SELECT ?x ?y WHERE { ?x (<knows>/<knows>)* ?y . FILTER(STRSTARTS(?x, "e")) }',
+    "SELECT ?x ?y WHERE { ?x ^(<knows>/<knows>)+ ?y . }",
+    "SELECT DISTINCT ?x ?y WHERE { ?x (<knows>/!<in_country>)+ ?y . }",
+    "SELECT ?x ?y WHERE { ?x (^<born_in>/<born_in>)? ?y . "
+    'FILTER(STRSTARTS(?y, "al")) }',
+    # a modifier-less group is plain sequence sugar
+    "SELECT ?a ?c WHERE { ?a (<knows>/<born_in>) ?c . }",
+    # seq-group closure joined with a plain pattern
+    "SELECT ?x ?c WHERE { ?x (<knows>/<knows>)+ ?b . ?b <born_in> ?c . }",
     # closure joined with a plain pattern through a shared variable
     "SELECT ?x ?c WHERE { ?x <knows>+ ?b . ?b <born_in> ?c . }",
 ]
@@ -1776,6 +1808,12 @@ FULL_QUERIES = [
     "SELECT ?p ?c ?fr WHERE { ?p <born_in> ?c ."
     " { SELECT DISTINCT ?p WHERE { ?p <age> ?g . } }"
     " OPTIONAL { ?p <knows> ?fr . } }",
+    # sequence-group closure composed with OPTIONAL
+    "SELECT ?a ?b ?c WHERE { ?a (<knows>/<knows>)+ ?b ."
+    " OPTIONAL { ?b <born_in> ?c . } }",
+    # sequence-group closure under NOT EXISTS
+    "SELECT DISTINCT ?a WHERE { ?a <knows> ?x ."
+    " FILTER NOT EXISTS { ?a (<knows>/<born_in>)+ <lyon> . } }",
 ]
 
 
