@@ -1849,6 +1849,14 @@ def test_randomized_differential_vs_enumerator(spark):
              f"!<{rng.choice(rels)}>",
              f"!({'|'.join('<%s>' % r for r in rng.sample(rels, 2))})"]
         )
+        if rng.random() < 0.25:
+            # sequence GROUP under a (always-present) modifier, members
+            # optionally inverted — the composed-base closure path
+            seq = "/".join(
+                f"{rng.choice(['', '^'])}<{rng.choice(rels)}>"
+                for _ in range(rng.randint(2, 3))
+            )
+            pred, mod = f"({seq})", rng.choice(["+", "*", "?"])
         parts = [f"?a {pred}{mod} ?b ."]
         if rng.random() < 0.7:
             parts.append(f"?b <{rng.choice(rels)}> ?c .")
