@@ -6742,6 +6742,60 @@ def kg_chain_rules(spark, sf_dir):
     return chain_rules(_chain_kg(spark, sf_dir), min_support=5, max_mid_fanout=500)
 
 
+@register(
+    "kg_rule_gaps",
+    # the INFERENCE DELTA of the partial rule placed∘contains ⇒ returned:
+    # distinct body pairs with NO head edge — exactly the rows a
+    # forward-chaining materialization of that rule would add. Naive
+    # path-materializing oracle; rolled up per customer so the
+    # registered output stays compact but sensitive to every gap pair
+    oracle="""
+    WITH facts AS MATERIALIZED ("""
+    + _CHAIN_KG_SQL
+    + """),
+    body AS (
+      SELECT DISTINCT a.src AS x, b.dst AS y
+      FROM facts a JOIN facts b ON b.src = a.dst
+      WHERE a.rel = 'placed' AND b.rel = 'contains' AND b.dst <> a.src
+    ),
+    gaps AS (
+      SELECT x, y FROM body
+      WHERE NOT EXISTS (
+        SELECT 1 FROM facts h
+        WHERE h.rel = 'returned' AND h.src = body.x AND h.dst = body.y
+      )
+    )
+    SELECT x AS custkey, CAST(count(*) AS BIGINT) AS n_missing,
+           max(y) AS max_part
+    FROM gaps GROUP BY x
+    """,
+)
+def kg_rule_gaps(spark, sf_dir):
+    """KB-completion gap analysis: the edges a mined rule would INFER —
+    distinct body pairs of ``placed(x,z) ∧ contains(z,y)`` with no
+    ``returned(x,y)`` head — computed as one anti-join of the deduped
+    body pair set against the head edge set (jobs/mine_rules.py's
+    materialization delta, hash-verified on the driver gate rather than
+    only pytest'd). Scale shape mirrors chain_rules: the body join keys
+    on the mid VERTEX, the anti-join on the full entity pair, the
+    rollup is map-side-combinable."""
+    facts = _chain_kg(spark, sf_dir)
+    a = facts.where(F.col("rel") == "placed").select(
+        F.col("src").alias("x"), F.col("dst").alias("z")
+    )
+    b = facts.where(F.col("rel") == "contains").select(
+        F.col("src").alias("z"), F.col("dst").alias("y")
+    )
+    body = a.join(b, "z").where(F.col("y") != F.col("x")).select("x", "y").distinct()
+    heads = facts.where(F.col("rel") == "returned").select(
+        F.col("src").alias("x"), F.col("dst").alias("y")
+    )
+    gaps = body.join(heads, ["x", "y"], "left_anti")
+    return gaps.groupBy(F.col("x").alias("custkey")).agg(
+        F.count("*").alias("n_missing"), F.max("y").alias("max_part")
+    )
+
+
 def _lp_emb(prefix: str):
     """Deterministic hash-embedding factory (moved to
     operators/kgq.py::hash_embedding; kept as the local name every
