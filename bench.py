@@ -113,6 +113,10 @@ GRAPH = [
     "kg_sparql_negprop",
     "kg_sparql_subquery",
     "kg_sparql_sample",
+    "kg_sparql_path_seq",
+    # KB-completion mining layer (sf-scaled, orders/lineitem-derived KG)
+    "kg_chain_rules",
+    "kg_rule_gaps",
 ]
 
 # vector-index layer — `--ann`, own metric name; snapshot in BENCH/ANN.md.
