@@ -54,11 +54,18 @@ def _compile(edges, query: str, cols: tuple, allow_product: bool = False):
 
 
 def run_query(spark, catalog, query: str, table: str = "edges",
-              cols: tuple = ("subj_id", "pred_canon", "obj_id")):
+              cols: tuple = ("subj_id", "pred_canon", "obj_id"),
+              at_version: int | None = None):
     """Resolve the edge snapshot and compile+run the query. Returns the
     result DataFrame (columns = the SELECT variables; edge columns for
-    CONSTRUCT; a single boolean ``ask`` for ASK)."""
-    edges = catalog.read(spark, table)
+    CONSTRUCT; a single boolean ``ask`` for ASK). ``at_version`` pins a
+    historical snapshot (the catalog's VERSION AS OF) — point-in-time
+    SPARQL, e.g. "what did this pattern answer BEFORE the kbc1 rule
+    batch fired"; the default reads the current published version."""
+    if at_version is not None:
+        edges = catalog.read_snapshot(spark, table, version=at_version)
+    else:
+        edges = catalog.read(spark, table)
     return _compile(edges, query, cols)
 
 
@@ -288,8 +295,15 @@ def main(argv=None):
                    help="append <col>_label (vertex canonical form) next "
                         "to every entity-id output column")
     p.add_argument("--vertices-table", default="vertices")
+    p.add_argument("--at-version", type=int, default=None,
+                   help="query a pinned snapshot version (VERSION AS OF) "
+                        "instead of the current one — point-in-time reads; "
+                        "incompatible with --materialize (historical "
+                        "versions are read-only)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
+    if args.at_version is not None and (args.materialize or args.rules_file):
+        p.error("--at-version is read-only (no --materialize/--rules-file)")
 
     cols = tuple(c.strip() for c in args.cols.split(","))
     if len(cols) != 3:
@@ -330,7 +344,11 @@ def main(argv=None):
         )
         print(f"published {args.edges_table} v{v}: {n} edges")
         return None
-    edges = catalog.read(spark, args.edges_table)
+    if args.at_version is not None:
+        edges = catalog.read_snapshot(spark, args.edges_table,
+                                      version=args.at_version)
+    else:
+        edges = catalog.read(spark, args.edges_table)
     out = _compile(edges, args.query, cols, args.allow_product)
     if args.resolve_labels:
         out = with_labels(spark, catalog, out, args.query, cols,

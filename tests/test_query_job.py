@@ -336,3 +336,37 @@ def test_main_rules_file(spark, tmp_path, capsys):
         main(["--catalog", str(tmp_path / "kg"), "--rules-file", str(rf)])
     with pytest.raises(SystemExit):
         main(["--catalog", str(tmp_path / "kg")])
+
+
+def test_at_version_point_in_time(spark, tmp_path, capsys):
+    """--at-version pins a historical snapshot: the rule-derived edge is
+    visible at the current version, absent at the pre-materialization
+    one, and the flag is refused for write paths."""
+    import pytest
+    from deepex_spark.plans.catalog import Catalog
+    from jobs.query_kg import main, materialize_construct, run_query
+
+    cat = _stat_edges_catalog(spark, tmp_path)
+    base_v = cat.version_of_run("edges", "base")
+    rule = ("CONSTRUCT { ?a <grandparent_of> ?c . } WHERE {"
+            " ?a <parent_of> ?b . ?b <parent_of> ?c . }")
+    materialize_construct(spark, cat, rule, run_id="rule1")
+
+    ask = "ASK { ?a <grandparent_of> ?c . }"
+    assert run_query(spark, cat, ask).collect()[0]["ask"] is True
+    assert run_query(
+        spark, cat, ask, at_version=base_v
+    ).collect()[0]["ask"] is False
+
+    main([
+        "--catalog", str(tmp_path / "kg"),
+        "--query", ask, "--at-version", str(base_v), "--show", "1",
+    ])
+    assert "False" in capsys.readouterr().out
+
+    with pytest.raises(SystemExit):
+        main([
+            "--catalog", str(tmp_path / "kg"),
+            "--query", rule, "--materialize", "r2",
+            "--at-version", str(base_v),
+        ])
