@@ -809,3 +809,122 @@ def dedup_paragraphs(
             F.coalesce("kept_paras", F.lit(0)).alias("kept_paras"),
         )
     )
+
+
+def dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-GLOBAL duplicate-substring span detection — the
+    suffix-array substring dedup of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), re-expressed at
+    token-window granularity so it distributes: a ``window``-token
+    sliding fingerprint replaces the suffix array, and any window whose
+    fingerprint occurs ≥ ``min_count`` times ANYWHERE in the corpus
+    (other docs or the same doc — both count, as in the paper) marks
+    its token range duplicated; overlapping/adjacent duplicated ranges
+    merge into maximal spans per doc.
+
+    Output one row per doc that contains at least one duplicated span:
+    ``(doc_id, n_tokens, n_dup_spans, n_dup_tokens, dup_ratio)`` —
+    the per-doc numbers a curation gate thresholds on (drop, or strip
+    the spans). Resolution is the window size: duplicated substrings
+    shorter than ``window`` tokens are invisible, and a maximal span's
+    boundary is window-quantized — the disclosed approximation that
+    makes the computation one shuffle instead of a suffix array.
+
+    Tokenization is the byte-literal single-space split the curation
+    oracles pin (``string_split(text, ' ')``); windows touching an
+    empty token are skipped but keep their positions (grams are built
+    JVM-side by :func:`token_ngrams` slice-zipping — no UDF).
+
+    Scale (100 TB): the window explode is ~one row per corpus TOKEN,
+    but each row is only (docid, pos, 16-byte md5) — the text itself
+    never ships. The occurrence count is a map-side-combined groupBy on
+    the fingerprint; the flag-back join is fingerprint-keyed against a
+    count-filtered (usually small) hot set, with AQE splitting any
+    mega-hot fingerprint. The span merge is row-local: one per-doc
+    sorted-positions fold (positions ≤ doc tokens), no window function
+    over the corpus.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = token_ngrams(toks, window)
+    wins = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.posexplode(grams).alias("pos", "g"),
+    ).where(F.col("g").isNotNull())
+    wins = wins.select(
+        id_col, "n_tokens", "pos", F.md5(F.col("g")).alias("fp")
+    )
+    hot = (
+        wins.groupBy("fp")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("fp")
+    )
+    flagged = wins.join(hot, "fp").select(id_col, "n_tokens", "pos")
+    per_doc = flagged.groupBy(id_col, "n_tokens").agg(
+        F.sort_array(F.collect_list("pos")).alias("ps")
+    )
+    w = F.lit(window).cast("long")
+    # fold the sorted positions into maximal spans: a position within
+    # `window` of the previous one extends the current span (adjacent
+    # windows touch exactly at prev+window), anything further starts a
+    # new one; dup-token total adds prev + window - start at each close
+    init = F.struct(
+        F.lit(0).cast("long").alias("n_spans"),
+        F.lit(0).cast("long").alias("start"),
+        F.lit(0).cast("long").alias("prev"),
+        F.lit(0).cast("long").alias("toks"),
+    )
+    fold = F.aggregate(
+        F.col("ps"),
+        init,
+        lambda acc, p: F.when(
+            acc["n_spans"] == 0,
+            F.struct(
+                F.lit(1).cast("long").alias("n_spans"),
+                p.cast("long").alias("start"),
+                p.cast("long").alias("prev"),
+                F.lit(0).cast("long").alias("toks"),
+            ),
+        )
+        .when(
+            p.cast("long") - acc["prev"] <= w,
+            F.struct(
+                acc["n_spans"].alias("n_spans"),
+                acc["start"].alias("start"),
+                p.cast("long").alias("prev"),
+                acc["toks"].alias("toks"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                (acc["n_spans"] + 1).alias("n_spans"),
+                p.cast("long").alias("start"),
+                p.cast("long").alias("prev"),
+                (acc["toks"] + acc["prev"] + w - acc["start"]).alias("toks"),
+            )
+        ),
+        lambda acc: F.struct(
+            acc["n_spans"].alias("n_spans"),
+            (acc["toks"] + acc["prev"] + w - acc["start"]).alias("toks"),
+        ),
+    )
+    return per_doc.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        fold.alias("_f"),
+    ).select(
+        id_col,
+        "n_tokens",
+        F.col("_f.n_spans").alias("n_dup_spans"),
+        F.col("_f.toks").alias("n_dup_tokens"),
+        F.round(F.col("_f.toks").cast("double") / F.col("n_tokens"), 6).alias(
+            "dup_ratio"
+        ),
+    )

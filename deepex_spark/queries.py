@@ -3459,6 +3459,71 @@ def strip_boilerplate_query(spark, sf_dir):
 
 
 @register(
+    "dedup_dup_spans",
+    # independent re-derivation: unnest the 8-token windows with
+    # positions, HAVING-count the hot fingerprints, then gaps-and-
+    # islands (lag + cumulative-sum window) to merge overlapping/
+    # adjacent duplicated windows into maximal spans — a different
+    # algorithm from the engine's row-local sorted-positions fold
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, len(l) AS n_tokens, i - 1 AS pos,
+             md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                 || ' ' || l[i+4] || ' ' || l[i+5] || ' ' || l[i+6]
+                 || ' ' || l[i+7]) AS fp
+      FROM toks, unnest(generate_series(1, len(l) - 7)) AS t(i)
+      WHERE l[i] <> '' AND l[i+1] <> '' AND l[i+2] <> '' AND l[i+3] <> ''
+        AND l[i+4] <> '' AND l[i+5] <> '' AND l[i+6] <> '' AND l[i+7] <> ''
+    ),
+    hot AS (SELECT fp FROM wins GROUP BY fp HAVING count(*) >= 2),
+    flagged AS (SELECT doc_id, n_tokens, pos FROM wins JOIN hot USING (fp)),
+    marks AS (
+      SELECT doc_id, n_tokens, pos,
+             CASE WHEN pos - lag(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos) <= 8
+                  THEN 0 ELSE 1 END AS new_span
+      FROM flagged
+    ),
+    isl AS (
+      SELECT doc_id, n_tokens, pos,
+             sum(new_span) OVER (
+               PARTITION BY doc_id ORDER BY pos) AS island
+      FROM marks
+    ),
+    spans AS (
+      SELECT doc_id, any_value(n_tokens) AS n_tokens, island,
+             min(pos) AS s, max(pos) AS e
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id, CAST(any_value(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_dup_spans,
+           CAST(sum(e - s + 8) AS BIGINT) AS n_dup_tokens,
+           round(CAST(sum(e - s + 8) AS DOUBLE) / any_value(n_tokens), 6)
+             AS dup_ratio
+    FROM spans GROUP BY doc_id
+    """,
+)
+def dedup_dup_spans(spark, sf_dir):
+    """Corpus-global duplicate-SUBSTRING span detection (Lee et al.
+    2022's suffix-array substring dedup at 8-token-window resolution,
+    operators/curate.py::dup_spans): every 8-token window whose md5
+    fingerprint occurs ≥ 2 times anywhere in the corpus marks its range
+    duplicated; overlapping/adjacent ranges merge into maximal per-doc
+    spans (47 of 500 docs flag at sf0.01). The engine merges spans with
+    a row-local sorted-positions fold; the oracle re-derives them with
+    a lag/cumsum gaps-and-islands window — different algorithms, same
+    fixpoint. Only fingerprints ever shuffle, never text."""
+    from deepex_spark.operators.curate import dup_spans
+
+    return dup_spans(
+        load(spark, sf_dir, "documents"), "doc_id", "text", window=8
+    )
+
+
+@register(
     "dedup_paragraphs",
     # independent re-derivation: first-occurrence rank via a window over
     # the paragraph TEXT (the engine groups on md5(para) + min(struct)

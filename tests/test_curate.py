@@ -802,3 +802,38 @@ class TestDedupParagraphs:
         one = sorted(map(tuple, dedup_paragraphs(docs.coalesce(1)).collect()))
         many = sorted(map(tuple, dedup_paragraphs(docs.repartition(7)).collect()))
         assert one == many
+
+
+def test_dup_spans_merge_semantics(spark):
+    """Substring-dedup span detection pins: same-doc repeats count
+    toward the occurrence threshold, overlapping flagged windows merge,
+    windows exactly `window` apart merge (intervals touch), anything
+    further starts a new span, and dup-free docs emit nothing."""
+    from deepex_spark.operators.curate import dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            # 'a b c d e' repeated with a gap -> two spans of 5 tokens
+            (1, "a b c d e X Y Z a b c d e"),
+            # all-unique tokens -> no row
+            (2, "p q r s t u v w"),
+            # shares d1's 'a b c d' window once -> one 4-token span
+            (3, "a b c d q1 q2 q3 q4 q5"),
+            # SAME-doc repeat 5 apart (> window) -> two spans
+            (4, "m n o p Z m n o p"),
+            # doc == its own first half: flagged 0..4 and 8..12, and
+            # 8 - 4 == window merges them -> ONE whole-doc span
+            (5, "e f g h i j k l e f g h i j k l"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r for r in dup_spans(docs, window=4).collect()
+    }
+    assert set(rows) == {1, 3, 4, 5}
+    assert (rows[1]["n_dup_spans"], rows[1]["n_dup_tokens"],
+            rows[1]["n_tokens"]) == (2, 10, 13)
+    assert (rows[3]["n_dup_spans"], rows[3]["n_dup_tokens"]) == (1, 4)
+    assert (rows[4]["n_dup_spans"], rows[4]["n_dup_tokens"]) == (2, 8)
+    assert (rows[5]["n_dup_spans"], rows[5]["n_dup_tokens"],
+            rows[5]["dup_ratio"]) == (1, 16, 1.0)
