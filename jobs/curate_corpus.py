@@ -6,9 +6,12 @@ pipeline shape:
     scrub (PII redaction) -> quality gate (length, stopword ratio, and
     optional Gopher repetition rules — row-local, zero shuffle) ->
     exact dedup -> MinHash-LSH near-dup clustering (keep one canonical
-    doc per cluster) -> optional eval-set decontamination (n-gram
-    overlap, broadcast anti-join) -> deterministic stratified sampling
-    -> partitioned parquet corpus
+    doc per cluster) -> optional corpus-global duplicate-substring gate
+    (Lee et al. 2022 at token-window resolution — drops docs whose
+    duplicated-span token share exceeds a threshold; catches the
+    partial overlaps whole-doc Jaccard misses) -> optional eval-set
+    decontamination (n-gram overlap, broadcast anti-join) ->
+    deterministic stratified sampling -> partitioned parquet corpus
 
     zip -r deepex_spark.zip deepex_spark
     spark-submit --py-files deepex_spark.zip jobs/curate_corpus.py \\
@@ -41,6 +44,8 @@ def curate(
     minhash_sim: float = 0.5,
     max_dup_frac: float = 1.0,
     max_top_share: float = 1.0,
+    max_dupspan_ratio: float = 1.0,
+    dupspan_window: int = 8,
     decontam_bench=None,
     decontam_ngram: int = 8,
 ):
@@ -92,6 +97,20 @@ def curate(
         clusters.where(F.col("is_canonical")).select("doc_id"), "doc_id", "inner"
     )
 
+    # corpus-global duplicate-SUBSTRING gate (Lee et al. 2022 at
+    # window-token resolution, operators/curate.py::dup_spans): drops
+    # docs whose duplicated-span token share exceeds the threshold —
+    # the partial-overlap case whole-doc Jaccard clustering misses.
+    # Runs AFTER near-dup so the window counts reflect the surviving
+    # corpus (a removed near-dup's windows no longer inflate them)
+    if max_dupspan_ratio < 1.0:
+        from deepex_spark.operators.curate import dup_spans
+
+        spanned = dup_spans(
+            near, "doc_id", "text", window=dupspan_window
+        ).where(F.col("dup_ratio") > max_dupspan_ratio).select("doc_id")
+        near = near.join(F.broadcast(spanned), "doc_id", "left_anti")
+
     # eval-set decontamination AFTER dedup (smallest corpus pays the
     # n-gram sweep); contaminated ids are rare -> broadcast anti-join
     decontaminated = near
@@ -132,6 +151,12 @@ def main(argv=None):
     p.add_argument("--minhash-sim", type=float, default=0.5, help="near-dup est-Jaccard threshold")
     p.add_argument("--max-dup-frac", type=float, default=1.0, help="Gopher duplicate-bigram-fraction gate (1.0 = off)")
     p.add_argument("--max-top-share", type=float, default=1.0, help="Gopher top-bigram-share gate (1.0 = off)")
+    p.add_argument("--max-dupspan-ratio", type=float, default=1.0,
+                   help="corpus-global duplicate-substring-span token-"
+                        "share gate (Lee et al. substring dedup; 1.0 = off)")
+    p.add_argument("--dupspan-window", type=int, default=8,
+                   help="token window (= minimum detectable duplicated "
+                        "substring length) for --max-dupspan-ratio")
     p.add_argument("--decontam-input", default=None, help="eval-set parquet with a text column: drop docs sharing an n-gram")
     p.add_argument("--decontam-ngram", type=int, default=8)
     p.add_argument("--no-redact", action="store_true")
@@ -160,6 +185,8 @@ def main(argv=None):
         minhash_sim=args.minhash_sim,
         max_dup_frac=args.max_dup_frac,
         max_top_share=args.max_top_share,
+        max_dupspan_ratio=args.max_dupspan_ratio,
+        dupspan_window=args.dupspan_window,
         decontam_bench=bench,
         decontam_ngram=args.decontam_ngram,
     )

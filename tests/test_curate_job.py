@@ -157,3 +157,29 @@ def test_decontamination_anti_join(spark):
     # without a bench set the stage is a no-op
     stages = curate(docs, min_words=1, no_redact=True)
     assert stages["decontaminated"].count() == 2
+
+
+def test_dupspan_gate(spark):
+    """--max-dupspan-ratio drops the doc that is mostly a substring
+    copy of ANOTHER doc — the partial overlap whole-doc Jaccard misses
+    at the configured threshold — and leaves the source doc (low ratio)
+    and unrelated docs alone. Off by default."""
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"  # an 8-token duplicated block
+    rows = [
+        # long source doc: the shared block is a small share of it
+        (1, shared + " x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14"
+            " x15 x16 x17 x18 x19 x20 x21 x22 x23 x24", "en"),
+        # mostly the shared block -> high dup ratio, gated
+        (2, shared + " y1", "en"),
+        # unrelated
+        (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    stages = curate(
+        docs, min_words=1, no_redact=True,
+        max_dupspan_ratio=0.5, dupspan_window=8,
+    )
+    assert {r["doc_id"] for r in stages["near"].collect()} == {1, 3}
+    # gate off: all three survive to the near stage
+    stages = curate(docs, min_words=1, no_redact=True)
+    assert stages["near"].count() == 3
