@@ -67,6 +67,8 @@ CURATION = [
     "entity_match_pairs",
     "entity_resolution_clusters",
     "quality_rare_bigrams",
+    "dedup_paragraphs",
+    "dedup_dup_spans",
 ]
 
 # round-5 temporal/serving/graph KG layer — `--graph`, own metric name;
