@@ -127,7 +127,57 @@ def synth_pages(
 def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(path)
+    if fmt in ("json", "jsonl"):
+        return read_pages_jsonl(spark, path)
     return spark.read.format(fmt).load(path)
+
+
+# JSONL sidecar schema: JSON has no binary/timestamp types, so html
+# travels base64 and warc_ts as an ISO-8601 string — the conventional
+# Common-Crawl-derivative interchange shape (one object per line)
+_PAGES_JSONL_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", StringType()),
+        StructField("html_b64", StringType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def read_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSONL pages source -> the canonical ``PAGES_SCHEMA`` frame.
+
+    One JSON object per line with ``url``, ``warc_ts`` (ISO-8601,
+    ``yyyy-MM-dd'T'HH:mm:ss`` with optional fraction/offset — parsed by
+    ``to_timestamp``'s default cast), optional ``html_b64`` (base64 of
+    the raw bytes; JSON cannot carry binary) and optional ``text`` /
+    ``lang``. The explicit read schema skips Spark's sampling inference
+    pass (one full extra scan at 100 TB) and makes missing optional
+    fields typed NULLs instead of schema drift; decode/parse are
+    row-local column ops inside the scan stage — a JSONL corpus enters
+    the exact same plan shape as the parquet/Iceberg table."""
+    raw = spark.read.schema(_PAGES_JSONL_SCHEMA).json(path)
+    return raw.select(
+        F.col("url"),
+        F.to_timestamp("warc_ts").alias("warc_ts"),
+        F.unbase64(F.col("html_b64")).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def write_pages_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Inverse of :func:`read_pages_jsonl` for interchange/testing:
+    encode html to base64, format warc_ts as ISO-8601."""
+    df.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss").alias("warc_ts"),
+        F.base64(F.col("html")).alias("html_b64"),
+        "text",
+        "lang",
+    ).write.mode(mode).json(path)
 
 
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

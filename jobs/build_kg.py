@@ -26,7 +26,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True, help="pages path/table (url, warc_ts, html, text, lang)")
     p.add_argument("--input-format", default="parquet",
-                   choices=["parquet", "iceberg", "json", "warc"],
+                   choices=["parquet", "iceberg", "json", "jsonl", "warc"],
                    help="warc = raw Common-Crawl-style .warc/.warc.gz files: "
                         "parsed by sources/warc.py (exact Content-Length walk, "
                         "one task per file), projected to the pages shape with "

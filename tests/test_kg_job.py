@@ -375,3 +375,41 @@ def test_export_adjacency_and_walk_corpus(spark, tmp_path):
         F.col("pred_canon").alias("rel"),
     )
     assert cat.write_snapshot(adjacency_export(e), "adjacency", run_id="adjw-adj") == v
+
+
+def test_pages_jsonl_roundtrip(spark, tmp_path):
+    """JSONL pages interchange: write_pages_jsonl -> read_pages_jsonl is
+    the identity on (url, warc_ts-to-the-second, html bytes, text, lang),
+    read_pages dispatches on fmt='jsonl', missing optional fields come
+    back as typed NULLs, and the read schema matches PAGES_SCHEMA."""
+    from deepex_spark.sources.pages import (
+        PAGES_SCHEMA,
+        read_pages,
+        read_pages_jsonl,
+        synth_pages,
+        write_pages_jsonl,
+    )
+
+    src = synth_pages(spark, n_docs=20, partitions=2)
+    path = str(tmp_path / "pages_jsonl")
+    write_pages_jsonl(src, path)
+    back = read_pages(spark, path, fmt="jsonl")
+    assert back.schema == PAGES_SCHEMA
+    a = sorted(src.select("url", "text", "lang").collect())
+    b = sorted(back.select("url", "text", "lang").collect())
+    assert a == b
+    # html binary survives base64; warc_ts second precision
+    sa = {r["url"]: (bytes(r["html"] or b""), r["warc_ts"]) for r in src.collect()}
+    sb = {r["url"]: (bytes(r["html"] or b""), r["warc_ts"]) for r in back.collect()}
+    for u in sa:
+        assert sb[u][0] == sa[u][0]
+        assert sb[u][1].replace(microsecond=0) == sa[u][1].replace(microsecond=0)
+
+    # optional fields absent -> typed NULLs, no schema drift
+    with open(tmp_path / "sparse.jsonl", "w") as f:
+        f.write('{"url": "http://x.test/a", "warc_ts": "2026-01-02T03:04:05"}\n')
+    sparse = read_pages_jsonl(spark, str(tmp_path / "sparse.jsonl"))
+    r = sparse.collect()[0]
+    assert r["url"] == "http://x.test/a"
+    assert r["html"] is None and r["text"] is None and r["lang"] is None
+    assert r["warc_ts"].year == 2026
