@@ -811,6 +811,66 @@ def dedup_paragraphs(
     )
 
 
+def merge_span_stats(ps, window: int):
+    """Fold a SORTED array of duplicated-window start positions (each
+    covering ``[p, p + window)`` tokens) into interval-union statistics:
+    a struct ``(n_spans, toks)`` — the count of maximal merged spans and
+    their total token coverage. A position within ``window`` of the
+    previous one extends the current span (adjacent windows touch
+    exactly at ``prev + window``); anything further starts a new one.
+    Row-local JVM ``aggregate`` — no UDF, no shuffle; empty input folds
+    to ``(0, 0)``."""
+    w = F.lit(window).cast("long")
+    init = F.struct(
+        F.lit(0).cast("long").alias("n_spans"),
+        F.lit(0).cast("long").alias("start"),
+        F.lit(0).cast("long").alias("prev"),
+        F.lit(0).cast("long").alias("toks"),
+    )
+    return F.aggregate(
+        ps,
+        init,
+        lambda acc, p: F.when(
+            acc["n_spans"] == 0,
+            F.struct(
+                F.lit(1).cast("long").alias("n_spans"),
+                p.cast("long").alias("start"),
+                p.cast("long").alias("prev"),
+                F.lit(0).cast("long").alias("toks"),
+            ),
+        )
+        .when(
+            p.cast("long") - acc["prev"] <= w,
+            F.struct(
+                acc["n_spans"].alias("n_spans"),
+                acc["start"].alias("start"),
+                p.cast("long").alias("prev"),
+                acc["toks"].alias("toks"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                (acc["n_spans"] + 1).alias("n_spans"),
+                p.cast("long").alias("start"),
+                p.cast("long").alias("prev"),
+                (acc["toks"] + acc["prev"] + w - acc["start"]).alias("toks"),
+            )
+        ),
+        lambda acc: F.when(
+            acc["n_spans"] == 0,
+            F.struct(
+                F.lit(0).cast("long").alias("n_spans"),
+                F.lit(0).cast("long").alias("toks"),
+            ),
+        ).otherwise(
+            F.struct(
+                acc["n_spans"].alias("n_spans"),
+                (acc["toks"] + acc["prev"] + w - acc["start"]).alias("toks"),
+            )
+        ),
+    )
+
+
 def dup_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -847,8 +907,8 @@ def dup_spans(
     the fingerprint; the flag-back join is fingerprint-keyed against a
     count-filtered (usually small) hot set, with AQE splitting any
     mega-hot fingerprint. The span merge is row-local: one per-doc
-    sorted-positions fold (positions ≤ doc tokens), no window function
-    over the corpus.
+    sorted-positions fold (:func:`merge_span_stats` — positions ≤ doc
+    tokens), no window function over the corpus.
     """
     toks = F.split(F.col(text_col), " ")
     grams = token_ngrams(toks, window)
@@ -870,51 +930,7 @@ def dup_spans(
     per_doc = flagged.groupBy(id_col, "n_tokens").agg(
         F.sort_array(F.collect_list("pos")).alias("ps")
     )
-    w = F.lit(window).cast("long")
-    # fold the sorted positions into maximal spans: a position within
-    # `window` of the previous one extends the current span (adjacent
-    # windows touch exactly at prev+window), anything further starts a
-    # new one; dup-token total adds prev + window - start at each close
-    init = F.struct(
-        F.lit(0).cast("long").alias("n_spans"),
-        F.lit(0).cast("long").alias("start"),
-        F.lit(0).cast("long").alias("prev"),
-        F.lit(0).cast("long").alias("toks"),
-    )
-    fold = F.aggregate(
-        F.col("ps"),
-        init,
-        lambda acc, p: F.when(
-            acc["n_spans"] == 0,
-            F.struct(
-                F.lit(1).cast("long").alias("n_spans"),
-                p.cast("long").alias("start"),
-                p.cast("long").alias("prev"),
-                F.lit(0).cast("long").alias("toks"),
-            ),
-        )
-        .when(
-            p.cast("long") - acc["prev"] <= w,
-            F.struct(
-                acc["n_spans"].alias("n_spans"),
-                acc["start"].alias("start"),
-                p.cast("long").alias("prev"),
-                acc["toks"].alias("toks"),
-            ),
-        )
-        .otherwise(
-            F.struct(
-                (acc["n_spans"] + 1).alias("n_spans"),
-                p.cast("long").alias("start"),
-                p.cast("long").alias("prev"),
-                (acc["toks"] + acc["prev"] + w - acc["start"]).alias("toks"),
-            )
-        ),
-        lambda acc: F.struct(
-            acc["n_spans"].alias("n_spans"),
-            (acc["toks"] + acc["prev"] + w - acc["start"]).alias("toks"),
-        ),
-    )
+    fold = merge_span_stats(F.col("ps"), window)
     return per_doc.select(
         id_col,
         F.col("n_tokens").cast("long").alias("n_tokens"),

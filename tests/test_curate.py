@@ -837,3 +837,47 @@ def test_dup_spans_merge_semantics(spark):
     assert (rows[4]["n_dup_spans"], rows[4]["n_dup_tokens"]) == (2, 8)
     assert (rows[5]["n_dup_spans"], rows[5]["n_dup_tokens"],
             rows[5]["dup_ratio"]) == (1, 16, 1.0)
+
+
+def test_merge_span_stats_matches_interval_union(spark):
+    """Seeded randomized check: the row-local span-merge fold equals a
+    brute-force Python interval union for 300 random sorted position
+    sets across window sizes 1/2/4/8 (plus the empty set), evaluated in
+    ONE Spark job per window."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from deepex_spark.operators.curate import merge_span_stats
+
+    rng = random.Random(1266)
+
+    def py_union(ps, w):
+        covered = set()
+        for p in ps:
+            covered.update(range(p, p + w))
+        if not covered:
+            return (0, 0)
+        xs = sorted(covered)
+        spans = 1
+        for a, b in zip(xs, xs[1:]):
+            if b > a + 1:
+                spans += 1
+        return (spans, len(xs))
+
+    for w in (1, 2, 4, 8):
+        cases = [[]] + [
+            sorted(rng.sample(range(0, 60), rng.randint(1, 20)))
+            for _ in range(75)
+        ]
+        df = spark.createDataFrame(
+            [(i, ps) for i, ps in enumerate(cases)], "i long, ps array<long>"
+        )
+        got = {
+            r["i"]: (r["s"]["n_spans"], r["s"]["toks"])
+            for r in df.select(
+                "i", merge_span_stats(F.col("ps"), w).alias("s")
+            ).collect()
+        }
+        for i, ps in enumerate(cases):
+            assert got[i] == py_union(ps, w), (w, ps)
