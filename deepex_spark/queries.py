@@ -2238,6 +2238,65 @@ def kg_kcore(spark, sf_dir):
 
 
 @register(
+    "kg_link_pred_heuristic",
+    oracle="""
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                      greatest(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    nbr AS MATERIALIZED (
+      SELECT a AS z, b AS x FROM und UNION ALL SELECT b AS z, a AS x FROM und
+    ),
+    deg AS MATERIALIZED (SELECT z, count(*) AS deg FROM nbr GROUP BY z),
+    mid AS (
+      SELECT n.z, n.x, d.deg FROM nbr n JOIN deg d ON d.z = n.z
+      WHERE d.deg <= 130
+    ),
+    pairs AS (
+      SELECT n1.x AS a, n2.x AS b,
+             CAST(count(*) AS BIGINT) AS cn,
+             sum(1.0 / ln(n1.deg)) AS aa_raw
+      FROM mid n1 JOIN mid n2 ON n1.z = n2.z AND n1.x < n2.x
+      GROUP BY n1.x, n2.x
+      HAVING count(*) >= 3
+    ),
+    non_adj AS (
+      SELECT p.* FROM pairs p
+      WHERE NOT EXISTS (SELECT 1 FROM und u WHERE u.a = p.a AND u.b = p.b)
+    )
+    SELECT p.a, p.b, p.cn,
+           round(p.aa_raw, 6) AS aa,
+           round(CAST(p.cn AS DOUBLE) / (da.deg + db.deg - p.cn), 6) AS jaccard
+    FROM non_adj p JOIN deg da ON da.z = p.a JOIN deg db ON db.z = p.b
+    ORDER BY aa DESC, cn DESC, a, b
+    LIMIT 200
+    """,
+)
+def kg_link_pred_heuristic(spark, sf_dir):
+    """Topology-only link prediction over the part co-occurrence graph
+    (operators/graph.py::link_pred_heuristics): the 200 strongest
+    NON-adjacent pairs by Adamic-Adar, with common-neighbour and Jaccard
+    scores — the Liben-Nowell/Kleinberg structural KB-completion baseline
+    complementing the trained-embedding ranker (kg_link_pred_eval).
+    Mid-vertex hub cutoff 130 / min_cn 3, both encoded identically in
+    the oracle (disclosed-cutoff convention shared with kg_chain_rules'
+    max_mid_fanout and the n-gram hot-shingle bound); the top-k cut
+    orders by the ROUNDED aa with a (cn, a, b) total tie-break so the
+    boundary row set is engine-independent, planned as
+    TakeOrderedAndProject (no global sort materialization)."""
+    from deepex_spark.operators.graph import link_pred_heuristics
+
+    scores = link_pred_heuristics(
+        _part_cooccurrence_edges(spark, sf_dir), min_cn=3, max_mid_deg=130
+    )
+    return scores.orderBy(
+        F.desc("aa"), F.desc("cn"), F.asc("a"), F.asc("b")
+    ).limit(200)
+
+
+@register(
     "canonicalize_entities",
     oracle="""
     SELECT trim(regexp_replace(regexp_replace(lower(c_mktsegment || ' ' || c_name),

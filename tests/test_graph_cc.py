@@ -238,3 +238,64 @@ def test_hits_matches_reference_power_iteration(spark):
         assert got[v][1] == pytest.approx(a[v], abs=1e-12)
     # vertex 0 has no in-links -> zero authority
     assert got[0][1] == 0.0
+
+
+def _lp_rows(spark, edges, **kw):
+    from deepex_spark.operators.graph import link_pred_heuristics
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        (r["a"], r["b"]): (r["cn"], r["aa"], r["jaccard"])
+        for r in link_pred_heuristics(df, **kw).collect()
+    }
+
+
+def test_link_pred_cycle_exact(spark):
+    """4-cycle: the two diagonals are the only non-adjacent pairs, each
+    with both opposite corners (deg 2) as common neighbours."""
+    import math
+
+    got = _lp_rows(spark, [(1, 2), (2, 3), (3, 4), (1, 4)], min_cn=2)
+    aa = round(2.0 / math.log(2.0), 6)
+    assert got == {(1, 3): (2, aa, 1.0), (2, 4): (2, aa, 1.0)}
+
+
+def test_link_pred_hub_cutoff_and_full_degrees(spark):
+    """Hub cutoff: mids above max_mid_deg never mediate a pair, but the
+    AA weight and the Jaccard denominator keep FULL-graph degrees, so
+    jaccard is a lower bound under the cutoff (documented contract)."""
+    import math
+
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4), (9, 1), (9, 2), (9, 3), (9, 4)]
+    # no cutoff: hub 9 (deg 4) is a third common neighbour of each diagonal
+    full = _lp_rows(spark, edges, min_cn=2)
+    aa_full = round(2.0 / math.log(3.0) + 1.0 / math.log(4.0), 6)
+    assert full == {(1, 3): (3, aa_full, 1.0), (2, 4): (3, aa_full, 1.0)}
+    # cutoff 3 drops the hub as a mid; corner degrees stay 3 in jaccard
+    cut = _lp_rows(spark, edges, min_cn=2, max_mid_deg=3)
+    aa_cut = round(2.0 / math.log(3.0), 6)
+    assert cut == {(1, 3): (2, aa_cut, 0.5), (2, 4): (2, aa_cut, 0.5)}
+
+
+def test_link_pred_min_cn_and_adjacency(spark):
+    """Path 1-2-3: (1,3) has one common neighbour — emitted at min_cn=1,
+    filtered at min_cn=2; adjacent pairs never appear; direction and
+    duplicate input edges are normalized away."""
+    import math
+
+    edges = [(1, 2), (3, 2), (2, 1)]  # reversed + duplicate forms of the path
+    assert _lp_rows(spark, edges, min_cn=2) == {}
+    got = _lp_rows(spark, edges, min_cn=1)
+    assert got == {(1, 3): (1, round(1.0 / math.log(2.0), 6), 1.0)}
+
+
+def test_link_pred_plan_no_cartesian(spark):
+    """The wedge self-join must key on the mid vertex — a cartesian or
+    nested-loop node here is the quadratic blowup the operator exists to
+    avoid."""
+    from deepex_spark.operators.graph import link_pred_heuristics
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    plan = link_pred_heuristics(df, min_cn=1)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
