@@ -2126,6 +2126,75 @@ def kg_pagerank(spark, sf_dir):
     )
 
 
+def _ppr_oracle(n_iter: int, damping: float, seed_pred: str) -> str:
+    """Unrolled personalized PageRank in DuckDB SQL — same MATERIALIZED
+    per-round CTE scheme as ``_pagerank_oracle``, with the uniform 1/n
+    teleport replaced by the seed vector ``e`` (1/|S| where
+    ``seed_pred`` holds, 0 elsewhere) in both the restart term and the
+    dangling redistribution, mirroring
+    operators/graph.py::personalized_pagerank's expression tree."""
+    its = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        its.append(f"""
+    r{i} AS MATERIALIZED (
+      SELECT sv.v,
+             (1.0 - {damping}) * sv.e
+             + {damping} * (COALESCE(c.csum, 0)
+                 + (SELECT COALESCE(SUM(r), 0) FROM {prev}
+                    WHERE v NOT IN (SELECT s FROM deg)) * sv.e) AS r
+      FROM sv LEFT JOIN (
+        SELECT e.d AS v, SUM(p.r / dg.deg) AS csum
+        FROM e JOIN {prev} p ON p.v = e.s JOIN deg dg ON dg.s = e.s
+        GROUP BY e.d
+      ) c ON c.v = sv.v
+    )""")
+        prev = f"r{i}"
+    return (
+        _O21_BASE
+        + f""",
+    e AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS d FROM edges),
+    verts AS MATERIALIZED (
+      SELECT DISTINCT v FROM (SELECT s AS v FROM e UNION SELECT d AS v FROM e) t
+    ),
+    n AS MATERIALIZED (SELECT COUNT(*) AS nn FROM verts),
+    sv AS MATERIALIZED (
+      SELECT v, CASE WHEN {seed_pred}
+                     THEN 1.0 / (SELECT COUNT(*) FROM verts WHERE {seed_pred})
+                     ELSE 0.0 END AS e
+      FROM verts
+    ),
+    deg AS MATERIALIZED (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+    r0 AS MATERIALIZED (SELECT v, e AS r FROM sv),
+    {",".join(its)}
+    SELECT v AS entity_id, round((SELECT nn FROM n) * r, 6) AS ppr
+    FROM {prev}
+    """
+    )
+
+
+@register("kg_ppr", oracle=_ppr_oracle(10, 0.85, "v BETWEEN 1 AND 50"))
+def kg_ppr(spark, sf_dir):
+    """Seed-relative entity relatedness over the KG edge set: 10 rounds
+    of PERSONALIZED PageRank (operators/graph.py::personalized_pagerank)
+    with teleport + dangling mass restarted uniformly over the seed
+    vertices (ids 1..50) — "which entities are most related to THIS
+    set", the query the uniform kg_pagerank cannot express. Reported
+    N-scaled (like kg_pagerank) so 6-decimal rounding keeps real
+    precision; the oracle re-derives all 10 rounds with the seed vector
+    in unrolled DuckDB SQL."""
+    from deepex_spark.operators.graph import personalized_pagerank
+
+    edges = o21_reverse_union(spark, sf_dir).select("src", "dst")
+    seeds = spark.range(1, 51).select(F.col("id").alias("v"))
+    pr = personalized_pagerank(edges, seeds, "src", "dst", n_iter=10, damping=0.85)
+    n_df = pr.agg(F.count("*").alias("nn"))
+    return pr.crossJoin(F.broadcast(n_df)).select(
+        F.col("v").alias("entity_id"),
+        F.round(F.col("r") * F.col("nn"), 6).alias("ppr"),
+    )
+
+
 def _part_cooccurrence_edges(spark, sf_dir):
     """Market-basket edge set shared by kg_triangle_count / kg_kcore:
     parts linked when they appear in the same order. Per-order fan-out is

@@ -299,3 +299,58 @@ def test_link_pred_plan_no_cartesian(spark):
     plan = link_pred_heuristics(df, min_cn=1)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_personalized_pagerank_matches_reference(spark):
+    """Independent dict-based PPR (teleport AND dangling mass to the
+    seed vector) must match the distributed operator to float precision;
+    a vertex unreachable from the seeds scores exactly 0."""
+    from deepex_spark.operators.graph import personalized_pagerank
+
+    # 3 -> dangling (no out-edges); 4 <-> 5 is a component unreachable
+    # from the seeds {0, 1}
+    edges = [(0, 1), (1, 2), (2, 0), (1, 3), (4, 5), (5, 4)]
+    seeds = [0, 1]
+    d, n_iter = 0.85, 10
+    verts = sorted({u for ed in edges for u in ed})
+    out = {v: [w for u, w in edges if u == v] for v in verts}
+    e = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in verts}
+    r = dict(e)
+    for _ in range(n_iter):
+        dang = sum(r[v] for v in verts if not out[v])
+        nxt = {}
+        for v in verts:
+            csum = sum(r[u] / len(out[u]) for u in verts if v in out[u])
+            nxt[v] = (1.0 - d) * e[v] + d * (csum + dang * e[v])
+        r = nxt
+    assert abs(sum(r.values()) - 1.0) < 1e-12  # mass conserved
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "v long")
+    got = {
+        row["v"]: row["r"]
+        for row in personalized_pagerank(df, sdf, n_iter=n_iter, damping=d).collect()
+    }
+    assert set(got) == set(verts)
+    for v in verts:
+        assert got[v] == pytest.approx(r[v], abs=1e-12)
+    assert got[4] == 0.0 and got[5] == 0.0
+
+
+def test_personalized_pagerank_seed_guard(spark):
+    """Seeds entirely absent from the graph raise instead of silently
+    returning an all-zero vector; absent seeds alongside present ones
+    are ignored."""
+    from deepex_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        personalized_pagerank(df, spark.createDataFrame([(99,)], "v long"))
+    got = {
+        r["v"]: r["r"]
+        for r in personalized_pagerank(
+            df, spark.createDataFrame([(1,), (99,)], "v long"), n_iter=2
+        ).collect()
+    }
+    # 99 ignored -> teleport mass concentrates on vertex 1 alone
+    assert got[1] > 0.5
