@@ -2494,6 +2494,61 @@ def text_quality(spark, sf_dir):
 
 
 @register(
+    "quality_readability",
+    oracle=r"""
+    WITH c AS (
+      SELECT doc_id,
+             greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)
+               AS n_sents,
+             greatest(CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT), 1)
+               AS n_words,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+               AS n_syll
+      FROM documents
+    )
+    SELECT doc_id, n_sents, n_words, n_syll,
+           round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                 - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) AS flesch
+    FROM c
+    """,
+)
+def quality_readability(spark, sf_dir):
+    """Flesch-reading-ease curation signal, fully row-local: sentence
+    count = runs of terminal punctuation, word count = space-delimited
+    tokens, syllable proxy = vowel-group runs (the standard cheap
+    approximation — hyphenation dictionaries don't distribute). All
+    three are single-pass ``regexp_count`` column algebra inside the
+    scan stage's codegen — zero shuffle, zero UDF, so at 100 TB this
+    costs exactly one corpus read like the other quality gates it joins
+    (stopword ratio, Gopher repetition, rare-bigram fluency).
+    Zero-sentence / zero-word docs clamp to 1 so the score is total;
+    patterns are in the Java-regex∩RE2 portable subset (same convention
+    as text_redact)."""
+    d = load(spark, sf_dir, "documents")
+    n_sents = F.greatest(F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)).cast("long")
+    n_words = F.greatest(F.regexp_count("text", F.lit(r"[^ ]+")), F.lit(1)).cast("long")
+    n_syll = F.regexp_count(F.lower("text"), F.lit(r"[aeiouy]+")).cast("long")
+    c = d.select(
+        "doc_id",
+        n_sents.alias("n_sents"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syll"),
+    )
+    return c.select(
+        "doc_id",
+        "n_sents",
+        "n_words",
+        "n_syll",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sents"))
+            - F.lit(84.6) * (F.col("n_syll").cast("double") / F.col("n_words")),
+            4,
+        ).alias("flesch"),
+    )
+
+
+@register(
     "lang_id_heuristic",
     oracle=f"""
     WITH words AS (

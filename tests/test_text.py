@@ -73,3 +73,23 @@ def test_nfc_normalize_py_composes_and_preserves():
     assert nfc_normalize_py(composed) == composed      # idempotent
     assert nfc_normalize_py("plain ascii") == "plain ascii"
     assert nfc_normalize_py(None) is None
+
+
+def test_readability_known_values(spark, tmp_path):
+    """Flesch score on hand-counted sentences/words/vowel-groups; empty
+    text clamps both denominators to 1 instead of dividing by zero."""
+    spark.createDataFrame(
+        [(1, "Hello world. It is good!"), (2, "")], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    from deepex_spark.queries import REGISTRY
+
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["quality_readability"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    r1 = rows[1]
+    assert (r1["n_sents"], r1["n_words"], r1["n_syll"]) == (2, 5, 6)
+    assert r1["flesch"] == round(206.835 - 1.015 * (5 / 2) - 84.6 * (6 / 5), 4)
+    r2 = rows[2]
+    assert (r2["n_sents"], r2["n_words"], r2["n_syll"]) == (1, 1, 0)
+    assert r2["flesch"] == round(206.835 - 1.015, 4)
