@@ -119,6 +119,9 @@ GRAPH = [
     # KB-completion mining layer (sf-scaled, orders/lineitem-derived KG)
     "kg_chain_rules",
     "kg_rule_gaps",
+    # structural link-pred + seed-relative relatedness (sf-scaled)
+    "kg_link_pred_heuristic",
+    "kg_ppr",
 ]
 
 # vector-index layer — `--ann`, own metric name; snapshot in BENCH/ANN.md.

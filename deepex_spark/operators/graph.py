@@ -612,6 +612,58 @@ def pagerank(
     return ranks
 
 
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Newman (2002) degree-assortativity coefficient of an undirected
+    graph -> one row ``(n_endpoints, assortativity)``: the Pearson
+    correlation of the degrees at either end of an edge, computed over
+    the symmetrized endpoint list (each undirected edge contributes both
+    orientations, so the x and y marginals coincide). r > 0 = hubs link
+    to hubs (social-network-like), r < 0 = hubs link to leaves (the
+    typical web/crawl signature) — the one-scalar structural audit that
+    tells you whether hub-cutoff knobs (wedge joins, rule mining) will
+    bite.
+
+    Determinism: the four moments (n, Σx, Σx², Σxy) are exact BIGINT
+    aggregates — no float summation order anywhere — and the single
+    float expression over them is the same IEEE tree in Spark and the
+    oracle, rounded once. BIGINT moments hold to ~10^18: at 10^12 edges
+    with 10^6-degree hubs Σxy overflows and the sums need decimal(38,0)
+    — a one-line cast, noted rather than paid here. Shape: one degree
+    aggregation plus two endpoint-keyed joins and a global 1-row
+    aggregate (partial-combined, no shuffle of anything but the moment
+    quadruple)."""
+    und = _undirected(edges, src, dst).localCheckpoint(eager=True)
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("x")).agg(F.count("*").alias("deg"))
+    du = deg.select(F.col("x").alias("u"), F.col("deg").alias("dx"))
+    dv = deg.select(F.col("x").alias("v"), F.col("deg").alias("dy"))
+    m = (
+        sym.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("dx").alias("s1"),
+            F.sum(F.col("dx") * F.col("dx")).alias("s2"),
+            F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        )
+    )
+    nd, s1d = F.col("n").cast("double"), F.col("s1").cast("double")
+    return m.select(
+        F.col("n").alias("n_endpoints"),
+        F.round(
+            (nd * F.col("sxy") - s1d * F.col("s1"))
+            / (nd * F.col("s2") - s1d * F.col("s1")),
+            6,
+        ).alias("assortativity"),
+    )
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seeds: DataFrame,

@@ -2366,6 +2366,45 @@ def kg_link_pred_heuristic(spark, sf_dir):
 
 
 @register(
+    "kg_assortativity",
+    oracle="""
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                      greatest(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und
+    ),
+    deg AS MATERIALIZED (SELECT u AS x, count(*) AS deg FROM sym GROUP BY u),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(du.deg) AS BIGINT) AS s1,
+             CAST(sum(du.deg * du.deg) AS BIGINT) AS s2,
+             CAST(sum(du.deg * dv.deg) AS BIGINT) AS sxy
+      FROM sym JOIN deg du ON du.x = sym.u JOIN deg dv ON dv.x = sym.v
+    )
+    SELECT n AS n_endpoints,
+           round((CAST(n AS DOUBLE) * sxy - CAST(s1 AS DOUBLE) * s1)
+                 / (CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1), 6)
+             AS assortativity
+    FROM m
+    """,
+)
+def kg_assortativity(spark, sf_dir):
+    """Degree-assortativity coefficient of the part co-occurrence graph
+    (operators/graph.py::degree_assortativity): one scalar telling
+    whether hubs attach to hubs (r > 0) or to leaves (r < 0, the usual
+    web-crawl signature) — the audit number behind every hub-cutoff knob
+    in this engine. All moments are exact BIGINT aggregates; the oracle
+    evaluates the identical final float expression."""
+    from deepex_spark.operators.graph import degree_assortativity
+
+    return degree_assortativity(_part_cooccurrence_edges(spark, sf_dir))
+
+
+@register(
     "canonicalize_entities",
     oracle="""
     SELECT trim(regexp_replace(regexp_replace(lower(c_mktsegment || ' ' || c_name),

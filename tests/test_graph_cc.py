@@ -354,3 +354,52 @@ def test_personalized_pagerank_seed_guard(spark):
     }
     # 99 ignored -> teleport mass concentrates on vertex 1 alone
     assert got[1] > 0.5
+
+
+def _assort(spark, edges):
+    from deepex_spark.operators.graph import degree_assortativity
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return degree_assortativity(df).collect()[0]
+
+
+def _assort_reference(edges):
+    """Independent pure-Python Newman r over the symmetrized endpoint
+    list (not shared with the operator)."""
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in und:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    n = len(xs)
+    mx = sum(xs) / n
+    cov = sum(x * y for x, y in zip(xs, ys)) / n - mx * mx
+    var = sum(x * x for x in xs) / n - mx * mx
+    return cov / var
+
+
+def test_assortativity_star_and_path(spark):
+    """Star and 3-path are perfectly disassortative (every edge joins
+    the max-degree vertex to a leaf): r = -1 exactly."""
+    row = _assort(spark, [(0, 1), (0, 2), (0, 3)])
+    assert (row["n_endpoints"], row["assortativity"]) == (6, -1.0)
+    row = _assort(spark, [(1, 2), (2, 3)])
+    assert (row["n_endpoints"], row["assortativity"]) == (4, -1.0)
+
+
+def test_assortativity_matches_reference_random(spark):
+    """Seeded random graph: the distributed moments must reproduce the
+    independent Pearson computation; duplicates/reverses/self-loops are
+    normalized away first."""
+    import random
+
+    rnd = random.Random(7)
+    edges = list({(rnd.randrange(12), rnd.randrange(12)) for _ in range(40)})
+    edges += [(b, a) for a, b in edges[:10]] + [(5, 5)]  # noise forms
+    clean = [(a, b) for a, b in edges if a != b]
+    got = _assort(spark, edges)["assortativity"]
+    assert got == round(_assort_reference(clean), 6)
