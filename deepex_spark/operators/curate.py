@@ -944,3 +944,48 @@ def dup_spans(
             "dup_ratio"
         ),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition-matrix estimate over per-user event
+    sequences -> ``(src_type, dst_type, n, p)``: for each observed state
+    pair, the transition count and the row-normalized probability
+    ``p = n / sum(n over src_type)``. The standard next-action /
+    clickstream model feeding session simulation and anomaly baselines;
+    pairs cross SESSION boundaries deliberately (gap semantics belong to
+    ``sessionize`` — compose by feeding its output if per-session chains
+    are wanted).
+
+    Determinism: ordering ties on ``ts_col`` break by ``order_col``
+    (unique), so the lead() sequence — and therefore every count — is a
+    pure function of the data, same convention as ``sessionize``.
+
+    Scale: one window exchange on the user key (a user's history fits a
+    partition; AQE splits bot keys), one map-side-combinable (src, dst)
+    count whose output is at most |states|^2 rows, and a row-total join
+    against the |states|-row marginal — broadcast-sized by construction.
+    The probability divides exact BIGINTs, rounded once.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    seq = events.select(
+        F.col(state_col).alias("src_type"),
+        F.lead(state_col).over(w).alias("dst_type"),
+    )
+    pairs = (
+        seq.where(F.col("dst_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pairs.groupBy("src_type").agg(F.sum("n").alias("t"))
+    return pairs.join(F.broadcast(tot), "src_type").select(
+        "src_type",
+        "dst_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p"),
+    )

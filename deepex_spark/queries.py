@@ -2630,6 +2630,36 @@ def lang_id_heuristic(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @register(
+    "events_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS dst_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type
+    ),
+    tot AS (SELECT src_type, sum(n) AS t FROM pairs GROUP BY src_type)
+    SELECT p.src_type, p.dst_type, p.n,
+           round(CAST(p.n AS DOUBLE) / t.t, 6) AS p
+    FROM pairs p JOIN tot t ON t.src_type = p.src_type
+    """,
+)
+def events_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams
+    (operators/curate.py::event_transitions): counts + row-normalized
+    next-event probabilities, ties broken by the unique event_id so the
+    lead() sequence is deterministic. Output is at most |event types|^2
+    rows regardless of corpus size."""
+    from deepex_spark.operators.curate import event_transitions
+
+    return event_transitions(load(spark, sf_dir, "events"))
+
+
+@register(
     "events_sessionize",
     oracle="""
     WITH ordered AS (

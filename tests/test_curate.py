@@ -881,3 +881,35 @@ def test_merge_span_stats_matches_interval_union(spark):
         }
         for i, ps in enumerate(cases):
             assert got[i] == py_union(ps, w), (w, ps)
+
+
+def test_event_transitions_exact(spark):
+    """Hand-built two-user stream: transition counts and row-normalized
+    probabilities match exactly; a same-timestamp tie orders by the
+    unique event_id; the last event of each user emits no pair."""
+    from deepex_spark.operators.curate import event_transitions
+
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        # user 1: A -> B -> B -> C
+        (1, t0, 1, "A"),
+        (2, t0 + timedelta(minutes=1), 1, "B"),
+        (3, t0 + timedelta(minutes=2), 1, "B"),
+        (4, t0 + timedelta(minutes=3), 1, "C"),
+        # user 2: tie at t0 resolved by event_id: A (id 5) then C (id 6)
+        (5, t0, 2, "A"),
+        (6, t0, 2, "C"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r["src_type"], r["dst_type"]): (r["n"], r["p"])
+        for r in event_transitions(df).collect()
+    }
+    assert got == {
+        ("A", "B"): (1, 0.5),
+        ("A", "C"): (1, 0.5),
+        ("B", "B"): (1, 0.5),
+        ("B", "C"): (1, 0.5),
+    }
