@@ -4696,6 +4696,101 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
+@register(
+    "ann_rrf_fusion",
+    oracle="""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) AS dot,
+             list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS qq,
+             list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) AS nn
+      FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
+      WHERE q.vec_id < 5
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot / (sqrt(qq) * sqrt(nn)) DESC,
+                                         neighbor_id ASC) AS r_cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY qq + nn - 2 * dot ASC,
+                                         neighbor_id ASC) AS r_l2
+      FROM pairs
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id, r_cos, r_l2,
+             round(1.0 / (60 + r_cos) + 1.0 / (60 + r_l2), 6) AS rrf
+      FROM ranked
+    )
+    SELECT query_id, neighbor_id, r_cos, r_l2, rrf FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, neighbor_id ASC) AS rnk
+      FROM fused
+    ) WHERE rnk <= 3
+    """,
+)
+def ann_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack et al. 2009, the standard k=60
+    constant) of two exact rankers over the same candidate set: cosine
+    similarity and L2 distance — genuinely different orderings when
+    vector norms vary, fused as ``1/(60+rank_cos) + 1/(60+rank_l2)``,
+    top-3 per query. The hybrid-retrieval primitive (dense + sparse /
+    multiple indexes) expressed purely relationally: the pair distances
+    are computed ONCE (l2² = qq + nn − 2·dot reuses the same three dot
+    products as cosine), and all three row_number windows share the one
+    query_id exchange — Spark plans a single shuffle with per-window
+    sorts. Rank determinism: both engines fold the dot product in
+    sequence order, so float comparisons and therefore integer ranks
+    agree exactly (same convention ann_cosine_topk already relies on);
+    RRF scores are rational in the integer ranks, rounded once."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    dot = "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    qq = "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    nn = "aggregate(zip_with(nv, nv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    pairs = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(dot).alias("dot"),
+            F.expr(qq).alias("qq"),
+            F.expr(nn).alias("nn"),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc(F.col("dot") / (F.sqrt("qq") * F.sqrt("nn"))), F.asc("neighbor_id")
+    )
+    w_l2 = Window.partitionBy("query_id").orderBy(
+        F.asc(F.col("qq") + F.col("nn") - 2 * F.col("dot")), F.asc("neighbor_id")
+    )
+    fused = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w_cos).alias("r_cos"),
+        F.row_number().over(w_l2).alias("r_l2"),
+    ).withColumn(
+        "rrf",
+        F.round(
+            F.lit(1.0) / (F.lit(60) + F.col("r_cos"))
+            + F.lit(1.0) / (F.lit(60) + F.col("r_l2")),
+            6,
+        ),
+    )
+    w_out = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w_out))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "r_cos", "r_l2", "rrf")
+    )
+
+
 def _ivf_oracle() -> str:
     from deepex_spark.operators.ann import ivf_oracle_sql
 

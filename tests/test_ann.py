@@ -310,3 +310,32 @@ def test_build_index_job_publishes_queryable_snapshots(spark, tmp_path):
     v = cat.version_of_run("ann_codes", "t1-ann_codes")
     main(args)
     assert cat.version_of_run("ann_codes", "t1-ann_codes") == v
+
+
+def test_rrf_fusion_exact(spark, tmp_path):
+    """Hand-built 2-D vectors where cosine and L2 disagree: the far
+    collinear point wins cosine but loses L2, and the RRF constants
+    (k=60) produce the hand-computed scores and final order."""
+    from deepex_spark.queries import REGISTRY
+
+    rows = [
+        (0, [1.0, 0.0]),      # the query
+        (10, [10.0, 0.0]),    # cos rank 1 (collinear), l2 rank 3 (far)
+        (11, [0.875, 0.125]), # cos rank 2, l2 rank 1
+        (12, [0.5, 0.5]),     # cos rank 3, l2 rank 2
+    ]
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = REGISTRY["ann_rrf_fusion"].spark_fn(spark, str(tmp_path)).collect()
+    got = [
+        (r["neighbor_id"], r["r_cos"], r["r_l2"], r["rrf"])
+        for r in sorted(out, key=lambda r: -r["rrf"])
+        if r["query_id"] == 0
+    ]
+    rrf = lambda a, b: round(1.0 / (60 + a) + 1.0 / (60 + b), 6)
+    assert got == [
+        (11, 2, 1, rrf(2, 1)),
+        (10, 1, 3, rrf(1, 3)),
+        (12, 3, 2, rrf(3, 2)),
+    ]
