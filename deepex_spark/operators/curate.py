@@ -968,9 +968,13 @@ def event_transitions(
 
     Scale: one window exchange on the user key (a user's history fits a
     partition; AQE splits bot keys), one map-side-combinable (src, dst)
-    count whose output is at most |states|^2 rows, and a row-total join
-    against the |states|-row marginal — broadcast-sized by construction.
-    The probability divides exact BIGINTs, rounded once.
+    count whose output is at most |states|^2 rows, and the row marginal
+    as a WINDOW over those aggregated rows — not a groupBy+join back,
+    which would re-derive the whole event-scan subtree for the second
+    consumer (measured: the join form duplicates the big window stage in
+    the physical plan; the window form costs one tiny exchange over
+    |states|^2 rows). The probability divides exact BIGINTs, rounded
+    once.
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
     seq = events.select(
@@ -982,10 +986,10 @@ def event_transitions(
         .groupBy("src_type", "dst_type")
         .agg(F.count("*").alias("n"))
     )
-    tot = pairs.groupBy("src_type").agg(F.sum("n").alias("t"))
-    return pairs.join(F.broadcast(tot), "src_type").select(
+    t = F.sum("n").over(Window.partitionBy("src_type"))
+    return pairs.select(
         "src_type",
         "dst_type",
         "n",
-        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p"),
+        F.round(F.col("n").cast("double") / t, 6).alias("p"),
     )
