@@ -612,6 +612,89 @@ def pagerank(
     return ranks
 
 
+def directed_overlap_pairs(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    mode: str = "coupling",
+    min_shared: int = 1,
+    max_key_fanout: int | None = None,
+) -> DataFrame:
+    """Directed neighbourhood-overlap similarity -> ``(a, b, n_shared,
+    jaccard)`` per unordered vertex pair:
+
+    * ``mode="coupling"`` — bibliographic coupling (Kessler 1963): pairs
+      of SOURCE vertices sharing an out-neighbour, ``n_shared`` = size of
+      the out-neighbourhood intersection. "Pages that cite the same
+      things are alike."
+    * ``mode="cocitation"`` — co-citation (Small 1973): pairs of TARGET
+      vertices cited by the same source, intersection of
+      in-neighbourhoods. "Pages cited together are alike."
+
+    The directed complement of the undirected ``link_pred_heuristics``:
+    same wedge-join machinery, but the wedge key is the shared
+    neighbour on ONE side of the edge direction, and adjacency between
+    a and b is irrelevant (similarity, not link prediction).
+    ``jaccard`` divides exact BIGINTs (intersection over union of the
+    relevant neighbourhoods), rounded once.
+
+    ``max_key_fanout`` caps the wedge key's fan-out (in-degree for
+    coupling, out-degree for co-citation) — the same disclosed hub
+    cutoff as ``link_pred_heuristics``: a page cited by everyone (or a
+    hub citing everything) otherwise emits C(fanout, 2) wedge rows.
+    Degrees in the Jaccard denominator stay FULL-graph, so the score is
+    a lower bound under the cutoff. Shape: one distinct edge pass, one
+    degree aggregation, one wedge self-join keyed on the shared vertex,
+    one map-side-combinable pair aggregation, two degree joins
+    (AQE-broadcast-sized |V| rows).
+    """
+    if mode not in ("coupling", "cocitation"):
+        raise ValueError("mode must be 'coupling' or 'cocitation'")
+    key, item = ("d", "s") if mode == "coupling" else ("s", "d")
+    idt = _id_cast_type(edges.schema[src].dataType, edges.schema[dst].dataType)
+    e = (
+        edges.select(F.col(src).cast(idt).alias("s"), F.col(dst).cast(idt).alias("d"))
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # deg(item) = |neighbourhood being intersected|; fan(key) = wedge fan-out
+    item_deg = e.groupBy(F.col(item).alias("x")).agg(F.count("*").alias("deg"))
+    wedge = e.select(F.col(key).alias("z"), F.col(item).alias("x"))
+    if max_key_fanout is not None:
+        fan = (
+            wedge.groupBy("z")
+            .agg(F.count("*").alias("f"))
+            .where(F.col("f") <= int(max_key_fanout))
+            .select("z")
+        )
+        wedge = wedge.join(fan, "z", "left_semi")
+    w1, w2 = wedge.alias("w1"), wedge.alias("w2")
+    pairs = (
+        w1.join(w2, (F.col("w1.z") == F.col("w2.z")) & (F.col("w1.x") < F.col("w2.x")))
+        .select(F.col("w1.x").alias("a"), F.col("w2.x").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= int(min_shared))
+    )
+    da = item_deg.select(F.col("x").alias("a"), F.col("deg").alias("deg_a"))
+    db = item_deg.select(F.col("x").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def degree_assortativity(
     edges: DataFrame,
     src: str = "src",

@@ -2366,6 +2366,41 @@ def kg_link_pred_heuristic(spark, sf_dir):
 
 
 @register(
+    "kg_biblio_coupling",
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS d FROM lineitem
+    ),
+    deg AS MATERIALIZED (SELECT s AS x, count(*) AS deg FROM e GROUP BY s),
+    pairs AS (
+      SELECT w1.s AS a, w2.s AS b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM e w1 JOIN e w2 ON w1.d = w2.d AND w1.s < w2.s
+      GROUP BY w1.s, w2.s
+    )
+    SELECT p.a, p.b, p.n_shared,
+           round(CAST(p.n_shared AS DOUBLE)
+                 / (da.deg + db.deg - p.n_shared), 6) AS jaccard
+    FROM pairs p JOIN deg da ON da.x = p.a JOIN deg db ON db.x = p.b
+    """,
+)
+def kg_biblio_coupling(spark, sf_dir):
+    """Bibliographic coupling over the supplier->part edge set
+    (operators/graph.py::directed_overlap_pairs, mode='coupling'):
+    every supplier pair with the size and Jaccard of their shared part
+    catalogue — Kessler's "sources citing the same things are alike",
+    the directed complement of the undirected link-pred wedge. Output is
+    bounded by C(|suppliers|, 2) regardless of edge count; the wedge key
+    is the PART side (per-part supplier fan-out, order-size-bounded
+    here; max_key_fanout is the disclosed cutoff at crawl scale)."""
+    from deepex_spark.operators.graph import directed_overlap_pairs
+
+    e = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return directed_overlap_pairs(e, mode="coupling")
+
+
+@register(
     "kg_assortativity",
     oracle="""
     WITH und AS MATERIALIZED (

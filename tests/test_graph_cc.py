@@ -403,3 +403,59 @@ def test_assortativity_matches_reference_random(spark):
     clean = [(a, b) for a, b in edges if a != b]
     got = _assort(spark, edges)["assortativity"]
     assert got == round(_assort_reference(clean), 6)
+
+
+def test_directed_overlap_modes_exact(spark):
+    """Directed star fan-out: sources {1,2} both cite {10,11}; source 3
+    cites {11,12}. Coupling intersects OUT-neighbourhoods, co-citation
+    intersects IN-neighbourhoods — hand-computed counts and Jaccards for
+    both modes, duplicate edges collapse first."""
+    from deepex_spark.operators.graph import directed_overlap_pairs
+
+    edges = [(1, 10), (1, 11), (2, 10), (2, 11), (3, 11), (3, 12), (1, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    cpl = {
+        (r["a"], r["b"]): (r["n_shared"], r["jaccard"])
+        for r in directed_overlap_pairs(df, mode="coupling").collect()
+    }
+    assert cpl == {
+        (1, 2): (2, 1.0),            # {10,11} == {10,11}
+        (1, 3): (1, round(1 / 3, 6)),  # {10,11} ∩ {11,12} = {11}
+        (2, 3): (1, round(1 / 3, 6)),
+    }
+
+    coc = {
+        (r["a"], r["b"]): (r["n_shared"], r["jaccard"])
+        for r in directed_overlap_pairs(df, mode="cocitation").collect()
+    }
+    # (10,12) are never co-cited -> absent entirely; 11's in-degree of 3
+    # dilutes both of its Jaccards
+    assert coc == {
+        (10, 11): (2, round(2 / 3, 6)),
+        (11, 12): (1, round(1 / 3, 6)),
+    }
+
+
+def test_directed_overlap_fanout_cutoff(spark):
+    """A hub part supplied by everyone is excluded as a wedge key by
+    max_key_fanout, while full-graph degrees keep the Jaccard a lower
+    bound (same contract as link_pred_heuristics)."""
+    from deepex_spark.operators.graph import directed_overlap_pairs
+
+    # parts 10,11 shared by 1,2; hub part 99 supplied by all of 1,2,3
+    edges = [(1, 10), (2, 10), (1, 11), (2, 11), (1, 99), (2, 99), (3, 99)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    full = {
+        (r["a"], r["b"]): r["n_shared"]
+        for r in directed_overlap_pairs(df, mode="coupling").collect()
+    }
+    assert full == {(1, 2): 3, (1, 3): 1, (2, 3): 1}
+    cut = {
+        (r["a"], r["b"]): (r["n_shared"], r["jaccard"])
+        for r in directed_overlap_pairs(
+            df, mode="coupling", max_key_fanout=2
+        ).collect()
+    }
+    # hub 99 excluded: (1,2) share only {10,11}; deg stays 3 each
+    assert cut == {(1, 2): (2, round(2 / 4, 6))}
