@@ -993,3 +993,86 @@ def event_transitions(
         "n",
         F.round(F.col("n").cast("double") / t, 6).alias("p"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+    token_split: str = " ",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Corpus collocations by pointwise mutual information ->
+    ``(w1, w2, n_xy, pmi)``, the ``top_k`` adjacent token pairs ranked
+    by ``pmi = ln(p(xy) / (p(x) p(y)))`` among pairs seen at least
+    ``min_count`` times — Church & Hanks (1990) phrase mining, the
+    standard first pass for multiword-expression vocabularies.
+
+    Determinism: every count is an exact BIGINT; the PMI spends its
+    float ops in ONE fixed expression tree over those integers (shared
+    verbatim with the oracle) and is rounded before the rank, whose
+    (pmi, w1, w2) tie-break is total — the same rounded-score-boundary
+    convention as kg_link_pred_heuristic.
+
+    Scale: one corpus pass builds BOTH gram tables (the bigram explode
+    and the unigram explode read the same scan; each aggregate is
+    map-side combined on its gram key), the corpus totals N1/N2 are
+    1-row rollups OF those aggregates (no second source scan), the two
+    marginal joins key on the unigram vocab (AQE broadcasts if it
+    fits), and the ``min_count`` filter runs before the joins so hapax
+    pairs — the vast majority — never shuffle twice. Final cut is
+    TakeOrderedAndProject.
+    """
+    toks = _tokens(text_col, token_split, lowercase)
+    width = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    zipped = F.zip_with(
+        F.slice(toks, 1, width),
+        F.slice(toks, 2, width),
+        lambda a, b: F.when(
+            (F.length(a) > 0) & (F.length(b) > 0), F.struct(a.alias("w1"), b.alias("w2"))
+        ),
+    )
+    pairs = docs.select(F.explode(zipped).alias("p")).where(F.col("p").isNotNull())
+    nxy = (
+        pairs.select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_xy"))
+        .where(F.col("n_xy") >= int(min_count))
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    # corpus totals roll up the aggregates, not the corpus
+    n1 = uni.agg(F.sum("n").alias("n1"))
+    n2 = (
+        pairs.select(F.count("*").alias("n2"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n").alias("n_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n").alias("n_y"))
+    scored = (
+        nxy.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            F.round(
+                F.log(
+                    (F.col("n_xy").cast("double") / F.col("n2"))
+                    / (
+                        (F.col("n_x").cast("double") / F.col("n1"))
+                        * (F.col("n_y").cast("double") / F.col("n1"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(int(top_k))

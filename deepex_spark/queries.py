@@ -2976,6 +2976,50 @@ def quality_rare_bigrams(spark, sf_dir):
 
 
 @register(
+    "quality_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    big AS (
+      SELECT l[i] AS w1, l[i+1] AS w2
+      FROM toks, unnest(generate_series(1, len(l) - 1)) AS t(i)
+      WHERE l[i] <> '' AND l[i+1] <> ''
+    ),
+    nxy AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+      FROM big GROUP BY w1, w2 HAVING count(*) >= 5
+    ),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(l) AS w FROM toks) WHERE w <> '' GROUP BY w
+    ),
+    n1 AS (SELECT CAST(sum(n) AS BIGINT) AS v FROM uni),
+    n2 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM big)
+    SELECT nxy.w1, nxy.w2, n_xy,
+           round(ln((CAST(n_xy AS DOUBLE) / (SELECT v FROM n2))
+                 / ((CAST(u1.n AS DOUBLE) / (SELECT v FROM n1))
+                    * (CAST(u2.n AS DOUBLE) / (SELECT v FROM n1)))), 6) AS pmi
+    FROM nxy JOIN uni u1 ON u1.w = nxy.w1 JOIN uni u2 ON u2.w = nxy.w2
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 100
+    """,
+)
+def quality_collocations(spark, sf_dir):
+    """Top-100 adjacent-token collocations by PMI with support >= 5
+    (operators/curate.py::pmi_collocations) — Church & Hanks phrase
+    mining over the documents table, the standard multiword-expression
+    vocabulary pass. Counts are exact BIGINTs; the one float expression
+    is shared verbatim with the oracle and rounded before the
+    (pmi, w1, w2) total-tie-break top-k."""
+    from deepex_spark.operators.curate import pmi_collocations
+
+    return pmi_collocations(
+        load(spark, sf_dir, "documents"), min_count=5, top_k=100
+    )
+
+
+@register(
     "doc_chunks",
     oracle="""
     WITH toks AS (

@@ -913,3 +913,34 @@ def test_event_transitions_exact(spark):
         ("B", "B"): (1, 0.5),
         ("B", "C"): (1, 0.5),
     }
+
+
+def test_pmi_collocations_exact(spark):
+    """Hand-computed PMI on a 2-doc corpus: counts, the shared float
+    expression, min_count filtering and the (pmi, w1, w2) order."""
+    import math
+
+    from deepex_spark.operators.curate import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    # unigrams: a=3 b=3 c=1, N1=7; bigrams: (a,b)x3 (b,a) (b,c), N2=5
+    def pmi(nxy, nx, ny):
+        return round(math.log((nxy / 5) / ((nx / 7) * (ny / 7))), 6)
+
+    got = [
+        (r["w1"], r["w2"], r["n_xy"], r["pmi"])
+        for r in pmi_collocations(docs, min_count=1, top_k=10).collect()
+    ]
+    expect = sorted(
+        [
+            ("a", "b", 3, pmi(3, 3, 3)),
+            ("b", "a", 1, pmi(1, 3, 3)),
+            ("b", "c", 1, pmi(1, 3, 1)),
+        ],
+        key=lambda t: (-t[3], t[0], t[1]),
+    )
+    assert got == expect
+    only = pmi_collocations(docs, min_count=2, top_k=10).collect()
+    assert [(r["w1"], r["w2"]) for r in only] == [("a", "b")]
