@@ -69,6 +69,9 @@ CURATION = [
     "quality_rare_bigrams",
     "dedup_paragraphs",
     "dedup_dup_spans",
+    "quality_readability",
+    "quality_collocations",
+    "events_transitions",
 ]
 
 # round-5 temporal/serving/graph KG layer — `--graph`, own metric name;
@@ -122,6 +125,8 @@ GRAPH = [
     # structural link-pred + seed-relative relatedness (sf-scaled)
     "kg_link_pred_heuristic",
     "kg_ppr",
+    "kg_assortativity",
+    "kg_biblio_coupling",
 ]
 
 # vector-index layer — `--ann`, own metric name; snapshot in BENCH/ANN.md.
@@ -136,6 +141,7 @@ ANN = [
     "ann_ivf_recall_trained",
     "dedup_embedding_lsh",
     "multimodal_feature_ann",
+    "ann_rrf_fusion",
 ]
 
 
