@@ -72,6 +72,7 @@ CURATION = [
     "quality_readability",
     "quality_collocations",
     "events_transitions",
+    "events_ewma",
 ]
 
 # round-5 temporal/serving/graph KG layer — `--graph`, own metric name;

@@ -1076,3 +1076,47 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(int(top_k))
+
+
+def ewma_smooth(
+    events: DataFrame,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    horizon: int = 8,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Fixed-horizon EWMA smoothing of a per-user metric stream ->
+    input rows + ``ewma``: the exponentially weighted mean of the last
+    ``horizon`` observations, ``sum_k w_k * value_{t-k} / sum_k w_k``
+    with ``w_k = (1-alpha)^k`` over the observations actually present
+    (warm-up rows normalize over their shorter prefix — pandas
+    ``ewm(adjust=True)`` semantics, truncated at the horizon). The
+    standard smoothed-baseline primitive for rate/latency monitoring,
+    as a row-local expression rather than a stateful scan.
+
+    Determinism: the horizon is UNROLLED into one fixed expression tree
+    of ``lag()`` terms — weight literals, left-associative additions,
+    one division, one rounding — which an ANSI oracle can reproduce
+    token-for-token, so float equality is exact (the repo's shared-
+    expression-tree convention; an unbounded recursive EWMA would fold
+    in engine-chosen order and drift). Unlike a collect_list +
+    higher-order-function fold, lag() stays whole-stage-codegen'd and
+    allocates no per-row arrays.
+
+    Scale: ONE window exchange on the user key (AQE splits bot users);
+    the ``horizon`` lag() columns share that single sort — Spark plans
+    one Window node computing all eight, not eight passes. Output is
+    row-per-input, no aggregation, no second shuffle.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    v = F.col(value_col)
+    num = v * F.lit(1.0)
+    den = F.lit(1.0)
+    for k in range(1, int(horizon)):
+        wk = (1.0 - alpha) ** k
+        lk = F.lag(value_col, k).over(w)
+        num = num + F.coalesce(lk, F.lit(0.0)) * F.lit(wk)
+        den = den + F.when(lk.isNull(), F.lit(0.0)).otherwise(F.lit(wk))
+    return events.withColumn("ewma", F.round(num / den, 6))

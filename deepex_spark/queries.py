@@ -2695,6 +2695,48 @@ def events_transitions(spark, sf_dir):
 
 
 @register(
+    "events_ewma",
+    oracle="""
+    SELECT event_id, user_id, value,
+           round(
+             (value * 1.0
+              + coalesce(lag(value, 1) OVER w, 0.0) * 0.7
+              + coalesce(lag(value, 2) OVER w, 0.0) * 0.48999999999999994
+              + coalesce(lag(value, 3) OVER w, 0.0) * 0.3429999999999999
+              + coalesce(lag(value, 4) OVER w, 0.0) * 0.24009999999999995
+              + coalesce(lag(value, 5) OVER w, 0.0) * 0.16806999999999994
+              + coalesce(lag(value, 6) OVER w, 0.0) * 0.11764899999999996
+              + coalesce(lag(value, 7) OVER w, 0.0) * 0.08235429999999996)
+             /
+             (1.0
+              + CASE WHEN lag(value, 1) OVER w IS NULL THEN 0.0 ELSE 0.7 END
+              + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0.0 ELSE 0.48999999999999994 END
+              + CASE WHEN lag(value, 3) OVER w IS NULL THEN 0.0 ELSE 0.3429999999999999 END
+              + CASE WHEN lag(value, 4) OVER w IS NULL THEN 0.0 ELSE 0.24009999999999995 END
+              + CASE WHEN lag(value, 5) OVER w IS NULL THEN 0.0 ELSE 0.16806999999999994 END
+              + CASE WHEN lag(value, 6) OVER w IS NULL THEN 0.0 ELSE 0.11764899999999996 END
+              + CASE WHEN lag(value, 7) OVER w IS NULL THEN 0.0 ELSE 0.08235429999999996 END),
+             6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_ewma(spark, sf_dir):
+    """Fixed-horizon (8-observation) EWMA smoothing of the per-user
+    ``value`` stream (operators/curate.py::ewma_smooth, alpha=0.3):
+    the warm-up-normalized exponentially weighted mean, unrolled into
+    one lag() expression tree whose weight literals, association order
+    and single rounding the oracle reproduces token-for-token — exact
+    float equality, no fold-order drift. One window exchange on the
+    user key; all eight lags share the one sort."""
+    from deepex_spark.operators.curate import ewma_smooth
+
+    return ewma_smooth(load(spark, sf_dir, "events")).select(
+        "event_id", "user_id", "value", "ewma"
+    )
+
+
+@register(
     "events_sessionize",
     oracle="""
     WITH ordered AS (

@@ -944,3 +944,46 @@ def test_pmi_collocations_exact(spark):
     assert got == expect
     only = pmi_collocations(docs, min_count=2, top_k=10).collect()
     assert [(r["w1"], r["w2"]) for r in only] == [("a", "b")]
+
+
+def test_ewma_smooth_exact(spark):
+    """Hand-computed fixed-horizon EWMA: warm-up normalization over the
+    present prefix, the (1-alpha)^k weight ladder, per-user isolation."""
+    rows = [
+        (0, 1, "2024-01-01T00:00:00", 10.0),
+        (1, 1, "2024-01-01T00:01:00", 20.0),
+        (2, 1, "2024-01-01T00:02:00", 30.0),
+        (3, 2, "2024-01-01T00:00:30", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    from deepex_spark.operators.curate import ewma_smooth
+
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in ewma_smooth(df, horizon=8, alpha=0.3).collect()
+    }
+    # user 1: t0 = 10; t1 = (20 + 0.7*10)/1.7; t2 = (30 + 0.7*20 + 0.49*10)/2.19
+    assert got[0] == 10.0
+    assert got[1] == round((20 + 0.7 * 10) / 1.7, 6)
+    assert got[2] == round((30 + 0.7 * 20 + 0.49 * 10) / 2.19, 6)
+    # user 2 is untouched by user 1's history
+    assert got[3] == 5.0
+
+
+def test_ewma_smooth_horizon_truncates(spark):
+    """Observations older than the horizon drop out entirely: with
+    horizon=2 the smoothed value depends on the last two rows only."""
+    rows = [(i, 1, f"2024-01-01T00:0{i}:00", float(v)) for i, v in enumerate([100, 0, 0])]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    from deepex_spark.operators.curate import ewma_smooth
+
+    got = {r["event_id"]: r["ewma"] for r in ewma_smooth(df, horizon=2, alpha=0.3).collect()}
+    # row 2: window = rows 1..2 (values 0, 0) — the 100 at t0 is gone
+    assert got[2] == 0.0
+    assert got[1] == round((0 + 0.7 * 100) / 1.7, 6)
