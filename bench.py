@@ -73,6 +73,7 @@ CURATION = [
     "quality_collocations",
     "events_transitions",
     "events_ewma",
+    "bm25_topk",
 ]
 
 # round-5 temporal/serving/graph KG layer — `--graph`, own metric name;

@@ -1120,3 +1120,75 @@ def ewma_smooth(
         num = num + F.coalesce(lk, F.lit(0.0)) * F.lit(wk)
         den = den + F.when(lk.isNull(), F.lit(0.0)).otherwise(F.lit(wk))
     return events.withColumn("ewma", F.round(num / den, 6))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Okapi BM25 retrieval (Robertson & Walker 1994) of the ``top_k``
+    documents per query -> ``(query_id, doc_id, n_terms, bm25, rk)``:
+    ``queries`` is a ``(query_id, term)`` bag; each matched (query, doc,
+    term) contributes ``idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``
+    with the Lucene-shaped ``idf = ln(1 + (N-df+0.5)/(df+0.5))`` (always
+    positive, so stopword-heavy queries cannot produce negative terms).
+    The sparse arm of hybrid retrieval — compose with ann_cosine_topk
+    via ``rrf_fuse``-style rank fusion.
+
+    Determinism: the per-term score is ONE fixed expression tree over
+    exact integers (tf, df, dl, N) plus the corpus scalar avgdl, rounded
+    to integer MICRO-UNITS (1e-6) before the per-(query, doc) sum — so
+    the sum is exact BIGINT arithmetic, immune to fold order, and the
+    oracle reproduces it token-for-token. The repo's rounded-before-
+    aggregation convention taken one step further: rounding to integers
+    makes even the aggregation itself order-free.
+
+    Scale: tf/df/dl are the same map-side-combined aggregates tfidf
+    builds (df derived FROM tf, dl FROM the same token explode — one
+    corpus scan); the query-term join broadcasts the query bag (queries
+    are small by definition; pass ``broadcast_queries=False`` for
+    offline mega-batches, where AQE picks the strategy); N and avgdl
+    are driver scalars (two counts, no rows). The final window is
+    per-query, WindowGroupLimit-pruned to ``top_k`` rows.
+    """
+    terms = docs.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term")
+    ).where(F.length("term") > 0)
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dl = terms.groupBy(id_col).agg(F.count("*").alias("dl"))
+    n_docs = docs.select(id_col).distinct().count()
+    total_tokens = terms.count()
+    avgdl = total_tokens / n_docs
+    q = F.broadcast(queries) if broadcast_queries else queries
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    micro = F.round(idf * tf_part * F.lit(1000000.0)).cast("long")
+    matched = (
+        tf.join(q, "term")
+        .join(df, "term")
+        .join(dl, id_col)
+        .select("query_id", F.col(id_col), micro.alias("micro"))
+    )
+    agg = matched.groupBy("query_id", id_col).agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.sum("micro") / F.lit(1000000.0), 6).alias("bm25"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc(id_col))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= int(top_k))
+        .select("query_id", id_col, "n_terms", "bm25", "rk")
+    )

@@ -4532,6 +4532,73 @@ def tfidf_topk(spark, sf_dir):
     return tfidf_terms(load(spark, sf_dir, "documents"), "doc_id", "text", top_k=5)
 
 
+@register(
+    "bm25_topk",
+    oracle="""
+    WITH q(query_id, term) AS (
+      VALUES (CAST(1 AS BIGINT), 'table'), (CAST(1 AS BIGINT), 'scan'),
+             (CAST(2 AS BIGINT), 'hash'),  (CAST(2 AS BIGINT), 'join'),
+             (CAST(3 AS BIGINT), 'window'), (CAST(3 AS BIGINT), 'agg'),
+             (CAST(3 AS BIGINT), 'row')
+    ),
+    terms AS (
+      SELECT doc_id, lower(unnest(string_split_regex(text, '\\s+'))) AS term
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    av AS (SELECT (SELECT count(*) FROM tok) / (SELECT n_docs FROM n) AS avgdl),
+    matched AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(round(
+               ln(1.0 + (CAST((SELECT n_docs FROM n) AS DOUBLE) - df.df + 0.5)
+                        / (df.df + 0.5))
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM av))))
+               * 1000000.0) AS BIGINT) AS micro
+      FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    ),
+    agg AS (
+      SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+             round(sum(micro) / 1000000.0, 6) AS bm25
+      FROM matched GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY bm25 DESC, doc_id ASC) AS rk
+      FROM agg
+    )
+    SELECT query_id, doc_id, n_terms, bm25, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-10 documents per query over a fixed 3-query bag
+    (operators/curate.py::bm25_topk, k1=1.2 b=0.75, Lucene-shaped
+    non-negative idf) — the sparse arm of hybrid retrieval. The
+    per-term score is one fixed expression tree over exact integers
+    plus the avgdl scalar, rounded to integer micro-units BEFORE the
+    per-(query, doc) sum, so the aggregation is exact BIGINT
+    arithmetic — order-free on both engines, oracle token-identical."""
+    from deepex_spark.operators.curate import bm25_topk as _bm25
+
+    qset = spark.createDataFrame(
+        [
+            (1, "table"), (1, "scan"),
+            (2, "hash"), (2, "join"),
+            (3, "window"), (3, "agg"), (3, "row"),
+        ],
+        "query_id long, term string",
+    )
+    return _bm25(load(spark, sf_dir, "documents"), qset)
+
+
 # -- MinHash / SimHash / n-gram Jaccard dedup (oracle SQL is generated with
 #    the same seeded hash constants the Spark operators use) ----------------
 

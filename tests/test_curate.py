@@ -987,3 +987,28 @@ def test_ewma_smooth_horizon_truncates(spark):
     # row 2: window = rows 1..2 (values 0, 0) — the 100 at t0 is gone
     assert got[2] == 0.0
     assert got[1] == round((0 + 0.7 * 100) / 1.7, 6)
+
+
+def test_bm25_topk_exact(spark):
+    """Hand-computed BM25 on a 2-doc corpus: Lucene-shaped idf, length
+    normalization, micro-unit integer summation, per-query rank."""
+    import math
+
+    from deepex_spark.operators.curate import bm25_topk
+
+    docs = spark.createDataFrame([(1, "a b a"), (2, "b c")], "doc_id long, text string")
+    qs = spark.createDataFrame([(1, "a"), (1, "b")], "query_id long, term string")
+
+    def micro(tf, df, dl, n=2, avgdl=2.5, k1=1.2, b=0.75):
+        idf = math.log(1.0 + (float(n) - df + 0.5) / (df + 0.5))
+        part = (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+        return round(idf * part * 1000000.0)
+
+    d1 = round((micro(2, 1, 3) + micro(1, 2, 3)) / 1000000.0, 6)
+    d2 = round(micro(1, 2, 2) / 1000000.0, 6)
+    got = [
+        (r["query_id"], r["doc_id"], r["n_terms"], r["bm25"], r["rk"])
+        for r in bm25_topk(docs, qs).orderBy("rk").collect()
+    ]
+    assert got == [(1, 1, 2, d1, 1), (1, 2, 1, d2, 2)]
+    assert d1 > d2  # the doc matching both terms outranks the single-match doc
