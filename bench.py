@@ -144,6 +144,7 @@ ANN = [
     "dedup_embedding_lsh",
     "multimodal_feature_ann",
     "ann_rrf_fusion",
+    "hybrid_retrieval",
 ]
 
 

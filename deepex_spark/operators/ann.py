@@ -459,3 +459,58 @@ def pq_adc_topk(
     return ranked.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= topk
     )
+
+
+def rrf_fuse(
+    rankings: list[tuple[str, DataFrame]],
+    query_col: str = "query_id",
+    item_col: str = "doc_id",
+    rank_col: str = "rk",
+    k_rrf: int = 60,
+    top_k: int = 5,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N independent rank lists (Cormack et
+    al. 2009) -> ``(query_id, doc_id, r_<name>..., rrf, rk)``: each
+    input is a ``(query, item, rank)`` list from one ranker; the fused
+    score is ``sum_i 1/(k_rrf + rank_i)`` over the rankers that
+    returned the item (absent rankers contribute 0 — RRF over the
+    union, the standard hybrid-retrieval combiner for sparse + dense
+    arms that don't share a score scale).
+
+    Determinism: input ranks are exact integers (each ranker's own
+    contract), the fused score is rational in those integers with the
+    coalesce/addition tree fixed left-to-right, rounded once before
+    the output rank — an ANSI oracle reproduces it token-for-token.
+
+    Scale: rank lists are top-k-per-query already (tiny relative to
+    their corpora); the fusion is an N-way full outer join on the
+    (query, item) key followed by one per-query window. At crawl scale
+    every input arrives pre-truncated (WindowGroupLimit in the arm
+    plans), so the join and window touch O(queries x k x N) rows, never
+    a corpus."""
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse needs at least two rank lists")
+    fused = None
+    names = []
+    for name, df in rankings:
+        names.append(name)
+        side = df.select(
+            F.col(query_col),
+            F.col(item_col),
+            F.col(rank_col).alias(f"r_{name}"),
+        )
+        fused = side if fused is None else fused.join(
+            side, [query_col, item_col], "full_outer"
+        )
+    score = F.lit(0.0)
+    for name in names:
+        score = score + F.coalesce(
+            F.lit(1.0) / (F.lit(int(k_rrf)) + F.col(f"r_{name}")), F.lit(0.0)
+        )
+    fused = fused.withColumn("rrf", F.round(score, 6))
+    w = Window.partitionBy(query_col).orderBy(F.desc("rrf"), F.asc(item_col))
+    return (
+        fused.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= int(top_k))
+        .select(query_col, item_col, *[f"r_{n}" for n in names], "rrf", "rk")
+    )

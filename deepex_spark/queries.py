@@ -4599,6 +4599,142 @@ def bm25_topk(spark, sf_dir):
     return _bm25(load(spark, sf_dir, "documents"), qset)
 
 
+@register(
+    "hybrid_retrieval",
+    oracle="""
+    WITH q(query_id, term) AS (
+      VALUES (CAST(1 AS BIGINT), 'table'), (CAST(1 AS BIGINT), 'scan'),
+             (CAST(2 AS BIGINT), 'hash'),  (CAST(2 AS BIGINT), 'join'),
+             (CAST(3 AS BIGINT), 'window'), (CAST(3 AS BIGINT), 'agg'),
+             (CAST(3 AS BIGINT), 'row')
+    ),
+    terms AS (
+      SELECT doc_id, lower(unnest(string_split_regex(text, '\\s+'))) AS term
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    av AS (SELECT (SELECT count(*) FROM tok) / (SELECT n_docs FROM n) AS avgdl),
+    matched AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(round(
+               ln(1.0 + (CAST((SELECT n_docs FROM n) AS DOUBLE) - df.df + 0.5)
+                        / (df.df + 0.5))
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM av))))
+               * 1000000.0) AS BIGINT) AS micro
+      FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+    ),
+    bm_agg AS (
+      SELECT query_id, doc_id, round(sum(micro) / 1000000.0, 6) AS bm25
+      FROM matched GROUP BY query_id, doc_id
+    ),
+    sparse AS (
+      SELECT query_id, doc_id, CAST(rk AS INT) AS rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY bm25 DESC, doc_id ASC) AS rk
+        FROM bm_agg) z WHERE rk <= 10
+    ),
+    dpairs AS (
+      SELECT qv.vec_id - 100 AS query_id, nv.vec_id AS doc_id,
+             list_dot_product(CAST(qv.embedding AS DOUBLE[]),
+                              CAST(nv.embedding AS DOUBLE[])) AS dot,
+             list_dot_product(CAST(qv.embedding AS DOUBLE[]),
+                              CAST(qv.embedding AS DOUBLE[])) AS qq,
+             list_dot_product(CAST(nv.embedding AS DOUBLE[]),
+                              CAST(nv.embedding AS DOUBLE[])) AS nn
+      FROM embeddings qv JOIN embeddings nv ON nv.vec_id != qv.vec_id
+      WHERE qv.vec_id IN (101, 102, 103)
+    ),
+    dense AS (
+      SELECT query_id, doc_id, CAST(rk AS INT) AS rk FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot / (sqrt(qq) * sqrt(nn)) DESC,
+                                           doc_id ASC) AS rk
+        FROM dpairs) z WHERE rk <= 10
+    ),
+    fused AS (
+      SELECT coalesce(s.query_id, d.query_id) AS query_id,
+             coalesce(s.doc_id, d.doc_id) AS doc_id,
+             s.rk AS r_bm25, d.rk AS r_cos,
+             round(0.0 + coalesce(1.0 / (60 + s.rk), 0.0)
+                       + coalesce(1.0 / (60 + d.rk), 0.0), 6) AS rrf
+      FROM sparse s FULL OUTER JOIN dense d
+        ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, r_bm25, r_cos, rrf, CAST(rk AS INT) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id ASC) AS rk
+      FROM fused) z WHERE rk <= 5
+    """,
+)
+def hybrid_retrieval(spark, sf_dir):
+    """End-to-end hybrid retrieval: the BM25 sparse arm (the 3-query
+    bag of bm25_topk, top-10) fused with a dense cosine arm (query
+    vectors = embeddings 101-103, the dense representation of the
+    corresponding documents; vec_id/doc_id are aligned ids in this
+    corpus) via operators/ann.py::rrf_fuse at k=60, top-5 per query —
+    the sparse+dense combiner every modern retrieval stack ships.
+    Ranks are exact integers on both engines (BM25 by micro-unit
+    integer scoring, cosine by the sequence-order fold convention);
+    the RRF score is rational in those integers, rounded once. Both
+    arms arrive pre-truncated, so the fusion join touches
+    O(queries x k) rows regardless of corpus size."""
+    from deepex_spark.operators.ann import rrf_fuse
+    from deepex_spark.operators.curate import bm25_topk as _bm25
+
+    qset = spark.createDataFrame(
+        [
+            (1, "table"), (1, "scan"),
+            (2, "hash"), (2, "join"),
+            (3, "window"), (3, "agg"), (3, "row"),
+        ],
+        "query_id long, term string",
+    )
+    sparse = _bm25(load(spark, sf_dir, "documents"), qset).select(
+        "query_id", "doc_id", "rk"
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qv = emb.filter(F.col("vec_id").isin(101, 102, 103)).select(
+        (F.col("vec_id") - 100).alias("query_id"),
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("qv"),
+    )
+    nv = emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("nv"))
+    dot = "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    qq = "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    nn = "aggregate(zip_with(nv, nv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    pairs = (
+        nv.crossJoin(F.broadcast(qv))
+        .filter(F.col("doc_id") != F.col("q_vec_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(dot).alias("dot"),
+            F.expr(qq).alias("qq"),
+            F.expr(nn).alias("nn"),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc(F.col("dot") / (F.sqrt("qq") * F.sqrt("nn"))), F.asc("doc_id")
+    )
+    dense = (
+        pairs.withColumn("rk", F.row_number().over(w_cos))
+        .where(F.col("rk") <= 10)
+        .select("query_id", "doc_id", "rk")
+    )
+    return rrf_fuse([("bm25", sparse), ("cos", dense)])
+
+
 # -- MinHash / SimHash / n-gram Jaccard dedup (oracle SQL is generated with
 #    the same seeded hash constants the Spark operators use) ----------------
 

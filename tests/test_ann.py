@@ -339,3 +339,37 @@ def test_rrf_fusion_exact(spark, tmp_path):
         (10, 1, 3, rrf(1, 3)),
         (12, 3, 2, rrf(3, 2)),
     ]
+
+
+def test_rrf_fuse_union_and_order(spark):
+    """RRF over the union of two arms: items missing from one arm get
+    that arm's contribution as 0; ties in rrf break by item id; each
+    query keeps top_k rows."""
+    sparse = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rk int"
+    )
+    dense = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], "query_id long, doc_id long, rk int"
+    )
+    from deepex_spark.operators.ann import rrf_fuse
+
+    got = [
+        (r["doc_id"], r["r_a"], r["r_b"], r["rrf"], r["rk"])
+        for r in rrf_fuse([("a", sparse), ("b", dense)], top_k=3)
+        .orderBy("rk")
+        .collect()
+    ]
+    r11 = round(1 / 62 + 1 / 61, 6)
+    r10 = round(1 / 61, 6)
+    r12 = round(1 / 62, 6)
+    # doc 11 appears in both arms and wins; 10 beats 12 (rank 1 vs 2)
+    assert got == [(11, 2, 1, r11, 1), (10, 1, None, r10, 2), (12, None, 2, r12, 3)]
+
+
+def test_rrf_fuse_needs_two(spark):
+    import pytest as _pytest
+
+    from deepex_spark.operators.ann import rrf_fuse
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([("only", spark.range(1))])
