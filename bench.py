@@ -129,6 +129,7 @@ GRAPH = [
     "kg_ppr",
     "kg_assortativity",
     "kg_biblio_coupling",
+    "kg_clustering_coef",
 ]
 
 # vector-index layer — `--ann`, own metric name; snapshot in BENCH/ANN.md.

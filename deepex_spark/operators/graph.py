@@ -1247,3 +1247,78 @@ def negative_samples(pos: DataFrame) -> DataFrame:
         .otherwise(F.col("wrap_obj"))
         .alias("neg_obj"),
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-vertex local clustering coefficient over an undirected graph
+    -> ``(vertex, deg, n_tri, lcc)`` with ``lcc = 2*t / (deg*(deg-1))``
+    (Watts & Strogatz 1998), 0 for degree<2 vertices — "how clique-like
+    is this node's neighbourhood", the standard per-node companion to
+    the global triangle count (spam-farm and boilerplate-hub link
+    neighbourhoods score near 1, organic pages much lower).
+
+    Same degree-oriented wedge enumeration as ``triangle_count`` (each
+    triangle found exactly once at its minimum-(degree, id) apex, so
+    hub wedge fan-out stays O(sqrt(m))); the one addition is emitting
+    the triangle's THREE corners before the per-vertex count — a 3x
+    row multiplier on the (small) triangle set, then one
+    map-side-combinable aggregate and a left join back onto the degree
+    table (AQE broadcasts the triangle-count side when it fits).
+    Determinism: every column is exact integer arithmetic; the lcc is
+    one fixed rational expression over (t, deg), rounded once.
+    """
+    und = _undirected(edges, src, dst).localCheckpoint(eager=True)
+    deg = (
+        und.select(F.col("a").alias("x"))
+        .union(und.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("deg"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    a_first = (F.col("da.deg") < F.col("db.deg")) | (
+        (F.col("da.deg") == F.col("db.deg")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, und["a"] == F.col("da.x"))
+        .join(db, und["b"] == F.col("db.x"))
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.when(a_first, F.col("db.deg")).otherwise(F.col("da.deg")).alias("dhi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    o1 = oriented.hint("shuffle_hash").alias("o1")
+    o2 = oriented.alias("o2")
+    o3 = oriented.hint("shuffle_hash").alias("o3")
+    hi_lt = (F.col("o1.dhi") < F.col("o2.dhi")) | (
+        (F.col("o1.dhi") == F.col("o2.dhi")) & (F.col("o1.hi") < F.col("o2.hi"))
+    )
+    tri = (
+        o1.join(o2, (F.col("o1.lo") == F.col("o2.lo")) & hi_lt)
+        .join(o3, (F.col("o3.lo") == F.col("o1.hi")) & (F.col("o3.hi") == F.col("o2.hi")))
+        .select(F.col("o1.lo").alias("v1"), F.col("o1.hi").alias("v2"), F.col("o2.hi").alias("v3"))
+    )
+    tc = (
+        tri.select(F.col("v1").alias("x"))
+        .union(tri.select(F.col("v2").alias("x")))
+        .union(tri.select(F.col("v3").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    joined = deg.join(tc, "x", "left").select(
+        F.col("x").alias("vertex"),
+        "deg",
+        F.coalesce(F.col("n_tri"), F.lit(0).cast("long")).alias("n_tri"),
+    )
+    lcc = F.when(
+        F.col("deg") >= 2,
+        F.round(
+            F.lit(2.0) * F.col("n_tri") / (F.col("deg") * (F.col("deg") - 1)), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn("lcc", lcc)

@@ -2257,6 +2257,63 @@ def kg_triangle_count(spark, sf_dir):
     return triangle_count(_part_cooccurrence_edges(spark, sf_dir))
 
 
+@register(
+    "kg_clustering_coef",
+    oracle="""
+    WITH und AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                      greatest(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT x, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT a AS x FROM und UNION ALL SELECT b AS x FROM und
+      ) t GROUP BY x
+    ),
+    o AS (
+      SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS lo,
+             CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS hi,
+             CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+                  THEN db.deg ELSE da.deg END AS dhi
+      FROM und u JOIN deg da ON da.x = u.a JOIN deg db ON db.x = u.b
+    ),
+    tri AS (
+      SELECT o1.lo AS v1, o1.hi AS v2, o2.hi AS v3
+      FROM o o1 JOIN o o2
+        ON o1.lo = o2.lo AND ((o1.dhi < o2.dhi) OR (o1.dhi = o2.dhi AND o1.hi < o2.hi))
+      JOIN o o3 ON o3.lo = o1.hi AND o3.hi = o2.hi
+    ),
+    tc AS (
+      SELECT x, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        SELECT v1 AS x FROM tri UNION ALL SELECT v2 AS x FROM tri
+        UNION ALL SELECT v3 AS x FROM tri
+      ) t GROUP BY x
+    )
+    SELECT d.x AS vertex, d.deg,
+           coalesce(tc.n_tri, CAST(0 AS BIGINT)) AS n_tri,
+           CASE WHEN d.deg >= 2
+                THEN round(2.0 * coalesce(tc.n_tri, CAST(0 AS BIGINT))
+                           / (d.deg * (d.deg - 1)), 6)
+                ELSE 0.0 END AS lcc
+    FROM deg d LEFT JOIN tc ON tc.x = d.x
+    """,
+)
+def kg_clustering_coef(spark, sf_dir):
+    """Per-vertex local clustering coefficient
+    (operators/graph.py::clustering_coefficients) over the part
+    co-occurrence graph — the same degree-oriented wedge enumeration as
+    kg_triangle_count, plus the 3-corner emission and per-vertex count.
+    All columns exact integers except the final rational lcc, rounded
+    once; the oracle re-derives orientation + wedge-close + corner
+    counts in DuckDB SQL."""
+    from deepex_spark.operators.graph import clustering_coefficients
+
+    return clustering_coefficients(_part_cooccurrence_edges(spark, sf_dir))
+
+
 def _kcore_oracle(k: int, n_rounds: int) -> str:
     """Unrolled fixed-iteration k-core peel in DuckDB SQL — one
     (vertex-filter, edge-filter) CTE pair per round over the part

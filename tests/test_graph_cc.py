@@ -459,3 +459,35 @@ def test_directed_overlap_fanout_cutoff(spark):
     }
     # hub 99 excluded: (1,2) share only {10,11}; deg stays 3 each
     assert cut == {(1, 2): (2, round(2 / 4, 6))}
+
+
+def test_clustering_coefficients_kite(spark):
+    """Hand-computed lcc on a kite (triangle 1-2-3 plus pendant 3-4):
+    triangle corners score 1.0 / 1.0 / 1/3, the pendant scores 0."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    from deepex_spark.operators.graph import clustering_coefficients
+
+    got = {
+        r["vertex"]: (r["deg"], r["n_tri"], r["lcc"])
+        for r in clustering_coefficients(edges).collect()
+    }
+    assert got == {
+        1: (2, 1, 1.0),
+        2: (2, 1, 1.0),
+        3: (3, 1, round(2.0 * 1 / (3 * 2), 6)),
+        4: (1, 0, 0.0),
+    }
+
+
+def test_clustering_coefficients_direction_and_dupes(spark):
+    """Duplicate and reversed edges collapse to one undirected edge
+    before any counting; self-loops drop."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)], "src long, dst long"
+    )
+    from deepex_spark.operators.graph import clustering_coefficients
+
+    got = {r["vertex"]: (r["deg"], r["lcc"]) for r in clustering_coefficients(edges).collect()}
+    assert got == {1: (2, 1.0), 2: (2, 1.0), 3: (2, 1.0)}
