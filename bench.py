@@ -74,6 +74,7 @@ CURATION = [
     "events_transitions",
     "events_ewma",
     "bm25_topk",
+    "events_sequences",
 ]
 
 # round-5 temporal/serving/graph KG layer — `--graph`, own metric name;

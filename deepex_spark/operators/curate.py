@@ -1192,3 +1192,48 @@ def bm25_topk(
         .where(F.col("rk") <= int(top_k))
         .select("query_id", id_col, "n_terms", "bm25", "rk")
     )
+
+
+def frequent_sequences(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    state_col: str = "event_type",
+    length: int = 3,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k frequent CONTIGUOUS event sequences of a fixed length per
+    the whole corpus -> ``(s1..sN, n, rk)``: the classic clickstream
+    path-mining primitive (what 3-step flows dominate the product?),
+    the fixed-length contiguous special case of PrefixSpan — which is
+    the variant that scales: gap-allowing subsequence mining is
+    exponential in candidates, while contiguous windows are one lead()
+    chain, linear in the event log.
+
+    Determinism: per-user ordering ties on ``ts_col`` break by the
+    unique ``order_col`` (the sessionize/transitions convention);
+    counts are exact BIGINTs; the (n DESC, s1..sN ASC) rank is total.
+
+    Scale: ONE window exchange on the user key — all ``length-1``
+    leads share the single sort (Spark compiles them into one Window
+    node); the count is map-side combinable on the sequence tuple; the
+    final cut is a TakeOrderedAndProject, no second wide shuffle.
+    Sequences never cross users; they DO cross session gaps (compose
+    with ``sessionize`` output keyed by session_id if gap semantics
+    are wanted — same contract as ``event_transitions``).
+    """
+    if length < 2:
+        raise ValueError("sequence length must be >= 2")
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    cols = [F.col(state_col).alias("s1")] + [
+        F.lead(state_col, k).over(w).alias(f"s{k + 1}") for k in range(1, int(length))
+    ]
+    names = [f"s{i + 1}" for i in range(int(length))]
+    seq = events.select(*cols).where(
+        F.col(names[-1]).isNotNull()
+    )
+    counted = seq.groupBy(*names).agg(F.count("*").alias("n"))
+    ordered = counted.orderBy(F.desc("n"), *[F.asc(c) for c in names]).limit(int(top_k))
+    w_rk = Window.orderBy(F.desc("n"), *[F.asc(c) for c in names])
+    return ordered.withColumn("rk", F.row_number().over(w_rk))

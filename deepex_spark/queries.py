@@ -2752,6 +2752,38 @@ def events_transitions(spark, sf_dir):
 
 
 @register(
+    "events_sequences",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS s1,
+             lead(event_type, 1) OVER w AS s2,
+             lead(event_type, 2) OVER w AS s3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    counted AS (
+      SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE s3 IS NOT NULL GROUP BY s1, s2, s3
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY n DESC, s1 ASC, s2 ASC, s3 ASC) AS rk
+      FROM counted
+    )
+    SELECT s1, s2, s3, n, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 50
+    """,
+)
+def events_sequences(spark, sf_dir):
+    """Top-50 contiguous 3-step event sequences corpus-wide
+    (operators/curate.py::frequent_sequences) — fixed-length contiguous
+    path mining, the PrefixSpan special case that stays linear in the
+    event log: one user-key window sort shared by both leads, exact
+    BIGINT counts, total (n DESC, s1..s3 ASC) rank."""
+    from deepex_spark.operators.curate import frequent_sequences
+
+    return frequent_sequences(load(spark, sf_dir, "events"))
+
+
+@register(
     "events_ewma",
     oracle="""
     SELECT event_id, user_id, value,

@@ -1012,3 +1012,38 @@ def test_bm25_topk_exact(spark):
     ]
     assert got == [(1, 1, 2, d1, 1), (1, 2, 1, d2, 2)]
     assert d1 > d2  # the doc matching both terms outranks the single-match doc
+
+
+def test_frequent_sequences_exact(spark):
+    """Hand-computed trigram mining: contiguity within a user, cross-user
+    isolation, count ranking with lexicographic tie-break."""
+    rows = [
+        # user 1: A B C A B C  -> trigrams ABC, BCA, CAB, ABC
+        *[(i, 1, f"2024-01-01T00:0{i}:00", t) for i, t in enumerate("ABCABC")],
+        # user 2: B C A        -> BCA
+        *[(10 + i, 2, f"2024-01-01T00:0{i}:00", t) for i, t in enumerate("BCA")],
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    from deepex_spark.operators.curate import frequent_sequences
+
+    got = [
+        (r["s1"], r["s2"], r["s3"], r["n"], r["rk"])
+        for r in frequent_sequences(df).orderBy("rk").collect()
+    ]
+    assert got == [
+        ("A", "B", "C", 2, 1),
+        ("B", "C", "A", 2, 2),   # ties with ABC on n=2, loses lexicographically
+        ("C", "A", "B", 1, 3),
+    ]
+
+
+def test_frequent_sequences_length_guard(spark):
+    import pytest as _pytest
+
+    from deepex_spark.operators.curate import frequent_sequences
+
+    with _pytest.raises(ValueError):
+        frequent_sequences(spark.range(1), length=1)
