@@ -1161,10 +1161,14 @@ def bm25_topk(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term")
     ).where(F.length("term") > 0)
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # df and dl both FOLD tf rather than re-deriving the token explode:
+    # the three consumers then share one identical (doc, term) exchange
+    # subtree, which Spark dedupes via ReusedExchange — the corpus is
+    # scanned/exploded ONCE, not three times (plan-audited, EXPLAIN.md)
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    dl = terms.groupBy(id_col).agg(F.count("*").alias("dl"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     n_docs = docs.select(id_col).distinct().count()
-    total_tokens = terms.count()
+    total_tokens = dl.agg(F.sum("dl")).collect()[0][0]
     avgdl = total_tokens / n_docs
     q = F.broadcast(queries) if broadcast_queries else queries
     idf = F.log(
