@@ -131,6 +131,7 @@ GRAPH = [
     "kg_assortativity",
     "kg_biblio_coupling",
     "kg_clustering_coef",
+    "kg_components",
 ]
 
 # vector-index layer — `--ann`, own metric name; snapshot in BENCH/ANN.md.

@@ -2258,6 +2258,57 @@ def kg_triangle_count(spark, sf_dir):
 
 
 @register(
+    "kg_components",
+    oracle="""
+    WITH RECURSIVE und AS (
+      SELECT least(a.l_partkey, b.l_partkey) AS u,
+             greatest(a.l_partkey, b.l_partkey) AS w
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (SELECT u, w FROM und UNION SELECT w AS u, u AS w FROM und),
+    reach(v, lab) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym) t
+      UNION
+        SELECT s.w, r.lab FROM reach r JOIN sym s ON s.u = r.v
+        WHERE r.lab < s.w
+    )
+    SELECT v, MIN(lab) AS comp FROM reach GROUP BY v
+    """,
+)
+def kg_components(spark, sf_dir):
+    """Weakly-connected components over the SUPPORT-FILTERED part
+    co-occurrence graph (pairs co-ordered >= 2 times — the repeat-signal
+    edge set, which is also what keeps a market-basket graph from
+    collapsing into one giant hairball): min-label propagation fused
+    with pointer jumping (operators/graph.py::connected_components,
+    O(log diameter) rounds, two key-partitioned shuffles per round,
+    driver sees only a 1-row convergence probe). The oracle is an
+    INDEPENDENT recursive-CTE transitive closure with the min-label
+    pruning invariant — different algorithm, same fixpoint, so
+    agreement is meaningful."""
+    from deepex_spark.operators.graph import connected_components
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return connected_components(edges)
+
+
+@register(
     "kg_clustering_coef",
     oracle="""
     WITH und AS (
