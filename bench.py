@@ -75,6 +75,7 @@ CURATION = [
     "events_ewma",
     "bm25_topk",
     "events_sequences",
+    "events_robust_z",
 ]
 
 # round-5 temporal/serving/graph KG layer — `--graph`, own metric name;

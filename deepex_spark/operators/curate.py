@@ -1241,3 +1241,65 @@ def frequent_sequences(
     ordered = counted.orderBy(F.desc("n"), *[F.asc(c) for c in names]).limit(int(top_k))
     w_rk = Window.orderBy(F.desc("n"), *[F.asc(c) for c in names])
     return ordered.withColumn("rk", F.row_number().over(w_rk))
+
+
+def robust_zscores(
+    events: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Median/MAD robust outlier scores per group -> input keys +
+    ``(med, mad, z)`` with ``z = (v - med) / (1.4826 * mad)`` (the
+    Hampel consistency constant for Gaussian data) — the outlier score
+    that a single 10^6x spike cannot poison, unlike the mean/stddev
+    z-score (events_anomaly_zscore) whose baseline the spike itself
+    shifts. ``z`` is NULL when MAD = 0 (a majority-constant group has
+    no robust scale).
+
+    Determinism: the median is the LOWER-median ELEMENT — the row at
+    position ``(n+1) div 2`` of the (value ASC) order — not an
+    interpolated quantile: element picks are exact on both engines,
+    whereas interpolation arithmetic ``(1-f)*a + f*b`` vs
+    ``a + (b-a)*f`` differs by engine and would drift. Same pick for
+    the MAD (lower median of |v - med|). The one float expression (the
+    z rational) is a fixed tree, rounded once. row_number over tied
+    values is order-ambiguous but VALUE-unambiguous — every rank
+    permutation of equal values picks the same element value.
+
+    Scale: two window exchanges on the group key (rank + count share
+    each sort), two broadcast joins of the 1-row-per-group med/mad
+    tables back onto the stream. No collect; group skew is the window
+    exchange's problem and AQE splits it.
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    w_rn = Window.partitionBy(group_col).orderBy(value_col)
+    w_all = Window.partitionBy(group_col)
+    ranked = events.select(
+        F.col(id_col), g, v,
+        F.row_number().over(w_rn).alias("_rn"),
+        F.count("*").over(w_all).alias("_cnt"),
+    )
+    med = (
+        ranked.where(F.col("_rn") == F.expr("(_cnt + 1) div 2"))
+        .select(g.alias("_g"), v.alias("med"))
+    )
+    with_med = events.select(F.col(id_col), g, v).join(
+        F.broadcast(med), g == F.col("_g")
+    ).drop("_g").withColumn("dev", F.abs(v - F.col("med")))
+    w_rn2 = Window.partitionBy(group_col).orderBy("dev")
+    ranked2 = with_med.select(
+        "*",
+        F.row_number().over(w_rn2).alias("_rn"),
+        F.count("*").over(w_all).alias("_cnt"),
+    )
+    mad = (
+        ranked2.where(F.col("_rn") == F.expr("(_cnt + 1) div 2"))
+        .select(g.alias("_g"), F.col("dev").alias("mad"))
+    )
+    out = with_med.join(F.broadcast(mad), g == F.col("_g")).drop("_g")
+    z = F.when(
+        F.col("mad") > 0,
+        F.round((v - F.col("med")) / (F.lit(1.4826) * F.col("mad")), 6),
+    )
+    return out.select(F.col(id_col), g, v, "med", "mad", z.alias("z"))

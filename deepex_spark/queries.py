@@ -2803,6 +2803,49 @@ def events_transitions(spark, sf_dir):
 
 
 @register(
+    "events_robust_z",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_id, event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events
+    ),
+    med AS (
+      SELECT event_type AS g, value AS med FROM ranked WHERE rn = (cnt + 1) // 2
+    ),
+    wm AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS dev
+      FROM events e JOIN med m ON e.event_type = m.g
+    ),
+    r2 AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM wm
+    ),
+    mad AS (SELECT event_type AS g, dev AS mad FROM r2 WHERE rn = (cnt + 1) // 2)
+    SELECT wm.event_id, wm.event_type, wm.value, wm.med, md.mad,
+           CASE WHEN md.mad > 0
+                THEN round((wm.value - wm.med) / (1.4826 * md.mad), 6) END AS z
+    FROM wm JOIN mad md ON wm.event_type = md.g
+    """,
+)
+def events_robust_z(spark, sf_dir):
+    """Median/MAD robust outlier scores per event type
+    (operators/curate.py::robust_zscores): lower-median ELEMENT picks
+    (no quantile interpolation — the arithmetic engines disagree on),
+    exact abs-deviation picks, one fixed rational for the z, rounded
+    once, NULL where MAD = 0. The outlier score a single spike cannot
+    poison, complementing the trailing mean/stddev z
+    (events_anomaly_zscore)."""
+    from deepex_spark.operators.curate import robust_zscores
+
+    return robust_zscores(load(spark, sf_dir, "events"))
+
+
+@register(
     "events_sequences",
     oracle="""
     WITH seq AS (

@@ -1047,3 +1047,34 @@ def test_frequent_sequences_length_guard(spark):
 
     with _pytest.raises(ValueError):
         frequent_sequences(spark.range(1), length=1)
+
+
+def test_robust_zscores_exact(spark):
+    """Hand-computed median/MAD: lower-median element pick, spike
+    immunity, MAD=0 -> NULL z."""
+    rows = [
+        (0, "a", 1.0), (1, "a", 2.0), (2, "a", 3.0), (3, "a", 4.0), (4, "a", 1000.0),
+        (5, "b", 7.0), (6, "b", 7.0), (7, "b", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+
+    from deepex_spark.operators.curate import robust_zscores
+
+    got = {r["event_id"]: (r["med"], r["mad"], r["z"]) for r in robust_zscores(df).collect()}
+    # group a: n=5, lower median = 3.0; devs = [2,1,0,1,997] -> median dev = 1.0
+    assert got[0] == (3.0, 1.0, round((1.0 - 3.0) / (1.4826 * 1.0), 6))
+    assert got[4] == (3.0, 1.0, round(997.0 / 1.4826, 6))  # spike scored, not absorbed
+    # group b: constant -> MAD 0 -> z NULL
+    assert got[5] == (7.0, 0.0, None)
+
+
+def test_robust_zscores_even_group_lower_median(spark):
+    """Even-sized group picks the LOWER median element, not an
+    interpolated midpoint."""
+    rows = [(0, "a", 1.0), (1, "a", 2.0), (2, "a", 3.0), (3, "a", 4.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+
+    from deepex_spark.operators.curate import robust_zscores
+
+    meds = {r["event_id"]: r["med"] for r in robust_zscores(df).collect()}
+    assert meds[0] == 2.0  # (4+1) div 2 = rank 2 -> value 2.0
