@@ -1303,3 +1303,144 @@ def robust_zscores(
         F.round((v - F.col("med")) / (F.lit(1.4826) * F.col("mad")), 6),
     )
     return out.select(F.col(id_col), g, v, "med", "mad", z.alias("z"))
+
+
+def cusum_shifts(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    slack: float = 0.5,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """One-sided CUSUM upward-shift detection over per-group DAILY
+    volumes -> ``(event_type, d, n, cusum, is_shift)`` (Page 1954):
+    ``S_k = max(0, S_{k-1} + (x_k - mu - slack*sigma-ish))`` flags a
+    sustained level shift that a spike-local z-score misses. ``mu`` is
+    the group's own mean daily volume; ``slack`` and ``threshold`` are
+    in units of that mean (self-normalizing, no variance estimate —
+    the pragmatic crawl-ops parameterization).
+
+    Determinism — the interesting part: the CUSUM recursion looks
+    stateful, but it has the closed form ``S_k = RS_k - min_{j<=k}
+    RS_j`` where ``RS`` is the running sum of ``(x_k - mu - slack*mu)``
+    — two window functions, no recursion. And by scaling to integer
+    MICRO-UNITS first (counts are exact; ``mu`` rounds to micro-units
+    once), every running sum and running min is exact BIGINT
+    arithmetic: no float accumulates anywhere, so window-sum evaluation
+    order (sequential fold vs segment tree) cannot matter on either
+    engine. One final division + rounding produces the reported float.
+
+    Scale: the daily rollup is a map-side-combined (group, day)
+    aggregate; mu is a window over the |groups|×|days|-bounded rollup;
+    the two running windows order by day within group — all three
+    windows share one group-key exchange of the ALREADY-AGGREGATED
+    rows. The raw event log is touched exactly once.
+    """
+    g = F.col(group_col)
+    daily = (
+        events.groupBy(group_col, F.date_trunc("day", ts_col).alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    w_all = Window.partitionBy(group_col)
+    w_ord = Window.partitionBy(group_col).orderBy("d")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    # mu in micro-units: sum/count over exact BIGINTs, one round
+    mu_micro = F.round(
+        F.sum("n").over(w_all) * F.lit(1000000.0) / F.count("*").over(w_all)
+    ).cast("long")
+    contrib = (
+        F.col("n") * F.lit(1000000)
+        - mu_micro
+        - F.round(F.lit(float(slack)) * mu_micro).cast("long")
+    )
+    stepped = daily.select(
+        g, F.col("d"), F.col("n"), contrib.alias("c"), mu_micro.alias("mu_micro")
+    )
+    stepped = stepped.withColumn("rs", F.sum("c").over(w_run))
+    # S_k = RS_k - min(0, RS_1..RS_k): the min must include the empty
+    # prefix (S_0 = 0), hence the least() against 0. Two selects — the
+    # running min is OVER the materialized running-sum column (window
+    # functions don't nest); both windows still share one exchange.
+    s_micro = F.col("rs") - F.least(
+        F.min("rs").over(w_run), F.lit(0).cast("long")
+    )
+    out = stepped.select(
+        g,
+        "d",
+        "n",
+        F.round(s_micro / F.lit(1000000.0), 6).alias("cusum"),
+        (
+            s_micro
+            > F.round(F.lit(float(threshold)) * F.col("mu_micro")).cast("long")
+        ).alias("is_shift"),
+    )
+    return out
+
+
+def volume_trends(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-group least-squares trend of DAILY volume over calendar time
+    -> ``(event_type, n_days, slope, intercept, r2)``: the "is this
+    source decaying" primitive — slope in events/day over epoch-day x,
+    so gaps in the calendar count as real elapsed time (a row-index x
+    would silently compress outages).
+
+    Determinism: every regression moment (n, Σx, Σy, Σx², Σxy, Σy²) is
+    an exact BIGINT over integer epoch-days and integer counts —
+    aggregation order cannot matter — and slope/intercept/r² are fixed
+    rational expressions over those moments, each rounded once:
+    ``slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)``. Degenerate groups
+    (single day: zero x-variance; constant volume: zero y-variance for
+    r²) yield NULL rather than a float artifact.
+
+    Scale: the daily rollup is the only pass over the event log
+    (map-side combined); the moment aggregate runs on the
+    |groups|×|days|-bounded rollup; output is one row per group.
+    BIGINT overflow horizon: Σx² at epoch-day ~2·10⁴ is ~4·10⁸ per
+    row — 10¹⁰ group-days before approaching 2⁶³, disclosed rather
+    than silently promoted.
+    """
+    g = F.col(group_col)
+    daily = (
+        events.groupBy(group_col, F.date_trunc("day", ts_col).alias("d"))
+        .agg(F.count("*").alias("y"))
+        .withColumn("x", F.datediff(F.col("d"), F.lit("1970-01-01")).cast("long"))
+    )
+    m = daily.groupBy(group_col).agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_days")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.when(
+        varx_n > 0, F.round(cov_n / varx_n.cast("double"), 6)
+    )
+    intercept = F.when(
+        varx_n > 0,
+        F.round(
+            (F.col("sy") - cov_n / varx_n.cast("double") * F.col("sx")) / n, 6
+        ),
+    )
+    # r² factors cast to double BEFORE multiplying: cov² and varx·vary
+    # in BIGINT overflow around |cov| ~ 3·10⁹ (ANSI mode would error,
+    # not corrupt — but the double product is exact enough for an r²
+    # and never traps); the oracle mirrors the cast placement
+    cov_d = cov_n.cast("double")
+    r2 = F.when(
+        (varx_n > 0) & (vary_n > 0),
+        F.round(
+            (cov_d * cov_d) / (varx_n.cast("double") * vary_n.cast("double")), 6
+        ),
+    )
+    return m.select(
+        g, "n_days", slope.alias("slope"), intercept.alias("intercept"), r2.alias("r2")
+    )

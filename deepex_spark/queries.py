@@ -2803,6 +2803,109 @@ def events_transitions(spark, sf_dir):
 
 
 @register(
+    "events_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    xy AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT) AS x, y
+      FROM daily
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM xy GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           CASE WHEN n_days * sxx - sx * sx > 0
+                THEN round((n_days * sxy - sx * sy)
+                           / CAST(n_days * sxx - sx * sx AS DOUBLE), 6)
+           END AS slope,
+           CASE WHEN n_days * sxx - sx * sx > 0
+                THEN round((sy - (n_days * sxy - sx * sy)
+                                 / CAST(n_days * sxx - sx * sx AS DOUBLE) * sx)
+                           / n_days, 6)
+           END AS intercept,
+           CASE WHEN n_days * sxx - sx * sx > 0
+                 AND n_days * syy - sy * sy > 0
+                THEN round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                           * CAST(n_days * sxy - sx * sy AS DOUBLE)
+                           / (CAST(n_days * sxx - sx * sx AS DOUBLE)
+                              * CAST(n_days * syy - sy * sy AS DOUBLE)), 6)
+           END AS r2
+    FROM m
+    """,
+)
+def events_trend(spark, sf_dir):
+    """Per-type least-squares daily-volume trend
+    (operators/curate.py::volume_trends): every regression moment an
+    exact BIGINT over (epoch-day, count) — aggregation order can't
+    matter — and slope/intercept/r² fixed rationals over the moments,
+    rounded once; degenerate variance yields NULL. The source-decay
+    detector: one corpus pass, one row per group."""
+    from deepex_spark.operators.curate import volume_trends
+
+    return volume_trends(load(spark, sf_dir, "events"))
+
+
+@register(
+    "events_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, d, n,
+             CAST(round(sum(n) OVER (PARTITION BY event_type) * 1000000.0
+                        / count(*) OVER (PARTITION BY event_type)) AS BIGINT)
+               AS mu_micro
+      FROM daily
+    ),
+    c AS (
+      SELECT *, n * 1000000 - mu_micro
+                - CAST(round(0.5 * mu_micro) AS BIGINT) AS c
+      FROM st
+    ),
+    r AS (
+      SELECT *, sum(c) OVER w AS rs
+      FROM c
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+      SELECT *, rs - least(min(rs) OVER w, CAST(0 AS BIGINT)) AS s_micro
+      FROM r
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, d, n, round(s_micro / 1000000.0, 6) AS cusum,
+           s_micro > CAST(round(3.0 * mu_micro) AS BIGINT) AS is_shift
+    FROM s
+    """,
+)
+def events_cusum(spark, sf_dir):
+    """One-sided CUSUM level-shift detection over per-type daily
+    volumes (operators/curate.py::cusum_shifts): the stateful-looking
+    recursion computed via its closed form S_k = RS_k − min(0, RS_≤k)
+    — two windows over one group-key exchange — with ALL running
+    arithmetic in exact integer micro-units, so window-sum evaluation
+    order cannot matter on either engine. Complements the trailing
+    z-score (spikes) with sustained-shift detection."""
+    from deepex_spark.operators.curate import cusum_shifts
+
+    return cusum_shifts(load(spark, sf_dir, "events"))
+
+
+@register(
     "events_robust_z",
     oracle="""
     WITH ranked AS (

@@ -1078,3 +1078,68 @@ def test_robust_zscores_even_group_lower_median(spark):
 
     meds = {r["event_id"]: r["med"] for r in robust_zscores(df).collect()}
     assert meds[0] == 2.0  # (4+1) div 2 = rank 2 -> value 2.0
+
+
+def test_cusum_shifts_exact(spark):
+    """Hand-computed CUSUM on a step series: flat days accumulate
+    nothing, a sustained step crosses the threshold where a single
+    spike would not persist."""
+    # type a: 10 events/day for 4 days, then 30/day for 3 days
+    rows = []
+    eid = 0
+    for day, n in enumerate([10, 10, 10, 10, 30, 30, 30]):
+        for k in range(n):
+            rows.append((eid, f"2024-01-0{day + 1}T0{k % 10}:00:00", "a"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    from deepex_spark.operators.curate import cusum_shifts
+
+    out = {
+        r["d"].day: (r["n"], r["cusum"], r["is_shift"])
+        for r in cusum_shifts(df, slack=0.5, threshold=0.3).collect()
+    }
+    # mu = 130/7; micro-unit rounding is HALF-UP on both engines (Spark
+    # F.round / DuckDB round away-from-zero) — python's round() is
+    # banker's and would differ at the exact .5 the slack term hits
+    import math
+
+    hround = lambda v: int(math.floor(v + 0.5))  # noqa: E731
+    mu_m = hround(130 * 1000000.0 / 7)
+    sl = hround(0.5 * mu_m)
+    rs, mn, exp = 0, 0, {}
+    for day, n in enumerate([10, 10, 10, 10, 30, 30, 30]):
+        rs += n * 1000000 - mu_m - sl
+        mn = min(mn, rs)
+        exp[day + 1] = round((rs - mn) / 1000000.0, 6)
+    for day in range(1, 8):
+        assert out[day][1] == exp[day], day
+    # flat prefix never flags; the sustained step accumulates past the
+    # 0.3*mu threshold by day 7 (2.14/day against a 5.57 bar)
+    assert not out[1][2] and not out[5][2]
+    assert out[7][2]
+
+
+def test_volume_trends_exact(spark):
+    """A perfectly linear daily series recovers its slope with r2=1;
+    a single-day group yields NULLs."""
+    rows = []
+    eid = 0
+    for day, n in enumerate([5, 10, 15, 20]):   # slope 5/day
+        for k in range(n):
+            rows.append((eid, f"2024-02-0{day + 1}T00:0{k % 6}:00", "up"))
+            eid += 1
+    rows.append((eid, "2024-02-01T00:00:00", "single"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    from deepex_spark.operators.curate import volume_trends
+
+    got = {r["event_type"]: r for r in volume_trends(df).collect()}
+    assert got["up"]["n_days"] == 4
+    assert got["up"]["slope"] == 5.0
+    assert got["up"]["r2"] == 1.0
+    assert got["single"]["slope"] is None and got["single"]["r2"] is None
