@@ -76,6 +76,8 @@ CURATION = [
     "bm25_topk",
     "events_sequences",
     "events_robust_z",
+    "events_cusum",
+    "events_trend",
 ]
 
 # round-5 temporal/serving/graph KG layer — `--graph`, own metric name;
