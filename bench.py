@@ -69,6 +69,7 @@ CURATION = [
     "quality_rare_bigrams",
     "dedup_paragraphs",
     "dedup_dup_spans",
+    "dedup_keep_best",
     "quality_readability",
     "quality_collocations",
     "events_transitions",

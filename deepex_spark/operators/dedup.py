@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PRIME = 2_147_483_647  # 2^31 - 1
@@ -378,3 +378,50 @@ def lsh_bucket_sizes(
         .groupBy("table_id", "bucket")
         .agg(F.count("*").alias("c"))
     )
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-aware canonical selection within near-dup clusters ->
+    ``(doc_id, cluster_id, n_words, keep)``: of each cluster, KEEP the
+    member with the most (whitespace-split, non-empty) words, ties to
+    the smallest id — the curation policy real training pipelines use
+    (retain the longest/most complete near-duplicate), as opposed to
+    the id-min canonical ``dedup_clusters`` marks or the crawl-side
+    keep-newest. ``clusters`` is any ``(doc_id, cluster_id)``
+    assignment (dedup_clusters, exact-hash groups, ER output).
+
+    Determinism: the word count is an exact BIGINT; the per-cluster
+    argmax is a row_number over the total (n_words DESC, id ASC) order
+    — no floats anywhere.
+
+    Scale: one token-explode aggregate over the corpus (map-side
+    combined — reuses nothing heavier than the quality scorers already
+    pay), one join onto the cluster assignment, one cluster-key window
+    WindowGroupLimit-style (every cluster is small by construction —
+    giant clusters mean the dedup upstream already failed). The keep
+    flag stays on every row so the caller can audit drops instead of
+    silently losing them.
+    """
+    words = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("w"),
+        )
+        .where(F.length("w") > 0)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_words"))
+    )
+    joined = clusters.join(words, id_col, "left").select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.coalesce(F.col("n_words"), F.lit(0).cast("long")).alias("n_words"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_words"), F.asc(id_col)
+    )
+    return joined.withColumn("keep", F.row_number().over(w) == 1)

@@ -5145,6 +5145,62 @@ def dedup_clusters_query(spark, sf_dir):
 
 
 @register(
+    "dedup_keep_best",
+    oracle="WITH RECURSIVE pairs AS ("
+    + _minhash_pairs_oracle(8, 4, 1266, 0.5)
+    + """),
+    sym AS (
+      SELECT id_a AS u, id_b AS w FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS w FROM pairs
+    ),
+    reach(v, lab) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym) t
+      UNION
+        SELECT s.w, r.lab FROM reach r JOIN sym s ON s.u = r.v
+        WHERE r.lab < s.w
+    ),
+    cc AS (SELECT v, MIN(lab) AS comp FROM reach GROUP BY v),
+    clusters AS (
+      SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cc ON cc.v = d.doc_id
+    ),
+    words AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+        FROM documents
+      ) t WHERE w <> '' GROUP BY doc_id
+    ),
+    joined AS (
+      SELECT c.doc_id, c.cluster_id,
+             COALESCE(wd.n_words, CAST(0 AS BIGINT)) AS n_words
+      FROM clusters c LEFT JOIN words wd ON wd.doc_id = c.doc_id
+    )
+    SELECT doc_id, cluster_id, n_words,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_words DESC, doc_id ASC) = 1 AS keep
+    FROM joined
+    """,
+)
+def dedup_keep_best_query(spark, sf_dir):
+    """Quality-aware near-dup canonical selection
+    (operators/dedup.py::keep_best_per_cluster): MinHash-LSH pair graph
+    -> connected-component clusters -> keep the LONGEST member per
+    cluster (ties to smallest id) — the retain-the-most-complete-copy
+    policy training pipelines use, vs the id-min canonical of
+    dedup_clusters and the crawl-side keep-newest. Exact integer word
+    counts, total argmax order; the closure oracle is the independent
+    recursive CTE."""
+    from deepex_spark.operators.dedup import keep_best_per_cluster, minhash_dup_pairs
+    from deepex_spark.operators.graph import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_dup_pairs(docs, "text", "doc_id", n=3, k=8, bands=4, min_est_sim=0.5)
+    clusters = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    return keep_best_per_cluster(docs, clusters)
+
+
+@register(
     "dedup_ngram_jaccard",
     # hot-shingle document-frequency cutoff (<= 50) encoded in BOTH sides:
     # boilerplate shingles shared by many docs are dropped before the pair

@@ -147,3 +147,37 @@ def test_signatures_partition_invariant(docs):
     one = {tuple(r) for r in minhash_signatures(docs.coalesce(1), "text", "doc_id").collect()}
     four = {tuple(r) for r in minhash_signatures(docs.repartition(4), "text", "doc_id").collect()}
     assert one == four
+
+
+def test_keep_best_per_cluster(spark):
+    """Longest member kept per cluster; length ties fall to smallest id;
+    singletons keep themselves; docs absent from the word table count 0."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),       # cluster 1: 3 words
+            (2, "a b c d e"),   # cluster 1: 5 words -> keeper
+            (3, "x y"),         # cluster 3 (singleton)
+            (4, "p q"),         # cluster 4: ties with 5 on 2 words -> keeper (id)
+            (5, "r s"),
+            (6, "   "),         # whitespace-only: 0 words, own cluster
+        ],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 4), (5, 4), (6, 6)],
+        "doc_id long, cluster_id long",
+    )
+    from deepex_spark.operators.dedup import keep_best_per_cluster
+
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["n_words"], r["keep"])
+        for r in keep_best_per_cluster(docs, clusters).collect()
+    }
+    assert got == {
+        1: (1, 3, False),
+        2: (1, 5, True),
+        3: (3, 2, True),
+        4: (4, 2, True),
+        5: (4, 2, False),
+        6: (6, 0, True),
+    }
