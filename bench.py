@@ -79,6 +79,7 @@ CURATION = [
     "events_robust_z",
     "events_cusum",
     "events_trend",
+    "events_bot_flags",
 ]
 
 # round-5 temporal/serving/graph KG layer — `--graph`, own metric name;

@@ -1444,3 +1444,67 @@ def volume_trends(
     return m.select(
         g, "n_days", slope.alias("slope"), intercept.alias("intercept"), r2.alias("r2")
     )
+
+
+def bot_flags(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    min_gaps: int = 5,
+    max_cv2: float = 0.1,
+) -> DataFrame:
+    """Automation/bot heuristic from inter-event timing regularity ->
+    ``(user_id, n_gaps, mean_gap_s, cv2, is_bot)``: humans produce
+    bursty, high-variance gaps; schedulers and crawlers produce
+    metronomic ones. A user with at least ``min_gaps`` gaps whose
+    squared coefficient of variation ``cv2 = var/mean² =
+    (nΣg² − (Σg)²)/(Σg)²`` falls below ``max_cv2`` flags as a bot —
+    the pre-filter you run before attributing event volume or feeding
+    per-user text into a training corpus.
+
+    Determinism: gaps are exact integer SECONDS (epoch-microsecond
+    difference floor-divided by 10⁶ — identical integer division both
+    engines; whole seconds keep Σg² far from the BIGINT edge for any
+    plausible log, and the disclosed cv2 cast-to-double placement
+    handles the rest identically on both sides); the moment sums are
+    exact BIGINTs and cv2 is one fixed expression, rounded once. Users
+    with zero mean gap (all events in the same second) get cv2 = 0 —
+    maximally regular, flagged when n_gaps suffices.
+
+    Scale: one user-key window for the lag (ordering ties broken by
+    the unique ``order_col``), one map-side-combined moment aggregate,
+    one row per user out. Same single-exchange shape as sessionize.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    ts = F.col(ts_col)
+    # timestamp SUBTRACTION -> day-time interval -> long = whole seconds
+    # (truncated): timezone-free on TIMESTAMP_NTZ (the sessionize
+    # convention — unix_micros() would reject NTZ / bind a session zone),
+    # and for non-negative gaps truncation == the oracle's floor-div
+    gap_s = (ts - F.lag(ts).over(w)).cast("long")
+    gaps = events.select(F.col(user_col), gap_s.alias("g")).where(
+        F.col("g").isNotNull()
+    )
+    m = gaps.groupBy(user_col).agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).alias("sgg"),
+    )
+    n_d = F.col("n_gaps").cast("double")
+    sg_d = F.col("sg").cast("double")
+    sgg_d = F.col("sgg").cast("double")
+    cv2 = F.when(
+        F.col("sg") > 0,
+        F.round((n_d * sgg_d - sg_d * sg_d) / (sg_d * sg_d), 6),
+    ).otherwise(F.lit(0.0))
+    out = m.select(
+        F.col(user_col),
+        "n_gaps",
+        F.round(sg_d / n_d, 6).alias("mean_gap_s"),
+        cv2.alias("cv2"),
+    )
+    return out.withColumn(
+        "is_bot",
+        (F.col("n_gaps") >= int(min_gaps)) & (F.col("cv2") < float(max_cv2)),
+    )

@@ -2803,6 +2803,49 @@ def events_transitions(spark, sf_dir):
 
 
 @register(
+    "events_bot_flags",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             (epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id))
+             // 1000000 AS g
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(g) AS BIGINT) AS sg,
+             CAST(sum(g * g) AS BIGINT) AS sgg
+      FROM g WHERE g IS NOT NULL GROUP BY user_id
+    ),
+    s AS (
+      SELECT user_id, n_gaps,
+             round(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS mean_gap_s,
+             CASE WHEN sg > 0
+                  THEN round((CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+                              - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                             / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)), 6)
+                  ELSE 0.0 END AS cv2
+      FROM m
+    )
+    SELECT user_id, n_gaps, mean_gap_s, cv2,
+           n_gaps >= 5 AND cv2 < 0.1 AS is_bot
+    FROM s
+    """,
+)
+def events_bot_flags(spark, sf_dir):
+    """Bot/automation detection from inter-event timing regularity
+    (operators/curate.py::bot_flags): per-user squared coefficient of
+    variation of integer-second gaps — metronomic schedulers flag,
+    bursty humans don't. Exact BIGINT gap moments, one fixed cv2
+    expression with disclosed double-cast placement, rounded before
+    the threshold compare on both engines."""
+    from deepex_spark.operators.curate import bot_flags
+
+    return bot_flags(load(spark, sf_dir, "events"))
+
+
+@register(
     "events_trend",
     oracle="""
     WITH daily AS (

@@ -1143,3 +1143,43 @@ def test_volume_trends_exact(spark):
     assert got["up"]["slope"] == 5.0
     assert got["up"]["r2"] == 1.0
     assert got["single"]["slope"] is None and got["single"]["r2"] is None
+
+
+def test_bot_flags_exact(spark):
+    """Metronomic user flags, bursty user doesn't, below-min-gaps user
+    doesn't regardless of regularity; sub-second jitter truncates to
+    whole seconds before the moments."""
+    rows = []
+    eid = 0
+    # bot: exactly 60s apart, 6 gaps
+    for k in range(7):
+        rows.append((eid, 1, f"2024-01-01T00:{k:02d}:00", )); eid += 1
+    # human: wildly varying gaps (6 gaps)
+    for off in [0, 10, 11, 500, 510, 3000, 3010]:
+        rows.append((eid, 2, f"2024-01-01T{off // 3600:02d}:{(off % 3600) // 60:02d}:{off % 60:02d}")); eid += 1
+    # regular but only 2 gaps -> under min_gaps
+    for k in range(3):
+        rows.append((eid, 3, f"2024-01-01T00:{k:02d}:00")); eid += 1
+    df = spark.createDataFrame(
+        [(i, u, t) for (i, u, t) in rows], "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    from deepex_spark.operators.curate import bot_flags
+
+    got = {r["user_id"]: (r["n_gaps"], r["cv2"], r["is_bot"]) for r in bot_flags(df).collect()}
+    assert got[1] == (6, 0.0, True)          # constant gaps: cv2 exactly 0
+    assert got[2][0] == 6 and got[2][2] is False and got[2][1] > 0.1
+    assert got[3] == (2, 0.0, False)         # regular but too few gaps
+
+
+def test_bot_flags_same_second_user(spark):
+    """All events within one second: every gap truncates to 0, sg=0 ->
+    cv2 defined as 0, flagged when n_gaps suffices."""
+    rows = [(i, 1, f"2024-01-01T00:00:00.{i}00000") for i in range(7)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    from deepex_spark.operators.curate import bot_flags
+
+    [r] = bot_flags(df).collect()
+    assert (r["n_gaps"], r["mean_gap_s"], r["cv2"], r["is_bot"]) == (6, 0.0, 0.0, True)
