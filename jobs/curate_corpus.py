@@ -42,6 +42,7 @@ def curate(
     default_rate: float = 1.0,
     no_redact: bool = False,
     minhash_sim: float = 0.5,
+    near_dup_keep: str = "canonical",
     max_dup_frac: float = 1.0,
     max_top_share: float = 1.0,
     max_dupspan_ratio: float = 1.0,
@@ -90,12 +91,24 @@ def curate(
     w_exact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     exact = gated.withColumn("_rn", F.row_number().over(w_exact)).where(F.col("_rn") == 1).drop("_rn")
 
-    # near-dup: LSH candidate pairs -> connected components -> canonical
+    # near-dup: LSH candidate pairs -> connected components -> one
+    # survivor per cluster. Keep policy: "canonical" = smallest doc_id
+    # (the dedup_clusters marker — cheapest, id-stable across re-runs);
+    # "best" = longest member, ties to smallest id
+    # (keep_best_per_cluster — the retain-the-most-complete-copy policy)
+    if near_dup_keep not in ("canonical", "best"):
+        raise ValueError("near_dup_keep must be 'canonical' or 'best'")
     pairs = minhash_dup_pairs(exact, "text", "doc_id", min_est_sim=minhash_sim)
     clusters = dedup_clusters(exact, pairs)
-    near = exact.join(
-        clusters.where(F.col("is_canonical")).select("doc_id"), "doc_id", "inner"
-    )
+    if near_dup_keep == "best":
+        from deepex_spark.operators.dedup import keep_best_per_cluster
+
+        keepers = keep_best_per_cluster(
+            exact, clusters.select("doc_id", "cluster_id")
+        ).where(F.col("keep")).select("doc_id")
+    else:
+        keepers = clusters.where(F.col("is_canonical")).select("doc_id")
+    near = exact.join(keepers, "doc_id", "inner")
 
     # corpus-global duplicate-SUBSTRING gate (Lee et al. 2022 at
     # window-token resolution, operators/curate.py::dup_spans): drops
@@ -149,6 +162,9 @@ def main(argv=None):
     p.add_argument("--rates-json", default=None, help='JSON {lang: keep_rate}; e.g. {"en": 0.5}')
     p.add_argument("--default-rate", type=float, default=1.0)
     p.add_argument("--minhash-sim", type=float, default=0.5, help="near-dup est-Jaccard threshold")
+    p.add_argument("--near-dup-keep", choices=("canonical", "best"), default="canonical",
+                   help="near-dup survivor policy: canonical = smallest doc_id; "
+                        "best = longest member (ties to smallest id)")
     p.add_argument("--max-dup-frac", type=float, default=1.0, help="Gopher duplicate-bigram-fraction gate (1.0 = off)")
     p.add_argument("--max-top-share", type=float, default=1.0, help="Gopher top-bigram-share gate (1.0 = off)")
     p.add_argument("--max-dupspan-ratio", type=float, default=1.0,
@@ -183,6 +199,7 @@ def main(argv=None):
         default_rate=args.default_rate,
         no_redact=args.no_redact,
         minhash_sim=args.minhash_sim,
+        near_dup_keep=args.near_dup_keep,
         max_dup_frac=args.max_dup_frac,
         max_top_share=args.max_top_share,
         max_dupspan_ratio=args.max_dupspan_ratio,

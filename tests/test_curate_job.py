@@ -183,3 +183,40 @@ def test_dupspan_gate(spark):
     # gate off: all three survive to the near stage
     stages = curate(docs, min_words=1, no_redact=True)
     assert stages["near"].count() == 3
+
+
+def test_keep_best_policy_prefers_longest(spark, tmp_path):
+    """--near-dup-keep best retains the longest near-dup; the default
+    canonical policy retains the smallest id. Same cluster, different
+    survivor."""
+    from jobs.curate_corpus import curate
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en"),                                  # shorter copy, smaller id
+            (2, base + " iota kappa " + base, "en"),          # longer near-dup
+            (3, "completely different unrelated text here", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    best = curate(docs, min_words=1, no_redact=True, minhash_sim=0.3,
+                  near_dup_keep="best")["clean"]
+    canon = curate(docs, min_words=1, no_redact=True, minhash_sim=0.3,
+                   near_dup_keep="canonical")["clean"]
+    best_ids = {r["doc_id"] for r in best.collect()}
+    canon_ids = {r["doc_id"] for r in canon.collect()}
+    # 1 and 2 cluster at this sim (verified): canonical keeps the id-min
+    # copy, best keeps the longer one; doc 3 always survives
+    assert canon_ids == {1, 3}
+    assert best_ids == {2, 3}
+
+
+def test_keep_policy_guard(spark):
+    import pytest as _pytest
+
+    from jobs.curate_corpus import curate
+
+    docs = spark.createDataFrame([(1, "a b c", "en")], "doc_id long, text string, lang string")
+    with _pytest.raises(ValueError, match="near_dup_keep"):
+        curate(docs, near_dup_keep="newest")
