@@ -153,6 +153,7 @@ ANN = [
     "multimodal_feature_ann",
     "ann_rrf_fusion",
     "hybrid_retrieval",
+    "ann_ndcg",
 ]
 
 

@@ -5406,6 +5406,127 @@ def ann_cosine_topk(spark, sf_dir):
 
 
 @register(
+    "ann_ndcg",
+    oracle="""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, q.label AS q_label,
+             n.vec_id AS neighbor_id, n.label AS n_label,
+             list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                              CAST(n.embedding AS DOUBLE[])) AS dot,
+             list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                              CAST(q.embedding AS DOUBLE[])) AS qq,
+             list_dot_product(CAST(n.embedding AS DOUBLE[]),
+                              CAST(n.embedding AS DOUBLE[])) AS nn
+      FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
+      WHERE q.vec_id < 5
+    ),
+    ranked AS (
+      SELECT query_id,
+             CASE WHEN n_label = q_label THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot / (sqrt(qq) * sqrt(nn)) DESC,
+                                         neighbor_id ASC) AS rk
+      FROM pairs
+    ),
+    slots AS (
+      SELECT query_id,
+             CAST(max(CASE WHEN rk = 1 THEN rel END) AS BIGINT) AS r1,
+             CAST(max(CASE WHEN rk = 2 THEN rel END) AS BIGINT) AS r2,
+             CAST(max(CASE WHEN rk = 3 THEN rel END) AS BIGINT) AS r3,
+             CAST(max(CASE WHEN rk = 4 THEN rel END) AS BIGINT) AS r4,
+             CAST(max(CASE WHEN rk = 5 THEN rel END) AS BIGINT) AS r5
+      FROM ranked WHERE rk <= 5 GROUP BY query_id
+    ),
+    scored AS (
+      SELECT query_id, r1 + r2 + r3 + r4 + r5 AS m,
+             r1 * 1.0 + r2 * 0.6309297535714575 + r3 * 0.5
+                + r4 * 0.43067655807339306 + r5 * 0.38685280723454163 AS dcg
+      FROM slots
+    )
+    SELECT query_id, m AS n_relevant,
+           CASE WHEN m > 0 THEN round(dcg / (CASE m
+                WHEN 1 THEN 1.0
+                WHEN 2 THEN 1.6309297535714575
+                WHEN 3 THEN 2.1309297535714578
+                WHEN 4 THEN 2.5616063116448506
+                ELSE 2.9484591188793923 END), 6) END AS ndcg
+    FROM scored
+    """,
+)
+def ann_ndcg(spark, sf_dir):
+    """nDCG@5 of the exact cosine ranking per query, relevance = label
+    agreement between query and neighbor vectors — the standard
+    retrieval-quality metric closing the ANN stack (index recall is
+    measured by ann_ivf_recall; this measures RANKING quality against
+    labels). Determinism: integer ranks (sequence-order dot fold),
+    binary relevance pivoted into five fixed slots, DCG as one literal
+    weight ladder, and — binary relevance's gift — IDCG in closed form
+    as a CASE over the relevant-count m (the ideal list is just the m
+    ones first), so no second sort exists to disagree about. One
+    rational, rounded once; NULL when nothing is relevant."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"),
+    )
+    n = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("nv"),
+    )
+    dot = "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    qq = "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    nn = "aggregate(zip_with(nv, nv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    pairs = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0).alias("rel"),
+            F.expr(dot).alias("dot"),
+            F.expr(qq).alias("qq"),
+            F.expr(nn).alias("nn"),
+            "neighbor_id",
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc(F.col("dot") / (F.sqrt("qq") * F.sqrt("nn"))), F.asc("neighbor_id")
+    )
+    ranked = pairs.withColumn("rk", F.row_number().over(w_cos)).where(F.col("rk") <= 5)
+    slots = ranked.groupBy("query_id").agg(
+        *[
+            F.max(F.when(F.col("rk") == i, F.col("rel"))).cast("long").alias(f"r{i}")
+            for i in range(1, 6)
+        ]
+    )
+    m = F.col("r1") + F.col("r2") + F.col("r3") + F.col("r4") + F.col("r5")
+    dcg = (
+        F.col("r1") * F.lit(1.0)
+        + F.col("r2") * F.lit(0.6309297535714575)
+        + F.col("r3") * F.lit(0.5)
+        + F.col("r4") * F.lit(0.43067655807339306)
+        + F.col("r5") * F.lit(0.38685280723454163)
+    )
+    idcg = (
+        F.when(m == 1, F.lit(1.0))
+        .when(m == 2, F.lit(1.6309297535714575))
+        .when(m == 3, F.lit(2.1309297535714578))
+        .when(m == 4, F.lit(2.5616063116448506))
+        .otherwise(F.lit(2.9484591188793923))
+    )
+    return slots.select(
+        "query_id",
+        m.alias("n_relevant"),
+        F.when(m > 0, F.round(dcg / idcg, 6)).alias("ndcg"),
+    )
+
+
+@register(
     "ann_rrf_fusion",
     oracle="""
     WITH pairs AS (
