@@ -80,6 +80,7 @@ CURATION = [
     "events_cusum",
     "events_trend",
     "events_bot_flags",
+    "corpus_psi",
 ]
 
 # round-5 temporal/serving/graph KG layer — `--graph`, own metric name;

@@ -1508,3 +1508,72 @@ def bot_flags(
         "is_bot",
         (F.col("n_gaps") >= int(min_gaps)) & (F.col("cv2") < float(max_cv2)),
     )
+
+
+def distribution_drift(
+    pop_a: DataFrame,
+    pop_b: DataFrame,
+    text_col: str = "text",
+    bucket_width: int = 50,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two corpus slices over a
+    doc-length histogram -> per-bucket ``(bucket, n_a, n_b, psi_term)``
+    plus the total ``psi`` repeated on every row: the standard
+    drift-monitoring metric ("did this week's crawl change shape?"),
+    with the usual read: psi < 0.1 stable, 0.1-0.25 shifting, > 0.25
+    drifted. Buckets are fixed-width word-count bins capped at
+    ``n_buckets`` (the top bin absorbs the tail); a Laplace +1 smooth
+    over the full bucket spine keeps empty bins finite — and because
+    BOTH sides smooth, a bucket empty in both contributes ~0, not a
+    fabricated signal.
+
+    Determinism: bucket counts are exact BIGINTs; each bucket's
+    ``(p−q)·ln(p/q)`` term is ONE fixed expression over those integers
+    rounded to integer NANO-units, so the cross-bucket total is exact
+    BIGINT addition — fold-order-free (the BM25/CUSUM convention; PSI
+    terms are tiny, hence nano not micro). p and q derive from counts
+    via one division each — identical IEEE ops both engines.
+
+    Scale: one map-side-combined bucket aggregate per population (the
+    corpus passes), a broadcast-sized join on the ≤ n_buckets spine,
+    and a window over ≤ n_buckets rows for the total. The spine is
+    generated, not collected.
+    """
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        words = F.split(F.col(text_col), r"\s+")
+        n_words = F.size(F.filter(words, lambda w: F.length(w) > 0))
+        bucket = F.least(
+            (n_words / F.lit(int(bucket_width))).cast("long"),
+            F.lit(int(n_buckets) - 1),
+        )
+        return df.select(bucket.alias("bucket")).groupBy("bucket").agg(
+            F.count("*").alias(name)
+        )
+    spine = (
+        pop_a.sparkSession.range(int(n_buckets)).select(F.col("id").alias("bucket"))
+    )
+    joined = (
+        spine.join(counts(pop_a, "n_a"), "bucket", "left")
+        .join(counts(pop_b, "n_b"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("n_a"), F.lit(0).cast("long")).alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0).cast("long")).alias("n_b"),
+        )
+    )
+    w_all = Window.partitionBy()
+    ta = F.sum("n_a").over(w_all)
+    tb = F.sum("n_b").over(w_all)
+    p = (F.col("n_a") + F.lit(1.0)) / (ta + F.lit(float(n_buckets)))
+    q = (F.col("n_b") + F.lit(1.0)) / (tb + F.lit(float(n_buckets)))
+    nano = F.round((p - q) * F.log(p / q) * F.lit(1000000000.0)).cast("long")
+    terms = joined.select("bucket", "n_a", "n_b", nano.alias("_nano"))
+    total = F.sum("_nano").over(Window.partitionBy())
+    return terms.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(F.col("_nano") / F.lit(1000000000.0), 6).alias("psi_term"),
+        F.round(total / F.lit(1000000000.0), 6).alias("psi"),
+    )

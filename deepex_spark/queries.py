@@ -2803,6 +2803,58 @@ def events_transitions(spark, sf_dir):
 
 
 @register(
+    "corpus_psi",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id % 2 AS pop,
+             least(len(list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '')) // 50, 9) AS bucket
+      FROM documents
+    ),
+    ca AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_a
+           FROM b WHERE pop = 0 GROUP BY bucket),
+    cb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_b
+           FROM b WHERE pop = 1 GROUP BY bucket),
+    spine AS (SELECT range AS bucket FROM range(10)),
+    j AS (
+      SELECT s.bucket,
+             COALESCE(ca.n_a, CAST(0 AS BIGINT)) AS n_a,
+             COALESCE(cb.n_b, CAST(0 AS BIGINT)) AS n_b
+      FROM spine s LEFT JOIN ca USING (bucket) LEFT JOIN cb USING (bucket)
+    ),
+    t AS (
+      SELECT bucket, n_a, n_b,
+             CAST(round(
+               (((n_a + 1.0) / (sum(n_a) OVER () + 10.0))
+                - ((n_b + 1.0) / (sum(n_b) OVER () + 10.0)))
+               * ln(((n_a + 1.0) / (sum(n_a) OVER () + 10.0))
+                    / ((n_b + 1.0) / (sum(n_b) OVER () + 10.0)))
+               * 1000000000.0) AS BIGINT) AS nano
+      FROM j
+    )
+    SELECT bucket, n_a, n_b,
+           round(nano / 1000000000.0, 6) AS psi_term,
+           round(sum(nano) OVER () / 1000000000.0, 6) AS psi
+    FROM t
+    """,
+)
+def corpus_psi(spark, sf_dir):
+    """Population Stability Index between the even- and odd-id corpus
+    halves over a doc-length histogram
+    (operators/curate.py::distribution_drift) — the standard
+    data-drift monitor. Exact BIGINT bucket counts, Laplace-smoothed
+    spine, per-bucket (p−q)·ln(p/q) rounded to integer NANO-units
+    before the cross-bucket total — fold-order-free."""
+    from deepex_spark.operators.curate import distribution_drift
+
+    docs = load(spark, sf_dir, "documents")
+    return distribution_drift(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )
+
+
+@register(
     "events_bot_flags",
     oracle="""
     WITH g AS (

@@ -1183,3 +1183,29 @@ def test_bot_flags_same_second_user(spark):
 
     [r] = bot_flags(df).collect()
     assert (r["n_gaps"], r["mean_gap_s"], r["cv2"], r["is_bot"]) == (6, 0.0, 0.0, True)
+
+
+def test_distribution_drift_identical_populations(spark):
+    """Identical populations: every smoothed p equals q, PSI exactly 0."""
+    docs = spark.createDataFrame(
+        [(i, "w " * (10 + i)) for i in range(6)], "doc_id long, text string"
+    )
+    from deepex_spark.operators.curate import distribution_drift
+
+    rows = distribution_drift(docs, docs).collect()
+    assert len(rows) == 10
+    assert all(r["psi_term"] == 0.0 and r["psi"] == 0.0 for r in rows)
+
+
+def test_distribution_drift_detects_shift(spark):
+    """Short-doc vs long-doc populations: mass sits in different buckets
+    and PSI is large; empty-in-both buckets contribute ~0."""
+    short = spark.createDataFrame([(i, "w " * 10) for i in range(20)], "doc_id long, text string")
+    long_ = spark.createDataFrame([(i, "w " * 120) for i in range(20)], "doc_id long, text string")
+    from deepex_spark.operators.curate import distribution_drift
+
+    rows = {r["bucket"]: r for r in distribution_drift(short, long_).collect()}
+    assert rows[0]["n_a"] == 20 and rows[0]["n_b"] == 0
+    assert rows[2]["n_b"] == 20 and rows[2]["n_a"] == 0
+    assert rows[0]["psi"] > 0.25          # drifted by the standard read
+    assert abs(rows[5]["psi_term"]) < 1e-6  # empty-in-both ~0 via shared smoothing
