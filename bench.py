@@ -155,6 +155,7 @@ ANN = [
     "ann_rrf_fusion",
     "hybrid_retrieval",
     "ann_ndcg",
+    "ann_map",
 ]
 
 

@@ -5579,6 +5579,117 @@ def ann_ndcg(spark, sf_dir):
 
 
 @register(
+    "ann_map",
+    oracle="""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, q.label AS q_label,
+             n.vec_id AS neighbor_id, n.label AS n_label,
+             list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                              CAST(n.embedding AS DOUBLE[])) AS dot,
+             list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                              CAST(q.embedding AS DOUBLE[])) AS qq,
+             list_dot_product(CAST(n.embedding AS DOUBLE[]),
+                              CAST(n.embedding AS DOUBLE[])) AS nn
+      FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
+      WHERE q.vec_id < 5
+    ),
+    ranked AS (
+      SELECT query_id,
+             CASE WHEN n_label = q_label THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot / (sqrt(qq) * sqrt(nn)) DESC,
+                                         neighbor_id ASC) AS rk
+      FROM pairs
+    ),
+    slots AS (
+      SELECT query_id,
+             CAST(max(CASE WHEN rk = 1 THEN rel END) AS BIGINT) AS r1,
+             CAST(max(CASE WHEN rk = 2 THEN rel END) AS BIGINT) AS r2,
+             CAST(max(CASE WHEN rk = 3 THEN rel END) AS BIGINT) AS r3,
+             CAST(max(CASE WHEN rk = 4 THEN rel END) AS BIGINT) AS r4,
+             CAST(max(CASE WHEN rk = 5 THEN rel END) AS BIGINT) AS r5
+      FROM ranked WHERE rk <= 5 GROUP BY query_id
+    ),
+    num AS (
+      SELECT query_id, r1 + r2 + r3 + r4 + r5 AS m,
+             r1 * r1 * 60
+               + r2 * (r1 + r2) * 30
+               + r3 * (r1 + r2 + r3) * 20
+               + r4 * (r1 + r2 + r3 + r4) * 15
+               + r5 * (r1 + r2 + r3 + r4 + r5) * 12 AS ap60
+      FROM slots
+    )
+    SELECT query_id, m AS n_relevant,
+           CASE WHEN m > 0
+                THEN round(ap60 / (60.0 * m), 6) END AS ap
+    FROM num
+    """,
+)
+def ann_map(spark, sf_dir):
+    """Average precision @5 of the exact cosine ranking per query,
+    label-agreement relevance — the MAP companion to ann_ndcg. With
+    binary relevance and a fixed cutoff, AP·60·m is an INTEGER
+    (precision denominators 1..5 clear through their LCM 60):
+    ``ap60 = Σ rel_i · hits_≤i · (60/i)`` over the five pivoted slots,
+    so the whole metric is exact BIGINT arithmetic with ONE final
+    division — no float literals at all, unlike nDCG's weight ladder."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"),
+    )
+    n = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("nv"),
+    )
+    dot = "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    qq = "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    nn = "aggregate(zip_with(nv, nv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    pairs = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0).alias("rel"),
+            F.expr(dot).alias("dot"),
+            F.expr(qq).alias("qq"),
+            F.expr(nn).alias("nn"),
+            "neighbor_id",
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc(F.col("dot") / (F.sqrt("qq") * F.sqrt("nn"))), F.asc("neighbor_id")
+    )
+    ranked = pairs.withColumn("rk", F.row_number().over(w_cos)).where(F.col("rk") <= 5)
+    slots = ranked.groupBy("query_id").agg(
+        *[
+            F.max(F.when(F.col("rk") == i, F.col("rel"))).cast("long").alias(f"r{i}")
+            for i in range(1, 6)
+        ]
+    )
+    r = [F.col(f"r{i}") for i in range(1, 6)]
+    m = r[0] + r[1] + r[2] + r[3] + r[4]
+    ap60 = (
+        r[0] * r[0] * F.lit(60)
+        + r[1] * (r[0] + r[1]) * F.lit(30)
+        + r[2] * (r[0] + r[1] + r[2]) * F.lit(20)
+        + r[3] * (r[0] + r[1] + r[2] + r[3]) * F.lit(15)
+        + r[4] * (r[0] + r[1] + r[2] + r[3] + r[4]) * F.lit(12)
+    )
+    return slots.select(
+        "query_id",
+        m.alias("n_relevant"),
+        F.when(m > 0, F.round(ap60 / (F.lit(60.0) * m), 6)).alias("ap"),
+    )
+
+
+@register(
     "ann_rrf_fusion",
     oracle="""
     WITH pairs AS (
