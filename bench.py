@@ -138,6 +138,7 @@ GRAPH = [
     "kg_biblio_coupling",
     "kg_clustering_coef",
     "kg_components",
+    "kg_ktruss",
 ]
 
 # vector-index layer — `--ann`, own metric name; snapshot in BENCH/ANN.md.

@@ -1322,3 +1322,86 @@ def clustering_coefficients(
         ),
     ).otherwise(F.lit(0.0))
     return joined.withColumn("lcc", lcc)
+
+
+def ktruss(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 5,
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Fixed-iteration k-truss peel -> the surviving edge set with its
+    final support, ``(a, b, support)``: each round drops edges in fewer
+    than ``k-2`` triangles (among surviving edges) and recounts — the
+    edge-level sibling of k-core (Cohen 2008), and the stricter
+    dense-community core: a k-core hub chain survives on degree alone,
+    a k-truss edge must sit in actual triangles. Fixed rounds (not
+    run-to-convergence) keep the result SQL-unrollable, the kcore /
+    pagerank convention; pick ``n_rounds`` past the measured
+    convergence horizon for the target graph.
+
+    Scale: each round re-runs triangle_count's degree-oriented wedge
+    enumeration on the SHRINKING edge set (per-key fan-out O(sqrt m),
+    hub-safe), emits each triangle's three edges in canonical (a, b)
+    form, counts per edge (map-side combined), and semi-joins the
+    survivors — all key-partitioned; ``localCheckpoint`` truncates the
+    per-round lineage. Peeling only shrinks the graph, so later rounds
+    are cheaper and AQE re-plans on observed sizes. Everything is
+    exact integer arithmetic.
+    """
+
+    def _support(live: DataFrame) -> DataFrame:
+        deg = (
+            live.select(F.col("a").alias("x"))
+            .union(live.select(F.col("b").alias("x")))
+            .groupBy("x")
+            .agg(F.count("*").alias("deg"))
+        )
+        da, db = deg.alias("da"), deg.alias("db")
+        a_first = (F.col("da.deg") < F.col("db.deg")) | (
+            (F.col("da.deg") == F.col("db.deg")) & (F.col("a") < F.col("b"))
+        )
+        o = (
+            live.join(da, live["a"] == F.col("da.x"))
+            .join(db, live["b"] == F.col("db.x"))
+            .select(
+                F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+                F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+                F.when(a_first, F.col("db.deg")).otherwise(F.col("da.deg")).alias("dhi"),
+            )
+        )
+        o1, o2, o3 = o.alias("o1"), o.alias("o2"), o.hint("shuffle_hash").alias("o3")
+        hi_lt = (F.col("o1.dhi") < F.col("o2.dhi")) | (
+            (F.col("o1.dhi") == F.col("o2.dhi")) & (F.col("o1.hi") < F.col("o2.hi"))
+        )
+        tri = (
+            o1.join(o2, (F.col("o1.lo") == F.col("o2.lo")) & hi_lt)
+            .join(
+                o3,
+                (F.col("o3.lo") == F.col("o1.hi")) & (F.col("o3.hi") == F.col("o2.hi")),
+            )
+            .select(
+                F.col("o1.lo").alias("v1"),
+                F.col("o1.hi").alias("v2"),
+                F.col("o2.hi").alias("v3"),
+            )
+        )
+        corners = (
+            tri.select(F.col("v1").alias("u"), F.col("v2").alias("v"))
+            .union(tri.select(F.col("v1").alias("u"), F.col("v3").alias("v")))
+            .union(tri.select(F.col("v2").alias("u"), F.col("v3").alias("v")))
+        )
+        return (
+            corners.select(
+                F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+            )
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("support"))
+        )
+
+    live = _undirected(edges, src, dst).localCheckpoint(eager=True)
+    for _ in range(int(n_rounds)):
+        keep = _support(live).where(F.col("support") >= int(k) - 2).select("a", "b")
+        live = live.join(keep, ["a", "b"], "left_semi").localCheckpoint(eager=True)
+    return live.join(_support(live), ["a", "b"], "inner").select("a", "b", "support")

@@ -2400,6 +2400,92 @@ def _kcore_oracle(k: int, n_rounds: int) -> str:
     )
 
 
+def _truss_support_ctes(i: int, prev: str) -> str:
+    """One round's support-count CTE chain (degree-oriented triangle
+    enumeration + 3-corner edge emission), mirroring the per-round body
+    of operators/graph.py::ktruss."""
+    return f"""
+    deg{i} AS MATERIALIZED (
+      SELECT x, count(*) AS deg FROM (
+        SELECT a AS x FROM {prev} UNION ALL SELECT b AS x FROM {prev}
+      ) t GROUP BY x
+    ),
+    o{i} AS MATERIALIZED (
+      SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS lo,
+             CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS hi,
+             CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+                  THEN db.deg ELSE da.deg END AS dhi
+      FROM {prev} u JOIN deg{i} da ON da.x = u.a JOIN deg{i} db ON db.x = u.b
+    ),
+    tri{i} AS MATERIALIZED (
+      SELECT o1.lo AS v1, o1.hi AS v2, o2.hi AS v3
+      FROM o{i} o1 JOIN o{i} o2
+        ON o1.lo = o2.lo AND ((o1.dhi < o2.dhi) OR (o1.dhi = o2.dhi AND o1.hi < o2.hi))
+      JOIN o{i} o3 ON o3.lo = o1.hi AND o3.hi = o2.hi
+    ),
+    s{i} AS MATERIALIZED (
+      SELECT least(u, v) AS a, greatest(u, v) AS b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM (
+        SELECT v1 AS u, v2 AS v FROM tri{i}
+        UNION ALL SELECT v1 AS u, v3 AS v FROM tri{i}
+        UNION ALL SELECT v2 AS u, v3 AS v FROM tri{i}
+      ) c GROUP BY least(u, v), greatest(u, v)
+    )"""
+
+
+def _ktruss_oracle(k: int, n_rounds: int) -> str:
+    """Unrolled fixed-iteration k-truss peel in DuckDB SQL over the part
+    co-occurrence graph, mirroring operators/graph.py::ktruss."""
+    prev = "e0"
+    its = []
+    for i in range(1, n_rounds + 1):
+        its.append(
+            _truss_support_ctes(i, prev)
+            + f""",
+    e{i} AS MATERIALIZED (
+      SELECT e.a, e.b FROM {prev} e
+      JOIN s{i} s ON s.a = e.a AND s.b = e.b
+      WHERE s.support >= {k - 2}
+    )"""
+        )
+        prev = f"e{i}"
+    fin = n_rounds + 1
+    return (
+        """
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                      greatest(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e0 AS MATERIALIZED (SELECT a, b FROM und),"""
+        + ",".join(its)
+        + ","
+        + _truss_support_ctes(fin, prev)
+        + f"""
+    SELECT e.a, e.b, s.support
+    FROM {prev} e JOIN s{fin} s ON s.a = e.a AND s.b = e.b
+    """
+    )
+
+
+@register("kg_ktruss", oracle=_ktruss_oracle(8, 3))
+def kg_ktruss(spark, sf_dir):
+    """Fixed-iteration 8-truss peel over the part co-occurrence graph
+    (operators/graph.py::ktruss, 3 rounds): every surviving edge sits in
+    >= 6 triangles among survivors — the edge-level dense-community core
+    that degree-based k-core can't express (a hub chain survives k-core
+    on degree alone; a truss edge needs actual triangles). Exact integer
+    supports; the oracle unrolls all three peel rounds plus the final
+    recount, enumeration re-derived per round."""
+    from deepex_spark.operators.graph import ktruss
+
+    return ktruss(_part_cooccurrence_edges(spark, sf_dir), k=8, n_rounds=3)
+
+
 @register("kg_kcore", oracle=_kcore_oracle(80, 8))
 def kg_kcore(spark, sf_dir):
     """80-core of the part co-occurrence graph (the dense-subgraph

@@ -491,3 +491,31 @@ def test_clustering_coefficients_direction_and_dupes(spark):
 
     got = {r["vertex"]: (r["deg"], r["lcc"]) for r in clustering_coefficients(edges).collect()}
     assert got == {1: (2, 1.0), 2: (2, 1.0), 3: (2, 1.0)}
+
+
+def test_ktruss_k4_survives_pendant_triangle_dies(spark):
+    """K4 is a stable 4-truss (every edge in 2 triangles); a pendant
+    triangle's edges have support 1 and peel in round one."""
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    pendant = [(4, 5), (5, 6), (4, 6)]
+    edges = spark.createDataFrame(k4 + pendant, "src long, dst long")
+
+    from deepex_spark.operators.graph import ktruss
+
+    got = {(r["a"], r["b"]): r["support"] for r in ktruss(edges, k=4, n_rounds=2).collect()}
+    assert got == {(a, b): 2 for a, b in k4}
+
+
+def test_ktruss_peel_cascades(spark):
+    """Peeling cascades: two triangles sharing an edge — at k=4 the
+    outer edges (support 1) die first, then the shared edge (support
+    now 0) dies in round two. Fixed rounds must capture the cascade."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    from deepex_spark.operators.graph import ktruss
+
+    assert ktruss(edges, k=4, n_rounds=2).count() == 0
+    # at k=3 (support >= 1) both triangles survive intact
+    got = ktruss(edges, k=3, n_rounds=2).count()
+    assert got == 5
