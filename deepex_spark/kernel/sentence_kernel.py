@@ -41,6 +41,15 @@ import numpy as np
 from deepex_spark.nlp.chunker import np_chunks
 from deepex_spark.nlp.tokenizer import basic_tokens, detok_single, detokenize, encode
 
+# native walk kernel (same semantics, bit-identical output — see _cbeam.c);
+# None => pure-Python path below
+try:
+    from deepex_spark.kernel._cnative import load_cbeam
+
+    _cbeam = load_cbeam()
+except Exception:  # pragma: no cover - any build/load problem => Python path
+    _cbeam = None
+
 NIL = "$NIL$"
 NIL_SPAN = (-1, -1)
 
@@ -293,6 +302,26 @@ def beam_search_ie(att: np.ndarray, feat: SentenceFeatures, cfg):
         # folding the transpose's strict upper triangle back in
         # (kgm.py:402-404)
         pruned = pruned + np.triu(pruned.T, k=1)
+    n_side = pruned.shape[0]
+    if _cbeam is not None and n_side <= 256 and cfg.beam_size <= 128:
+        # native path: identical walk enumeration/ordering/arithmetic in C
+        # (_cbeam.c) — the expensive per-sentence loop without interpreter
+        # overhead. Fallback below is the reference Python implementation.
+        sn = cfg.search_n
+        sn = -1 if (sn is None or sn == "None") else int(sn)
+        return _cbeam.beam_walks(
+            np.ascontiguousarray(pruned, dtype=np.float64),
+            n_side,
+            [[e - offset0 for e in seg] for seg in segs],
+            offset0,
+            cfg.beam_size,
+            cfg.dist_const,
+            cfg.search_min_len,
+            cfg.search_max_len,
+            float(cfg.search_score_threshold),
+            1 if cfg.search_ranking_type == "mean" else 0,
+            sn,
+        )
     order_np = np.argsort(-pruned, axis=1, kind="stable")
     vals_np = np.take_along_axis(pruned, order_np, axis=1)
     order = order_np.tolist()
@@ -389,7 +418,7 @@ def relation_text(path: list[int], feat: SentenceFeatures) -> str | None:
     return detokenize(feat.tokens[first_pruned : last_pruned + 1])
 
 
-def convert_to_triplet(path: list[int], feat: SentenceFeatures):
+def convert_to_triplet(path, feat: SentenceFeatures):
     """'H [SEP] R [SEP] T' assembly (kgm.py:124-144)."""
     if len(path) < 3:
         return None, None
@@ -427,37 +456,33 @@ def accumulate_candidates(dedup: dict, seqs, feat: SentenceFeatures, cfg) -> Non
     Assembly is memoized per canonical path within the window: walks from
     different (start, bound) pairs frequently yield the same path (that is
     exactly how freq > 1 arises), and ``convert_to_triplet`` is a pure
-    function of (path, feat) — ~3x fewer assembly calls, same results."""
+    function of (path, feat) — ~3x fewer assembly calls, same results.
+    Paths stay tuples end-to-end (tuple[::-1] for the canonical flip): the
+    hot loop allocates no lists."""
     conv_cache: dict[tuple, tuple] = {}
+    cache_get = conv_cache.get
+    dedup_get = dedup.get
+    is_rc = cfg.beam_mode == "RC"
+    nil = [-1, -1]
     for path, score in seqs:
-        p = list(path)
-        if cfg.beam_mode != "RC":
-            if not (p[0] < p[-1]):
-                p = list(reversed(p))
+        pk = path if is_rc or path[0] < path[-1] else path[::-1]
         # seq[1:-1] = sorted([score, visited=True]) quirk (kgm.py:234):
         # scores above 1.0 become bool True (=1.0) in the score slot.
         s = score if score <= 1.0 else 1.0
-        pk = tuple(p)
-        hit = conv_cache.get(pk)
+        hit = cache_get(pk)
         if hit is None:
-            hit = conv_cache[pk] = convert_to_triplet(p, feat)
+            hit = conv_cache[pk] = convert_to_triplet(pk, feat)
         trip, spans = hit
-        if (
-            trip is None
-            or spans is None
-            or spans[0] == [-1, -1]
-            or spans[1] == [-1, -1]
-        ):
+        if trip is None or spans is None or spans[0] == nil or spans[1] == nil:
             continue
         key = trip.strip()
-        attended = len(p)
-        if key not in dedup:
-            dedup[key] = [1, s, spans, attended]
+        e = dedup_get(key)
+        if e is None:
+            dedup[key] = [1, s, spans, len(pk)]
         else:
-            e = dedup[key]
             e[0] += 1
             e[1] += s
-            e[3] += attended
+            e[3] += len(pk)
 
 
 def rank_candidates(dedup: dict, cfg):

@@ -103,13 +103,21 @@ def candidate_distances(
     """Distances for the forward and reversed emission of one candidate —
     exactly what the reference's reranker would compute for each of the two
     distilled triples (relation scrubbed first, as distillation emits it,
-    distillation.py:100-113; sentence gets the '$input_txt:$ ' prefix)."""
+    distillation.py:100-113; sentence gets the '$input_txt:$ ' prefix).
+
+    The reversed emission's distance is computed from the SAME embedding:
+    ``str((obj, rel, subj))`` is a permutation of ``str((subj, rel, obj))``'s
+    elements, the regex tokens never span element boundaries (every
+    boundary char — quote, comma, space, paren — is punctuation or
+    whitespace), so the token MULTISET is identical; ``_hash_embed``
+    accumulates exact ±1 integers (order-free float sums) and normalizes by
+    an exact integer norm, so the two embeddings — and therefore the two
+    distances — are bit-identical. Verified by tests/test_rerank_symmetry
+    and (historically) by every golden: dis_fwd == dis_rev on all rows."""
     rel_s = _NON_ASCII.sub(" ", rel).strip()
     sentence = "$input_txt:$ " + sent_text
-    return (
-        contrastive_distance_py(sentence, subj, rel_s, obj, dim, sent_cache),
-        contrastive_distance_py(sentence, obj, rel_s, subj, dim, sent_cache),
-    )
+    d = contrastive_distance_py(sentence, subj, rel_s, obj, dim, sent_cache)
+    return (d, d)
 
 
 def add_contrastive_distance(triples: DataFrame, cfg: DeepExConfig) -> DataFrame:
