@@ -535,15 +535,85 @@ def _window_features(feat: SentenceFeatures, cfg) -> list[SentenceFeatures]:
     return out
 
 
+_RANK_CODES = {
+    "freq": 0, "score": 1, "score_freq": 2, "score_freq_len": 3, "score_len": 4,
+}
+
+
 def process_sentence_tuples(docid: str, offset: int, text: str, cfg, att_provider):
     """Full kernel for one sentence -> candidate tuples in column order
     (docid, sent_offset, sent_text, triple_key, subj, rel, obj, subj_s,
     subj_e, obj_s, obj_e, freq, score, attended_len, cand_rank). Spans ride
     as four plain INTs end-to-end (not 2-element arrays): less Arrow object
-    churn in the hot loop and ~30B/row less through the docid shuffle."""
+    churn in the hot loop and ~30B/row less through the docid shuffle.
+
+    When the native kernel is available the whole IE inner loop — walks,
+    canonical flip, triple assembly, per-sentence dedup + ranking — runs as
+    ONE C call per sentence (``_cbeam.ie_sentence``); the walk set (often
+    10-100x the final candidate count) never materializes as Python
+    objects. The Python loop below is the reference fallback and computes
+    bit-identical rows (tests/test_cbeam_parity.py)."""
     feat = featurize(docid, offset, text, cfg)
+    wins = _window_features(feat, cfg)
+    rank_code = _RANK_CODES.get(cfg.dedup_ranking_type)
+    use_c = (
+        _cbeam is not None
+        and hasattr(_cbeam, "ie_sentence")
+        and cfg.beam_mode != "RC"
+        and rank_code is not None
+        and cfg.beam_size <= 128
+    )
+    if use_c:
+        payload = []
+        for win in wins:
+            eid, segs = entity_segments(win, cfg)
+            if eid is None:
+                continue
+            offset0 = eid[0]
+            pruned = att_provider.attention(win.tokens)[
+                offset0 : eid[-1] + 1, offset0 : eid[-1] + 1
+            ]
+            if "gpt2" in cfg.model_name_or_path:
+                pruned = pruned + np.triu(pruned.T, k=1)
+            if pruned.shape[0] > 256:
+                use_c = False
+                break
+            payload.append(
+                (
+                    np.ascontiguousarray(pruned, dtype=np.float64),
+                    pruned.shape[0],
+                    [[e - offset0 for e in seg] for seg in segs],
+                    offset0,
+                    win.tokens,
+                    win.ent_names,
+                    win.ent_spans,
+                )
+            )
+        if use_c:
+            sn = cfg.search_n
+            sn = -1 if (sn is None or sn == "None") else int(sn)
+            ranked = _cbeam.ie_sentence(
+                payload,
+                cfg.beam_size,
+                cfg.dist_const,
+                cfg.search_min_len,
+                cfg.search_max_len,
+                float(cfg.search_score_threshold),
+                1 if cfg.search_ranking_type == "mean" else 0,
+                sn,
+                rank_code,
+                cfg.cand_min_len,
+            )
+            rows = []
+            for rank, (key, freq, score, hs, he, ts, te, attended) in enumerate(ranked):
+                h, r, t = (part.strip() for part in key.split("[SEP]"))
+                rows.append(
+                    (docid, offset, text, key, h, r, t, hs, he, ts, te,
+                     freq, float(score), attended, rank)
+                )
+            return rows
     dedup: dict[str, list] = {}
-    for win in _window_features(feat, cfg):
+    for win in wins:
         att = att_provider.attention(win.tokens)
         seqs = beam_search_ie(att, win, cfg)
         if seqs:

@@ -51,22 +51,38 @@ _token_hash_caches: dict[int, dict[str, tuple[int, float]]] = {}
 # no bookkeeping in the hot loop) changes nothing but recompute cost.
 _TOKEN_CACHE_MAX = 1 << 18
 
+# native accumulation loop (zlib-compatible crc32 + signed binning in C,
+# kernel/_cbeam.c); the norm/divide stays in numpy so the result is
+# bit-identical to the Python loop (exact ±1 integer sums are order-free).
+try:
+    from deepex_spark.kernel._cnative import load_cbeam as _load_cbeam
+
+    _chash = _load_cbeam()
+    if _chash is not None and not hasattr(_chash, "hash_accum"):
+        _chash = None
+except Exception:  # pragma: no cover - build/load failure => Python loop
+    _chash = None
+
 
 def _hash_embed(s: str, dim: int) -> np.ndarray:
     """Signed feature-hash bag of word/punct tokens, L2-normalized — the
     surrogate for the dual-encoder's pooled segment embedding. Tokenization
     here is the fast regex split (not the kernel's wordpiece): the encoder
     is a pluggable provider and this runs on every emitted triple, so it is
-    kept deliberately cheap: token hashes are memoized and the signed
-    counts accumulate via one ``bincount`` (exact small-integer sums, so
-    the vector — and every downstream distance — is bit-identical to the
-    per-token loop; pinned by the parity goldens)."""
+    kept deliberately cheap. The ±1 binning runs in C when available
+    (identical exact-integer sums); the Python loop below is the fallback
+    and the reference semantics — pinned against each other by
+    tests/test_rerank_symmetry.py and by the parity goldens."""
+    v = np.zeros(dim, dtype=np.float64)
+    if _chash is not None:
+        _chash.hash_accum(v, _TOKEN_RE.findall(s))
+        n = _sqrt(v.dot(v))
+        return v / n if n > 0 else v
     from zlib import crc32
 
     cache = _token_hash_caches.get(dim)
     if cache is None:
         cache = _token_hash_caches[dim] = {}
-    v = np.zeros(dim, dtype=np.float64)
     for t in _TOKEN_RE.findall(s):
         e = cache.get(t)
         if e is None:
