@@ -1303,10 +1303,13 @@ def clustering_coefficients(
         .join(o3, (F.col("o3.lo") == F.col("o1.hi")) & (F.col("o3.hi") == F.col("o2.hi")))
         .select(F.col("o1.lo").alias("v1"), F.col("o1.hi").alias("v2"), F.col("o2.hi").alias("v3"))
     )
+    # ONE pass over the triangle stream: a union of three selects re-runs
+    # the (expensive) wedge+closing join subtree once per branch — Spark
+    # does no CSE across union legs — measured 2.5x the whole enumeration
+    # on the sf0.1 co-occurrence graph. explode() emits the three corners
+    # from a single execution of the join.
     tc = (
-        tri.select(F.col("v1").alias("x"))
-        .union(tri.select(F.col("v2").alias("x")))
-        .union(tri.select(F.col("v3").alias("x")))
+        tri.select(F.explode(F.array("v1", "v2", "v3")).alias("x"))
         .groupBy("x")
         .agg(F.count("*").alias("n_tri"))
     )
@@ -1387,21 +1390,137 @@ def ktruss(
                 F.col("o2.hi").alias("v3"),
             )
         )
-        corners = (
-            tri.select(F.col("v1").alias("u"), F.col("v2").alias("v"))
-            .union(tri.select(F.col("v1").alias("u"), F.col("v3").alias("v")))
-            .union(tri.select(F.col("v2").alias("u"), F.col("v3").alias("v")))
+        # single pass over the triangle stream (a 3-branch union would
+        # re-run the wedge+closing joins once per branch — no CSE across
+        # union legs; measured 2.5x the enumeration cost)
+        corners = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v1").alias("u"), F.col("v2").alias("v")),
+                    F.struct(F.col("v1").alias("u"), F.col("v3").alias("v")),
+                    F.struct(F.col("v2").alias("u"), F.col("v3").alias("v")),
+                )
+            ).alias("e")
         )
         return (
             corners.select(
-                F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+                F.least("e.u", "e.v").alias("a"), F.greatest("e.u", "e.v").alias("b")
             )
             .groupBy("a", "b")
             .agg(F.count("*").alias("support"))
         )
 
+    # Hybrid delta peeling. Supports are MAINTAINED across rounds by the
+    # truss invariant
+    #   S_{r+1}(e) = S_r(e) - #{distinct triangles of live_r containing e
+    #                           and at least one removed edge}
+    # (exact integers, so maintained == recounted), which kills the
+    # original's final full recount outright; within a round, when the
+    # removed set is small relative to the survivors the decrement is
+    # computed by enumerating only the triangles TOUCHING removed edges
+    # (``_truss_delta_loss`` — late peel rounds remove a few hundred edges
+    # of a million and pay ~nothing), while heavy early rounds recount on
+    # the shrunken survivor set (a full delta there would enumerate most
+    # triangles AND pay a dedup shuffle on top — measured slower). Output
+    # is identical to the recount-per-round implementation (pinned by
+    # test_graph_cc and the fully-unrolled DuckDB oracle). The original
+    # kept an edge iff it HAD a support row (i.e. sat in >= 1 triangle)
+    # AND support >= k-2, hence max(k-2, 1); its final inner join likewise
+    # dropped 0-support survivors, hence the closing >= 1 filter.
+    thr = max(int(k) - 2, 1)
+    # removed/live below this ratio -> delta decrement; above -> recount
+    delta_ratio = 0.05
     live = _undirected(edges, src, dst).localCheckpoint(eager=True)
+
+    def _with_support(edge_set: DataFrame) -> DataFrame:
+        return (
+            edge_set.join(_support(edge_set), ["a", "b"], "left")
+            .select(
+                "a", "b",
+                F.coalesce(F.col("support"), F.lit(0).cast("long")).alias("support"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    sup = _with_support(live)
+    n_live = sup.count()
     for _ in range(int(n_rounds)):
-        keep = _support(live).where(F.col("support") >= int(k) - 2).select("a", "b")
-        live = live.join(keep, ["a", "b"], "left_semi").localCheckpoint(eager=True)
-    return live.join(_support(live), ["a", "b"], "inner").select("a", "b", "support")
+        removed = sup.where(F.col("support") < thr).select("a", "b")
+        n_removed = removed.count()
+        if n_removed == 0:
+            break  # fixpoint — the remaining fixed rounds are no-ops
+        keep = sup.where(F.col("support") >= thr)
+        n_keep = n_live - n_removed
+        if n_keep == 0 or n_removed > delta_ratio * n_live:
+            sup = _with_support(
+                keep.select("a", "b").localCheckpoint(eager=True)
+            )
+        else:
+            loss = _truss_delta_loss(
+                removed.localCheckpoint(eager=True), sup.select("a", "b")
+            )
+            sup = (
+                keep.join(loss, ["a", "b"], "left")
+                .select(
+                    "a", "b",
+                    (
+                        F.col("support")
+                        - F.coalesce(F.col("loss"), F.lit(0).cast("long"))
+                    ).alias("support"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        n_live = n_keep
+    return sup.where(F.col("support") >= 1).select("a", "b", "support")
+
+
+def _truss_delta_loss(removed: DataFrame, graph: DataFrame) -> DataFrame:
+    """Per canonical edge, the number of DISTINCT triangles of ``graph``
+    that contain at least one ``removed`` edge — the support decrement for
+    the next peel round. Wedges fan out from each removed edge's
+    lower-degree endpoint (hub-safe, the same degree-orientation idea as
+    ``triangle_count``); triangles found via several removed edges are
+    deduped by their sorted vertex triple before the per-edge count."""
+    deg = (
+        graph.select(F.col("a").alias("x"))
+        .union(graph.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("deg"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    a_small = (F.col("da.deg") < F.col("db.deg")) | (
+        (F.col("da.deg") == F.col("db.deg")) & (F.col("a") < F.col("b"))
+    )
+    r = (
+        removed.join(da, removed["a"] == F.col("da.x"))
+        .join(db, removed["b"] == F.col("db.x"))
+        .select(
+            F.when(a_small, F.col("a")).otherwise(F.col("b")).alias("probe"),
+            F.when(a_small, F.col("b")).otherwise(F.col("a")).alias("other"),
+        )
+    )
+    adj = graph.select(F.col("a").alias("x"), F.col("b").alias("w")).union(
+        graph.select(F.col("b").alias("x"), F.col("a").alias("w"))
+    )
+    wedges = r.join(adj.hint("shuffle_hash"), r["probe"] == adj["x"]).select(
+        "probe", "other", "w"
+    )
+    closing = wedges.join(
+        graph.alias("g2"),
+        (F.least(F.col("other"), F.col("w")) == F.col("g2.a"))
+        & (F.greatest(F.col("other"), F.col("w")) == F.col("g2.b")),
+        "left_semi",
+    )
+    tri = closing.select(
+        F.array_sort(F.array("probe", "other", "w")).alias("t")
+    ).distinct()
+    edges3 = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("t")[0].alias("a"), F.col("t")[1].alias("b")),
+                F.struct(F.col("t")[0].alias("a"), F.col("t")[2].alias("b")),
+                F.struct(F.col("t")[1].alias("a"), F.col("t")[2].alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    return edges3.groupBy("a", "b").agg(F.count("*").alias("loss"))
