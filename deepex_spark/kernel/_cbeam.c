@@ -951,6 +951,74 @@ static PyObject *hash_accum(PyObject *self, PyObject *args) {
     Py_RETURN_NONE;
 }
 
+/* Full _hash_embed accumulation: tokenize s exactly like
+ * re.findall(r"\w+|[^\w\s]", s) — CPython's sre defines \w as
+ * Py_UNICODE_ISALNUM(ch) || ch == '_' and \s as Py_UNICODE_ISSPACE (see
+ * Modules/sre_lib.h SRE_UNI_IS_WORD / SRE_UNI_IS_SPACE), so the
+ * classification below is the regex engine's own — then crc32-bin each
+ * token's UTF-8 bytes into the caller's float64 buffer. Greedy \w+ runs
+ * == maximal alnum/_ byte ranges; other non-space code points are
+ * single-char tokens; spaces separate. */
+
+static PyObject *hash_embed(PyObject *self, PyObject *args) {
+    PyObject *vec_obj, *s;
+    if (!PyArg_ParseTuple(args, "OU", &vec_obj, &s)) return NULL;
+    if (!crc_table_ready) crc_init();
+    Py_buffer view;
+    if (PyObject_GetBuffer(vec_obj, &view, PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE) < 0)
+        return NULL;
+    Py_ssize_t dim = view.len / (Py_ssize_t)sizeof(double);
+    if (dim <= 0) {
+        PyBuffer_Release(&view);
+        PyErr_SetString(PyExc_ValueError, "empty vector buffer");
+        return NULL;
+    }
+    double *v = (double *)view.buf;
+    Py_ssize_t blen;
+    const unsigned char *b = (const unsigned char *)PyUnicode_AsUTF8AndSize(s, &blen);
+    if (!b) { PyBuffer_Release(&view); return NULL; }
+    Py_ssize_t i = 0, word_start = -1;
+    while (i <= blen) {
+        Py_UCS4 cp = 0;
+        int clen = 1;
+        int at_end = (i == blen);
+        if (!at_end) {
+            unsigned char c0 = b[i];
+            if (c0 < 0x80) { cp = c0; clen = 1; }
+            else if ((c0 & 0xE0) == 0xC0) {
+                cp = ((Py_UCS4)(c0 & 0x1F) << 6) | (b[i + 1] & 0x3F);
+                clen = 2;
+            } else if ((c0 & 0xF0) == 0xE0) {
+                cp = ((Py_UCS4)(c0 & 0x0F) << 12) | ((Py_UCS4)(b[i + 1] & 0x3F) << 6)
+                     | (b[i + 2] & 0x3F);
+                clen = 3;
+            } else {
+                cp = ((Py_UCS4)(c0 & 0x07) << 18) | ((Py_UCS4)(b[i + 1] & 0x3F) << 12)
+                     | ((Py_UCS4)(b[i + 2] & 0x3F) << 6) | (b[i + 3] & 0x3F);
+                clen = 4;
+            }
+        }
+        int is_word = !at_end && (Py_UNICODE_ISALNUM(cp) || cp == '_');
+        if (is_word) {
+            if (word_start < 0) word_start = i;
+        } else {
+            if (word_start >= 0) {
+                uint32_t h = crc32_bytes(b + word_start, i - word_start);
+                v[h % (uint32_t)dim] += ((h >> 31) & 1u) ? 1.0 : -1.0;
+                word_start = -1;
+            }
+            if (!at_end && !Py_UNICODE_ISSPACE(cp)) {
+                uint32_t h = crc32_bytes(b + i, clen);
+                v[h % (uint32_t)dim] += ((h >> 31) & 1u) ? 1.0 : -1.0;
+            }
+        }
+        if (at_end) break;
+        i += clen;
+    }
+    PyBuffer_Release(&view);
+    Py_RETURN_NONE;
+}
+
 static PyObject *crc32_py(PyObject *self, PyObject *args) {
     /* test hook: must agree with zlib.crc32 */
     const char *b;
@@ -970,6 +1038,9 @@ static PyMethodDef Methods[] = {
      "[(key, freq, score, hs, he, ts, te, attended)]"},
     {"hash_accum", hash_accum, METH_VARARGS,
      "hash_accum(float64_buffer, tokens) -> None; v[crc32(t)%dim] += ±1"},
+    {"hash_embed", hash_embed, METH_VARARGS,
+     "hash_embed(float64_buffer, s) -> None; tokenize like "
+     "re.findall(r'\\w+|[^\\w\\s]') and crc32-bin each token"},
     {"crc32", crc32_py, METH_VARARGS, "zlib-compatible crc32 (test hook)"},
     {NULL, NULL, 0, NULL},
 };

@@ -58,7 +58,7 @@ try:
     from deepex_spark.kernel._cnative import load_cbeam as _load_cbeam
 
     _chash = _load_cbeam()
-    if _chash is not None and not hasattr(_chash, "hash_accum"):
+    if _chash is not None and not hasattr(_chash, "hash_embed"):
         _chash = None
 except Exception:  # pragma: no cover - build/load failure => Python loop
     _chash = None
@@ -75,7 +75,11 @@ def _hash_embed(s: str, dim: int) -> np.ndarray:
     tests/test_rerank_symmetry.py and by the parity goldens."""
     v = np.zeros(dim, dtype=np.float64)
     if _chash is not None:
-        _chash.hash_accum(v, _TOKEN_RE.findall(s))
+        # tokenization + binning fused in C; the tokenizer replicates
+        # re.findall(r"\w+|[^\w\s]") via CPython's own sre character
+        # classes (Py_UNICODE_ISALNUM/ISSPACE) — pinned against the regex
+        # in tests/test_rerank_symmetry.py
+        _chash.hash_embed(v, s)
         n = _sqrt(v.dot(v))
         return v / n if n > 0 else v
     from zlib import crc32

@@ -23,6 +23,54 @@ CASES = [
 ]
 
 
+def test_native_hash_embed_matches_regex_path():
+    """The C tokenizer (Py_UNICODE_ISALNUM/ISSPACE — sre's own \\w / \\s
+    classes) + crc32 binning must reproduce the regex-findall Python loop
+    bit-for-bit, including non-ASCII words, odd numerics and punctuation."""
+    import random
+
+    import numpy as np
+
+    from deepex_spark.operators import rerank as rr
+
+    if rr._chash is None:
+        import pytest
+
+        pytest.skip("native kernel unavailable")
+    from zlib import crc32
+
+    def ref(s, dim=64):
+        v = np.zeros(dim)
+        for t in rr._TOKEN_RE.findall(s):
+            h = crc32(t.encode("utf-8"))
+            v[h % dim] += 1.0 if (h >> 31) & 1 else -1.0
+        return v
+
+    cases = [
+        "Hello, world! It's 2024.",
+        "café ♪ naïve — em—dash …ellipsis",
+        "under_score mixed_123 АБВГ кирилица 日本語です。",
+        "a b c\t\nd",
+        "ℕ𝔽𝟘𝟙 ² ½ Ⅻ",
+        "",
+        " ",
+        "_",
+        "('Subj', 'rel ♦ txt', 'Obj')",
+    ]
+    rng = random.Random(42)
+    for _ in range(500):
+        cases.append(
+            "".join(
+                chr(rng.choice([rng.randint(32, 126), rng.randint(0xA0, 0xD7FF)]))
+                for _ in range(rng.randint(0, 60))
+            )
+        )
+    for s in cases:
+        v1 = np.zeros(64)
+        rr._chash.hash_embed(v1, s)
+        assert np.array_equal(v1, ref(s)), repr(s)
+
+
 def test_reversed_distance_bit_identical():
     for subj, rel, obj in CASES:
         sent = f"{subj} {rel} {obj} and some trailing sentence text."
