@@ -512,6 +512,7 @@ def kcore(
     # upstream (e.g. a co-occurrence self-join) for each of its three
     # consumers (both degree scans + the filter join)
     live = _undirected(edges, src, dst).localCheckpoint(eager=True)
+    n_live = live.count()
     for _ in range(n_rounds):
         keep = (
             live.select(F.col("a").alias("x"))
@@ -528,6 +529,13 @@ def kcore(
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
+        n_new = live.count()
+        if n_new == n_live:
+            # peeling is removal-only, so an unchanged edge COUNT means an
+            # unchanged edge SET: every remaining fixed round is a no-op
+            # and the result is identical to running all n_rounds
+            break
+        n_live = n_new
     return (
         live.select(F.col("a").alias("x"))
         .union(live.select(F.col("b").alias("x")))
