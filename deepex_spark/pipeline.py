@@ -35,6 +35,17 @@ def normalize_pages(pages: DataFrame, cfg: DeepExConfig) -> DataFrame:
     elif "html" in df.columns:
         df = df.withColumn("text", html_to_text(F.col("html")))
     docid = "url" if "url" in df.columns else "docid"
+    # NOTE on input layout (guide §6): the normalize/sentencize front end
+    # runs at SCAN parallelism — a corpus delivered as fewer splits than
+    # cores (one small parquet file at bench scale) runs it on few cores
+    # until the sentence-level rebalance in extract_candidates. That is
+    # an input-layout concern, fixed where the guide says to fix it
+    # (file sizing / spark.sql.files.{maxPartitionBytes,minPartitionNum}),
+    # NOT with an extra exchange here: an unconditional doc-level
+    # repartition was measured to cost ~1.5-2 s per sf0.1 run (extra AQE
+    # stage + plan-side partition probe) against a front end that is
+    # cheap O(bytes) regex work — the expensive O(beam) kernel is already
+    # rebalanced at sentence granularity downstream.
     out = df.select(F.col(docid).alias("docid"), blank_parens(F.col("text")).alias("text"))
     if cfg.repartition_by_url:
         out = out.repartition(cfg.repartition_by_url, F.xxhash64("docid"))
