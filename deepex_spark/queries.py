@@ -23,6 +23,16 @@ from pyspark.sql import functions as F
 
 from deepex_spark.config import DeepExConfig
 
+# importing the kernel here builds the native extension ONCE, driver-side,
+# at registry-import time (flock-guarded, no-op when the .so exists) — on
+# a fresh tree the alternative is the first kernel task of the first query
+# paying the compile inside its own timed region while 31 sibling workers
+# wait on the lock
+try:  # pragma: no cover - never fails on a supported toolchain
+    from deepex_spark.kernel import sentence_kernel as _prebuilt_kernel  # noqa: F401
+except Exception:
+    pass
+
 
 @dataclass
 class QuerySpec:
